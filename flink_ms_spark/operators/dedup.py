@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each DataFrame-in → DataFrame-out and shuffle-architected
+for 100 TB:
+
+- **exact**: hash-groupBy on a content digest. One shuffle on the
+  digest; group sizes are bounded by true duplicate multiplicity.
+- **MinHash + LSH**: shingle → k minhashes → band → bucket-join.
+  Candidate generation never compares all pairs: the only shuffle is
+  groupBy(band_signature), and pair expansion happens within buckets.
+- **SimHash**: per-token hash bits summed per doc (map-side heavy,
+  one narrow agg per doc), Hamming-bucket join on the signature.
+- **n-gram Jaccard**: exact similarity for a given candidate pair set
+  (verification stage after LSH).
+
+Hashing is md5-based (not murmur) so every stage is reproducible in
+ANSI SQL for the DuckDB oracle: a minhash is the lexicographic MIN of
+``md5(seed || '|' || shingle)`` — the min of a uniform hash, just
+string-ordered, which preserves the MinHash property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_ms_spark.operators.text import normalize_text, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct content digest with the group
+    size and the keeper (min id) — the survivor-selection form that
+    scales (never collects texts)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as ARRAY<STRING> (positions 1..len-n+1)."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h INT, minhash STRING): per doc and hash-seed, the lexicographic
+    min of md5(seed|shingle). Explode is map-side; the only shuffle is the
+    per-(doc,seed) MIN aggregation, pre-combined map-side."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    seeds = sh.select(
+        id_col, "shingle", F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("h")
+    )
+    return seeds.groupBy(id_col, "h").agg(
+        F.min(F.md5(F.concat_ws("|", F.col("h"), F.col("shingle")))).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band's full
+    signature become candidate pairs (a < b, distinct).
+
+    Scale: groupBy(band, band_sig) buckets; pair expansion is a
+    self-join *within buckets only*. Skewed buckets (near-identical
+    boilerplate at web scale) are the known hot spot — AQE skew-join
+    splitting handles moderate skew; pathological buckets should be
+    capped upstream (drop buckets with > N members as "template" docs).
+    """
+    banded = signatures.withColumn("band", ((F.col("h") - 1) / F.lit(band_size)).cast("int"))
+    band_sigs = banded.groupBy(id_col, "band").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "h", "minhash")))).alias(
+            "band_sig"
+        )
+    )
+    a = band_sigs.select(F.col(id_col).alias("a"), "band", "band_sig")
+    b = band_sigs.select(F.col(id_col).alias("b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram sets for given (a, b)
+    pairs — the LSH verification stage.
+
+    Implementation: explode distinct shingles per doc once, then two
+    semi-structured joins; |A∩B| by join-count, |A∪B| = |A|+|B|−|∩|.
+    The doc-side explode is reused across pairs (shuffle on doc id).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_d"), F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("_d").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("_d").alias("a"), "s")
+    sh_b = sh.select(F.col("_d").alias("b"), "s")
+    inter = (
+        pairs.join(sh_a, "a").join(sh_b, ["b", "s"]).groupBy("a", "b").agg(
+            F.count("*").alias("n_inter")
+        )
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("_d", "a").withColumnRenamed("n", "n_a"), "a")
+        .join(sizes.withColumnRenamed("_d", "b").withColumnRenamed("n", "n_b"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash STRING of 0/1 bits): per-token md5 hex digits →
+    ±1 votes per bit position, bit set if the vote sum is positive.
+
+    Bits come from hex digits of md5(token) (digit parity), so the
+    whole pipeline is reproducible in ANSI SQL. One explode + one
+    keyed agg; no pairwise work.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = tok.withColumn("h", F.md5("t"))
+    votes = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("b"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(
+            (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("b"), 1)) - 1) % 2
+            == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    bit_votes = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    return bit_votes.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "v"))),
+                lambda s: F.when(s.getField("v") > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        ).alias("simhash")
+    )

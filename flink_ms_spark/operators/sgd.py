@@ -42,6 +42,7 @@ def sgd_step(
     user_reg: float = 0.0,
     item_reg: float = 0.0,
     broadcast_model: bool = True,
+    ordinal_col: str | None = None,
 ) -> DataFrame:
     """One SGD micro-batch → updated model rows (id, kind, factors).
 
@@ -62,11 +63,16 @@ def sgd_step(
     if broadcast_model:
         users, items = F.broadcast(users), F.broadcast(items)
 
+    # ordinal for last-write-wins: caller-provided (source offset — fully
+    # deterministic) or input order within the batch
+    ord_expr = (
+        F.col(ordinal_col) if ordinal_col is not None else F.monotonically_increasing_id()
+    )
     r = ratings.select(
         F.col("user_id").cast("string").alias("user_id"),
         F.col("item_id").cast("string").alias("item_id"),
         F.col("rating").cast("double").alias("rating"),
-        F.monotonically_increasing_id().alias("_ord"),
+        ord_expr.alias("_ord"),
     )
     joined = r.join(users, "user_id", "left").join(items, "item_id", "left")
 

@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions / DataFrame ops — JVM-side, codegen'd, no
+Python in the row loop. Designed for 100 TB document tables: every
+operator is a narrow map (no shuffle) except where aggregation is the
+semantics, and every aggregation is keyed by doc so it scales out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed stopword set used by quality scoring and the marker-based
+# language heuristic. Deliberately tiny + deterministic.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# Marker words per language for the n-gram/stopword language-ID
+# heuristic. First match in this order wins; 'zh' is the fallback.
+LANG_MARKERS = (
+    ("en", ("the", "and", "of")),
+    ("de", ("der", "die", "das", "und")),
+    ("fr", ("le", "la", "les", "et")),
+    ("es", ("el", "los", "las", "y")),
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (ARRAY<STRING>)."""
+    return F.split(F.trim(_c(text)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Token count over whitespace splits."""
+    return F.size(tokens(text))
+
+
+def char_count_no_spaces(text: Column | str) -> Column:
+    return F.length(F.regexp_replace(_c(text), r"\s+", ""))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length — a basic quality signal."""
+    return char_count_no_spaces(text) / token_count(text)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (array-native, no explode)."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.size(toks)
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality-score columns: n_tokens, avg_token_len,
+    stopword_ratio, upper_ratio, digit_ratio. One narrow map."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "avg_token_len": F.round(avg_token_len(t), 6),
+            "stopword_ratio": F.round(stopword_ratio(t), 6),
+            "upper_ratio": F.round(
+                (F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))) / F.length(t), 6
+            ),
+            "digit_ratio": F.round(
+                (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))) / F.length(t), 6
+            ),
+        }
+    )
+
+
+def predict_lang(text: Column | str) -> Column:
+    """Marker-word language-ID heuristic: first language whose marker
+    set intersects the token set; fallback 'zh'. Deterministic and
+    SQL-expressible (oracle-checkable); accuracy asserted separately on
+    crafted multilingual samples in tests."""
+    toks = tokens(F.lower(_c(text)))
+    expr = F.lit("zh")
+    for lang, markers in reversed(LANG_MARKERS):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hit = F.arrays_overlap(toks, marker_arr)
+        expr = F.when(hit, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text. (A rolling/
+    winnowed variant is minhash_signatures in dedup.py — this is the
+    whole-document form.)"""
+    return F.md5(normalize_text(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Rough subword count: words + punctuation runs, the usual
+    pre-tokenizer regex shape. Counts matches of \\w+ or single
+    non-space punctuation."""
+    return F.size(
+        F.filter(
+            F.split(_c(text), r"(?<=\W)|(?=\W)"),
+            lambda p: (F.trim(p) != "") & (p != " "),
+        )
+    )

@@ -1,0 +1,46 @@
+"""Query registry — the build contract between SURVEY.md §2 and the
+driver's correctness gate.
+
+Every implemented operator has a named query here; each query is a
+``(spark, sf_dir) -> DataFrame`` callable, and (where SQL-expressible)
+a DuckDB oracle SQL string producing the same rows/columns. Column
+names are aligned on both sides; float outputs are explicitly rounded
+on both sides so value hashes match across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query callable and its oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def register_sql(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
+    """Register a pure-SQL query: Spark runs ``spark_sql`` over the
+    registered fixture views; DuckDB runs ``duck_sql`` (defaults to the
+    same text — most relational SQL is dialect-shared)."""
+    from flink_ms_spark.sources.tables import register_views
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = f"q_{name}"
+    fn.__doc__ = spark_sql
+    QUERIES[name] = fn
+    ORACLE_SQL[name] = duck_sql if duck_sql is not None else spark_sql
