@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries from the catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing
+full execution through the noop sink (no driver-side row transfer), and
+prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Also measures ModelStore point-lookup latency (the reference's
+headline metric — ALSPredictRandom.java emits per-query ms) as extra
+keys, without breaking the one-line contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+from flink_ms_spark.plans.catalog import QUERIES
+from flink_ms_spark.serving.store import ModelStore
+from flink_ms_spark.session import get_spark
+from flink_ms_spark.plans.synthetic import synthetic_als_model
+from flink_ms_spark.functions.codecs import model_key
+
+HEADLINE = [
+    # relational core
+    "pricing_summary",
+    "region_revenue",
+    "top_customers",
+    "order_priority",
+    "window_rank",
+    "monthly_revenue",
+    "rollup_orders",
+    # reference model-serving parity
+    "als_dot",
+    "svm_predict",
+    "mse",
+    "sgd_step",
+    "coldstart",
+    # north-star pipeline
+    "dedup_exact",
+    "text_quality",
+    "minhash",
+    "simhash",
+    "cosine_topk",
+    "ivf_topk",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def point_lookup_bench(spark, n_queries: int = 1000) -> dict[str, float]:
+    """Reference harness shape (ALSPredictRandom.java:55-97): N random
+    (user,item) point lookups against the serving store, per-query ms."""
+    store = ModelStore(spark, "ALS_MODEL")
+    model = synthetic_als_model(spark)
+    kv = model.select(model_key("id", "kind").alias("key"), "id", "kind", "factors")
+    store.upsert_batch(kv)
+    rng = random.Random(42)
+    lat = []
+    for _ in range(n_queries):
+        u, i = rng.randrange(0, 120), rng.randrange(0, 200)
+        t0 = time.perf_counter()
+        uf = store.lookup(f"{u}-U")
+        itf = store.lookup(f"{i}-I")
+        if uf is not None and itf is not None:
+            sum(a * b for a, b in zip(uf.factors, itf.factors))
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+    return {
+        "point_lookup_p50_ms": round(lat[len(lat) // 2], 4),
+        "point_lookup_p95_ms": round(lat[int(len(lat) * 0.95)], 4),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("flink-ms-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, file listing, catalog imports (not counted)
+    _force(QUERIES["distinct_segments"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    extra = point_lookup_bench(spark)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extra,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

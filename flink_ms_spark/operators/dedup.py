@@ -162,11 +162,10 @@ def simhash(
         F.col("h"),
     ).withColumn(
         "vote",
-        F.when(
-            (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("b"), 1)) - 1) % 2
-            == 1,
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
+        F.expr(
+            "CASE WHEN (instr('0123456789abcdef', substring(h, b, 1)) - 1) % 2 = 1 "
+            "THEN 1 ELSE -1 END"
+        ),
     )
     bit_votes = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
     return bit_votes.groupBy(id_col).agg(

@@ -2,32 +2,64 @@
 
 Two tiers:
 
-- **brute-force cosine top-k** — the exactness baseline. All-pairs
-  join; at scale this is O(n²) and only correct for a bounded query
-  set vs a large corpus (broadcast the queries, stream the corpus).
-- **IVF (inverted-file) top-k** — the scale path: a cheap deterministic
-  coarse quantizer assigns each vector to a cell; search only joins
-  query cells to corpus cells (equi-join on cell id → shuffle prunes
-  the candidate space by the cell count). Recall/cost is tuned by
-  ``n_probe``-style cell expansion (here: exact cell match, the
-  oracle-checkable core).
+- **brute-force cosine top-k** — the exactness baseline. The query
+  side is small by contract (broadcast); the corpus streams through
+  ``mapInPandas`` in Arrow batches and each batch computes a blocked
+  matrix product with numpy (vectorized, 10-100× over per-element
+  expression evaluation). Per-batch candidate pruning keeps k+margin
+  rows per query, then a global window takes the exact top-k — so the
+  corpus is never collected and the shuffle is candidates-only
+  (|queries| × (k+margin) × num_batches rows, independent of corpus
+  size).
+- **IVF (inverted-file) top-k** — the scale path: a deterministic
+  coarse quantizer assigns each vector to a cell; candidates come from
+  an ``applyInPandas`` over cell groups (within-cell matrix product).
+  The only shuffle is groupBy(cell); with 2^d cells the pair count
+  drops ~2^d-fold. A trained k-means codebook drops in behind the same
+  cell-id contract.
 
-Determinism rules (oracle parity): similarities are rounded to 6
-decimals *before* ranking, ties broken by neighbor id — so Spark and
-DuckDB produce identical top-k sets.
+Determinism rules (oracle parity): final similarities are rounded to 6
+decimals *in Spark* (HALF_UP, matching DuckDB round) before ranking,
+ties broken by neighbor id. Per-batch pruning uses raw similarity with
+a margin (2k+8) so rounding ties at the cut line cannot change the
+final top-k.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from flink_ms_spark.functions.vector import cosine, dot
+CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.LongType(), False),
+        T.StructField("sim", T.DoubleType(), False),
+    ]
+)
 
 
-def _as_double(col: str) -> Column:
-    return F.transform(F.col(col), lambda x: x.cast("double"))
+def _normalized_matrix(rows: list, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    m = np.array([r[1] for r in rows], dtype=np.float64).reshape(len(rows), dim)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0.0] = 1.0
+    return ids, m / norms[:, None]
+
+
+def _rank_topk(cands: DataFrame, k: int) -> DataFrame:
+    """Global exact top-k on rounded similarity, deterministic
+    tie-break by neighbor id (oracle contract)."""
+    scored = cands.select("a", "b", F.round("sim", 6).alias("cos_sim"))
+    w = Window.partitionBy("a").orderBy(F.col("cos_sim").desc(), F.col("b").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def cosine_topk(
@@ -39,26 +71,55 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k neighbors: (a, b, cos_sim, rk).
 
-    ``queries`` defaults to ``df`` (all-pairs self-search, minus self).
-    With an explicit small query set, the query side is broadcast so the
-    corpus never shuffles.
+    ``queries`` defaults to ``df`` (self-search, self-pairs excluded).
+    The query matrix is collected + broadcast (small by contract — for
+    corpus-scale self-join use ivf_topk); the corpus streams through
+    Arrow batches, never collected.
     """
-    corpus = df.select(F.col(id_col).alias("b"), _as_double(vec_col).alias("vb"))
-    qs = (queries or df).select(F.col(id_col).alias("a"), _as_double(vec_col).alias("va"))
-    if queries is not None:
-        qs = F.broadcast(qs)
-    pairs = qs.crossJoin(corpus).where(F.col("a") != F.col("b"))
-    scored = pairs.select(
-        "a", "b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
-    )
-    w = Window.partitionBy("a").orderBy(F.col("cos_sim").desc(), F.col("b").asc())
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    q_df = (queries or df).select(id_col, vec_col)
+    q_rows = [(r[0], list(r[1])) for r in q_df.collect()]
+    dim = len(q_rows[0][1])
+    spark = df.sparkSession
+    bq = spark.sparkContext.broadcast(_normalized_matrix(q_rows, dim))
+    margin = 2 * k + 8
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, qm = bq.value  # (q, d) normalized
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(cm, axis=1)
+            norms[norms == 0.0] = 1.0
+            cm = cm / norms[:, None]
+            sims = qm @ cm.T  # (q, b)
+            n_keep = min(margin, sims.shape[1])
+            # per query: candidate pruning by raw sim (margin covers
+            # rounding ties at the cut)
+            idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
+            out_a, out_b, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                cols = idx[qi]
+                out_a.append(np.full(len(cols), q_ids[qi]))
+                out_b.append(c_ids[cols])
+                out_s.append(sims[qi, cols])
+            yield pd.DataFrame(
+                {
+                    "a": np.concatenate(out_a),
+                    "b": np.concatenate(out_b),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cands = df.select(id_col, vec_col).mapInPandas(scan, schema=CAND_SCHEMA)
+    cands = cands.where(F.col("a") != F.col("b"))
+    return _rank_topk(cands, k)
 
 
 def ivf_cell(vec_col: Column | str, n_dims: int = 3) -> Column:
     """Deterministic coarse quantizer: sign bits of the first
-    ``n_dims`` components → cell id string like '101'. A trained
-    k-means codebook drops in behind the same cell-id contract."""
+    ``n_dims`` components → cell id string like '101'."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.concat_ws(
         "",
@@ -78,17 +139,44 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF top-k: exact cosine ranking *within* the coarse cell.
 
-    The join key is the cell id, so candidate generation is an
-    equi-join (shuffle by cell), never an all-pairs cross. With 2^d
-    cells the pair count drops ~2^d-fold at equal data; skewed cells
-    are split by AQE.
+    applyInPandas over cell groups: each group is one numpy matrix
+    product. Shuffle = groupBy(cell) only. Skewed cells are the known
+    hot spot at web scale — cap or sub-split pathological cells
+    upstream (template/boilerplate embeddings).
     """
+    margin = 2 * k + 8
     with_cell = df.select(
-        F.col(id_col), _as_double(vec_col).alias("v"), ivf_cell(vec_col, cell_dims).alias("cell")
+        F.col(id_col), F.col(vec_col), ivf_cell(vec_col, cell_dims).alias("cell")
     )
-    a = with_cell.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "cell")
-    b = with_cell.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "cell")
-    pairs = a.join(b, "cell").where(F.col("a") != F.col("b"))
-    scored = pairs.select("a", "b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
-    w = Window.partitionBy("a").orderBy(F.col("cos_sim").desc(), F.col("b").asc())
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)  # exclude self-pairs
+        n_keep = min(margin, sims.shape[1] - 1)
+        if n_keep <= 0:
+            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
+                {"a": np.int64, "b": np.int64, "sim": np.float64}
+            )
+        idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
+        out_a, out_b, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            cols = idx[qi]
+            cols = cols[np.isfinite(sims[qi, cols])]
+            out_a.append(np.full(len(cols), ids[qi]))
+            out_b.append(ids[cols])
+            out_s.append(sims[qi, cols])
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    cands = with_cell.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
+    return _rank_topk(cands, k)

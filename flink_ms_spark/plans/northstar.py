@@ -1,0 +1,269 @@
+"""North-star oracle queries: dedup, similarity search, text analysis
+over the documents/embeddings fixtures — the training-data-pipeline
+operators (build brief; graded alongside SURVEY.md §2).
+
+Spark side always goes through the package operators
+(operators/dedup.py, operators/similarity.py, operators/text.py); the
+oracle SQL spells the same semantics in DuckDB. Hashing is md5-based
+everywhere precisely so these pipelines ARE oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_ms_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from flink_ms_spark.operators.similarity import cosine_topk, ivf_topk
+from flink_ms_spark.operators.text import predict_lang, quality_columns, fingerprint
+from flink_ms_spark.plans.registry import register
+from flink_ms_spark.sources.tables import load_table
+
+# Shared DuckDB fragments
+_DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({_DUCK_NORM}) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# document fingerprint
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# text quality columns
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks), 6)
+       AS DOUBLE) AS avg_token_len,
+  CAST(round(len(list_filter(toks, x -> list_contains(
+        ['the','a','and','of','to','in','is','it'], lower(x)))) * 1.0 / len(toks), 6)
+       AS DOUBLE) AS stopword_ratio,
+  CAST(round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+       * 1.0 / length(text), 6) AS DOUBLE) AS upper_ratio,
+  CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+       * 1.0 / length(text), 6) AS DOUBLE) AS digit_ratio
+FROM t
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_columns(docs).drop("text")
+
+
+# --------------------------------------------------------------------------
+# language-ID heuristic
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
+           FROM documents)
+SELECT doc_id, lang,
+  CASE
+    WHEN list_has_any(toks, ['the','and','of']) THEN 'en'
+    WHEN list_has_any(toks, ['der','die','das','und']) THEN 'de'
+    WHEN list_has_any(toks, ['le','la','les','et']) THEN 'fr'
+    WHEN list_has_any(toks, ['el','los','las','y']) THEN 'es'
+    ELSE 'zh'
+  END AS predicted_lang
+FROM t
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", predict_lang("text").alias("predicted_lang"))
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (3-gram shingles)
+
+_MINHASH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(
+         generate_series(1, greatest(len(t) - 2, 1)),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+hs AS (SELECT doc_id, hh.h, s FROM sh
+       CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh)
+SELECT doc_id, CAST(h AS INT) AS h, min(md5(h || '|' || s)) AS minhash
+FROM hs GROUP BY doc_id, h
+"""
+
+
+@register("minhash", oracle=_MINHASH_ORACLE)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3)
+    return sigs.select("doc_id", F.col("h").cast("int").alias("h"), "minhash")
+
+
+# --------------------------------------------------------------------------
+# LSH candidate pairs (unigram shingles, 1-row bands → any-match)
+
+_LSH_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(t) AS s FROM toks),
+hs AS (SELECT doc_id, hh.h, s FROM sh
+       CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh),
+sigs AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS minhash
+         FROM hs GROUP BY doc_id, h),
+bands AS (SELECT doc_id, CAST((h - 1) // 1 AS INT) AS band,
+                 string_agg(h || ':' || minhash, ',' ORDER BY h || ':' || minhash) AS band_sig
+          FROM sigs GROUP BY doc_id, CAST((h - 1) // 1 AS INT))
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y USING (band, band_sig)
+WHERE x.doc_id < y.doc_id
+"""
+
+
+@register("lsh_pairs", oracle=_LSH_ORACLE)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: unigram minhash, band size 1 (candidate if
+    ANY of the 4 minhashes collide) — high recall over the small-vocab
+    fixture corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=1)
+    return lsh_candidate_pairs(sigs, band_size=1)
+
+
+# --------------------------------------------------------------------------
+# SimHash (8-bit, md5-digit votes)
+
+_SIMHASH_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              FROM documents),
+th AS (SELECT doc_id, md5(t) AS h FROM toks),
+votes AS (SELECT doc_id, bb.b,
+            CASE WHEN (strpos('0123456789abcdef', substr(h, bb.b, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END AS v
+          FROM th CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS b) bb),
+bits AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN '1' ELSE '0' END AS bit
+         FROM votes GROUP BY doc_id, b)
+SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("simhash", oracle=_SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"), bits=8)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification on a fixed pair set
+
+_JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(t) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+          FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 250),
+inter AS (SELECT p.a, p.b, count(*) AS ni
+          FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b
+            AND y.s = x.s
+          GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+  CAST(round(COALESCE(i.ni, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.ni, 0)), 6)
+       AS DOUBLE) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+"""
+
+
+@register("ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("a")).join(
+        docs.select(F.col("doc_id").alias("b")), F.col("b") == F.col("a") + 250
+    )
+    return ngram_jaccard(pairs, docs, shingle_n=1)
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k
+
+_COSINE_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+norms AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DOUBLE)
+              AS cos_sim
+          FROM norms a CROSS JOIN norms b WHERE a.vec_id <> b.vec_id),
+rk AS (SELECT a, b, cos_sim,
+         CAST(row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS INT) AS rk
+       FROM pairs)
+SELECT a, b, cos_sim, rk FROM rk WHERE rk <= 5
+"""
+
+
+@register("cosine_topk", oracle=_COSINE_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+# --------------------------------------------------------------------------
+# IVF top-k (sign-bit coarse cells)
+
+_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cells AS (SELECT vec_id, v,
+            (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+             CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+             CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) AS cell,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DOUBLE)
+              AS cos_sim
+          FROM cells a JOIN cells b USING (cell) WHERE a.vec_id <> b.vec_id),
+rk AS (SELECT a, b, cos_sim,
+         CAST(row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS INT) AS rk
+       FROM pairs)
+SELECT a, b, cos_sim, rk FROM rk WHERE rk <= 5
+"""
+
+
+@register("ivf_topk", oracle=_IVF_ORACLE)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5, cell_dims=3)

@@ -1,0 +1,244 @@
+"""General relational coverage (SURVEY.md §2.9): the reference has no
+SQL layer; the Spark engine exposes the full relational surface
+natively via Spark SQL. These queries pin scan/filter/join/agg/window/
+rollup/set-op/limit semantics against the DuckDB oracle on the
+TPC-H-ish fixture tables.
+
+Most SQL is dialect-shared (one string for both engines). Float
+aggregates are rounded on both sides; money sums round(2), averages
+round(6), stddev round(4) (different accumulation algorithms).
+"""
+
+from __future__ import annotations
+
+from flink_ms_spark.plans.registry import register_sql
+
+# TPC-H Q1 flavor — pricing summary
+register_sql(
+    "pricing_summary",
+    spark_sql="""
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+  CAST(round(avg(l_quantity), 6) AS DOUBLE) AS avg_qty,
+  CAST(round(avg(l_extendedprice), 6) AS DOUBLE) AS avg_price,
+  CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    duck_sql=None,  # set below — only the literal type differs
+)
+# DuckDB has no TIMESTAMP_NTZ keyword; its TIMESTAMP is already naive
+from flink_ms_spark.plans.registry import ORACLE_SQL  # noqa: E402
+
+ORACLE_SQL["pricing_summary"] = ORACLE_SQL["pricing_summary"].replace(
+    "TIMESTAMP_NTZ '1998-09-02 00:00:00'", "TIMESTAMP '1998-09-02 00:00:00'"
+)
+
+# Q3 flavor — revenue per customer, top 10 (deterministic tie-break)
+register_sql(
+    "top_customers",
+    """
+SELECT c_custkey, c_name,
+  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+)
+
+# Q5 flavor — 5-way join, revenue per region
+register_sql(
+    "region_revenue",
+    """
+SELECT r_name,
+  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM region
+  JOIN nation ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY r_name
+""",
+)
+
+# Q4 flavor — EXISTS correlated subquery
+register_sql(
+    "order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+)
+
+# window: top-3 customers by balance per nation
+register_sql(
+    "window_rank",
+    """
+SELECT * FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+    CAST(row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+  FROM customer) t
+WHERE rk <= 3
+""",
+)
+
+# window: per-user event value deltas (lag)
+register_sql(
+    "window_lag",
+    """
+SELECT user_id, event_id,
+  CAST(round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+       AS DOUBLE) AS delta
+FROM events
+""",
+)
+
+# rollup
+register_sql(
+    "rollup_orders",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+
+# cube
+register_sql(
+    "cube_lineitem",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+
+# distinct
+register_sql("distinct_segments", "SELECT DISTINCT c_mktsegment FROM customer")
+
+# order+limit top-k (exact values, deterministic tie-break)
+register_sql(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+
+# anti join
+register_sql(
+    "customers_without_orders",
+    """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+
+# semi join via IN subquery
+register_sql(
+    "orders_building_segment",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+)
+
+# JSON extraction (dialect-split)
+register_sql(
+    "events_json",
+    spark_sql=(
+        "SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k FROM events"
+    ),
+    duck_sql=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+    ),
+)
+
+# conditional aggregation
+register_sql(
+    "case_agg",
+    """
+SELECT event_type,
+  CAST(round(sum(CASE WHEN value > 100 THEN value ELSE CAST(0 AS DOUBLE) END), 2)
+       AS DOUBLE) AS big_sum,
+  count(CASE WHEN value > 100 THEN 1 END) AS n_big
+FROM events GROUP BY event_type
+""",
+)
+
+# date functions: monthly revenue
+register_sql(
+    "monthly_revenue",
+    """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  count(*) AS n,
+  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2
+""",
+)
+
+# stats aggregates
+register_sql(
+    "value_stats",
+    """
+SELECT event_type,
+  CAST(round(stddev_samp(value), 4) AS DOUBLE) AS sd,
+  CAST(round(var_samp(value), 2) AS DOUBLE) AS var,
+  CAST(round(min(value), 2) AS DOUBLE) AS mn,
+  CAST(round(max(value), 2) AS DOUBLE) AS mx
+FROM events GROUP BY event_type
+""",
+)
+
+# string functions
+register_sql(
+    "string_funcs",
+    """
+SELECT p_partkey, upper(p_brand) AS brand_u,
+  substr(p_name, 1, 10) AS name_prefix,
+  CAST(length(p_name) AS INT) AS name_len,
+  replace(p_type, ' ', '_') AS type_u
+FROM part
+""",
+)
+
+# set operations
+register_sql(
+    "nations_with_both",
+    """
+SELECT c_nationkey AS k FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+
+# having
+register_sql(
+    "big_orders",
+    """
+SELECT l_orderkey, CAST(round(sum(l_quantity), 2) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+""",
+)
+
+# manual pivot via conditional agg (portable across dialects)
+register_sql(
+    "status_pivot",
+    """
+SELECT o_orderpriority,
+  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders GROUP BY o_orderpriority
+""",
+)

@@ -1,0 +1,142 @@
+"""North-star operator semantics on crafted inputs (the oracle suite
+covers fixture-scale parity; these pin behavior on hand-built cases)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ms_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from flink_ms_spark.operators.multimodal import (
+    decode_image_meta,
+    extract_features,
+    fake_image_decoder,
+    synthesize_media,
+)
+from flink_ms_spark.operators.similarity import cosine_topk, ivf_topk
+from flink_ms_spark.operators.text import predict_lang, quality_columns
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "hello world"),
+            (2, "Hello   WORLD"),  # same after normalization
+            (3, "something else"),
+        ],
+    )
+    groups = {r.keeper_id: r.n_dups for r in exact_dedup_groups(docs).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")])
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3)
+    by_doc = {}
+    for r in sigs.collect():
+        by_doc.setdefault(r.doc_id, {})[r.h] = r.minhash
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(sigs, band_size=2).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_bounds(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "p q r")])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
+    j = {(r.a, r.b): r.jaccard for r in ngram_jaccard(pairs, docs, shingle_n=1).collect()}
+    assert j[(1, 2)] == 1.0
+    assert j[(1, 3)] == 0.0
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")])
+    sh = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    assert sh[1] == sh[2]
+    assert len(sh[1]) == 16
+
+
+def test_cosine_topk_exact_neighbors(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    top1 = {r.a: r.b for r in cosine_topk(emb, k=1).collect()}
+    assert top1[1] == 2 and top1[2] == 1 and top1[3] == 2
+
+
+def test_ivf_restricts_to_cell(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 0.0]),
+            (2, [1.0, 0.9, 1.0, 0.1]),
+            (3, [-1.0, -1.0, -1.0, 0.0]),  # different cell
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {(r.a, r.b) for r in ivf_topk(emb, k=2, cell_dims=3).collect()}
+    assert (1, 2) in got and (2, 1) in got
+    assert all(3 not in p for p in got)
+
+
+def test_lang_id_on_crafted_samples(spark):
+    samples = spark.createDataFrame(
+        [
+            (1, "the quick fox and the dog", "en"),
+            (2, "der hund und die katze", "de"),
+            (3, "le chat et la maison", "fr"),
+            (4, "el perro y los gatos", "es"),
+        ],
+        ["doc_id", "text", "expect"],
+    )
+    got = samples.select("expect", predict_lang("text").alias("p")).collect()
+    assert all(r.expect == r.p for r in got)
+
+
+def test_quality_columns(spark):
+    docs = _docs(spark, [(1, "The cat sat on a mat")])
+    row = quality_columns(docs).collect()[0]
+    assert row.n_tokens == 6
+    assert row.stopword_ratio == 0.333333  # 'The' + 'a' over 6, rounded
+    assert row.upper_ratio > 0
+
+
+def test_multimodal_meta_and_features(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(20)
+    media = synthesize_media(docs)
+    meta = decode_image_meta(media).collect()
+    assert len(meta) == 20
+    assert all(m.n_bytes > 0 for m in meta)
+    assert all(m.width is None for m in meta)  # text bytes are not PNG/JPEG
+
+    feats = extract_features(media, decoder=fake_image_decoder).collect()
+    assert len(feats) == 20
+    assert all(len(f.features) == 8 for f in feats)
+    assert all(abs(sum(f.features) - 1.0) < 1e-9 for f in feats)
+
+
+def test_png_header_real_parse(spark):
+    import struct
+
+    # minimal PNG header: signature + IHDR length/type + 64x32 dims
+    payload = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 64, 32)
+    media = spark.createDataFrame(
+        [(1, "image", payload, "image/png", None)],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING, meta MAP<STRING,STRING>",
+    )
+    row = decode_image_meta(media).collect()[0]
+    assert (row.width, row.height) == (64, 32)

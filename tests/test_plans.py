@@ -1,0 +1,78 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correctness tests prove the operators work at sf0.01; these prove the
+PLANS are the ones that survive 100×: filters and projections pushed
+into the parquet scan, small sides broadcast, no Python in relational
+hot paths (whole-stage codegen present).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ms_spark.operators.predict import predict_als_batch
+from flink_ms_spark.plans.synthetic import synthetic_als_model
+from flink_ms_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_oracle):
+    df = (
+        load_table(spark, sf_oracle, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in formatted and "l_quantity" in formatted.split(
+        "PushedFilters"
+    )[1].split("]")[0], "filter not pushed to parquet scan"
+
+
+def test_column_pruning_reaches_scan(spark, sf_oracle):
+    df = load_table(spark, sf_oracle, "lineitem").select("l_orderkey")
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    read_schema = formatted.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema, "scan reads unneeded columns"
+
+
+def test_model_join_is_broadcast(spark, sf_oracle):
+    queries = load_table(spark, sf_oracle, "events").select(
+        F.col("user_id"), (F.col("event_id") % 200).alias("item_id")
+    )
+    scored = predict_als_batch(queries, synthetic_als_model(spark))
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan, "model join should broadcast the model side"
+    assert "SortMergeJoin" not in plan, "query side must not shuffle for the model join"
+
+
+def test_relational_hot_path_is_codegen(spark, sf_oracle):
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    df = QUERIES["pricing_summary"](spark, sf_oracle)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, "no whole-stage-codegen spans in final plan"
+    # no Python evaluation in the relational path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_oracle):
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    plan = _plan(QUERIES["pricing_summary"](spark, sf_oracle))
+    # map-side combine: HashAggregate appears below and above the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
