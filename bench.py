@@ -49,6 +49,10 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "ivf_topk",
+    "embedding_neardup",
+    "token_stats",
+    "media_meta",
+    "serving_upsert",
 ]
 
 

@@ -14,9 +14,11 @@ for 100 TB:
   (verification stage after LSH).
 
 Hashing is md5-based (not murmur) so every stage is reproducible in
-ANSI SQL for the DuckDB oracle: a minhash is the lexicographic MIN of
-``md5(seed || '|' || shingle)`` — the min of a uniform hash, just
-string-ordered, which preserves the MinHash property.
+ANSI SQL for the DuckDB oracle. MinHash pays ONE md5 per shingle; the
+k per-seed hashes are derived by affine reseeding in a prime field
+(``h_i(x) = (a_i·x + b_i) mod p``, p = 2^31−1) — the standard
+universal-hash family, ~k× cheaper than k independent digests and it
+shrinks the pre-agg shuffle rows from 32-char strings to BIGINTs.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_ms_spark.operators.text import normalize_text, tokens
+from flink_ms_spark.partitioning import fan_out
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -32,7 +35,7 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     size and the keeper (min id) — the survivor-selection form that
     scales (never collects texts)."""
     return (
-        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("text_hash"))
+        fan_out(df).select(F.col(id_col), F.md5(normalize_text(text_col)).alias("text_hash"))
         .groupBy("text_hash")
         .agg(
             F.count("*").alias("n_dups"),
@@ -50,6 +53,12 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+#: Mersenne prime 2^31−1 — field modulus for the affine hash family.
+#: Base hash x < p and multipliers < 2^6, so (a·x + b) stays < 2^38:
+#: no BIGINT overflow on either engine.
+MINHASH_P = 2_147_483_647
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -57,17 +66,28 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, h INT, minhash STRING): per doc and hash-seed, the lexicographic
-    min of md5(seed|shingle). Explode is map-side; the only shuffle is the
-    per-(doc,seed) MIN aggregation, pre-combined map-side."""
-    sh = df.select(
+    """(id, h INT, minhash BIGINT): per doc and seed i, the MIN over
+    shingles of ``(a_i·x + b_i) mod p`` where ``x`` is a 60-bit integer
+    from md5(shingle) — one digest per shingle regardless of k.
+
+    Explode + hashing are map-side; the only shuffle is the
+    per-(doc, seed) MIN aggregation, pre-combined map-side, carrying
+    BIGINTs (not digest strings)."""
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
-    seeds = sh.select(
-        id_col, "shingle", F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("h")
+    x = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MINHASH_P
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda h: ((F.lit(2) * h + 1) * F.col("x") + h * F.lit(12_345) + 7) % MINHASH_P,
     )
-    return seeds.groupBy(id_col, "h").agg(
-        F.min(F.md5(F.concat_ws("|", F.col("h"), F.col("shingle")))).alias("minhash")
+    seeds = sh.select(id_col, x.alias("x")).select(
+        id_col, F.posexplode(hashes).alias("pos", "mh")
+    )
+    return (
+        seeds.withColumn("h", F.col("pos") + 1)
+        .groupBy(id_col, "h")
+        .agg(F.min("mh").alias("minhash"))
     )
 
 
@@ -115,7 +135,7 @@ def ngram_jaccard(
     semi-structured joins; |A∩B| by join-count, |A∪B| = |A|+|B|−|∩|.
     The doc-side explode is reused across pairs (shuffle on doc id).
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col).alias("_d"), F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s")
     ).distinct()
     sizes = sh.groupBy("_d").agg(F.count("*").alias("n"))
@@ -154,7 +174,7 @@ def simhash(
     whole pipeline is reproducible in ANSI SQL. One explode + one
     keyed agg; no pairwise work.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = fan_out(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
     tok = tok.withColumn("h", F.md5("t"))
     votes = tok.select(
         id_col,

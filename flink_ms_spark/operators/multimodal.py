@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flink_ms_spark.partitioning import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -95,7 +97,7 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
             out["height"] = dims.map(lambda d: d[1] if d else None).astype("Int32")
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(scan, schema=META_OUT_SCHEMA)
+    return fan_out(df).mapInPandas(scan, schema=META_OUT_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -149,7 +151,7 @@ def extract_features(
 
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_budget_rows))
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return fan_out(df).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:

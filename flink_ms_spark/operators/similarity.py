@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from flink_ms_spark.partitioning import fan_out
+
 CAND_SCHEMA = T.StructType(
     [
         T.StructField("a", T.LongType(), False),
@@ -96,23 +98,23 @@ def cosine_topk(
             sims = qm @ cm.T  # (q, b)
             n_keep = min(margin, sims.shape[1])
             # per query: candidate pruning by raw sim (margin covers
-            # rounding ties at the cut)
+            # rounding ties at the cut); fully vectorized — no python
+            # loop over queries (q × batches iterations otherwise)
             idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
-            out_a, out_b, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                cols = idx[qi]
-                out_a.append(np.full(len(cols), q_ids[qi]))
-                out_b.append(c_ids[cols])
-                out_s.append(sims[qi, cols])
+            rows = np.arange(sims.shape[0])[:, None]
             yield pd.DataFrame(
                 {
-                    "a": np.concatenate(out_a),
-                    "b": np.concatenate(out_b),
-                    "sim": np.concatenate(out_s),
+                    "a": np.repeat(q_ids, n_keep),
+                    "b": c_ids[idx].ravel(),
+                    "sim": sims[rows, idx].ravel(),
                 }
             )
 
-    cands = df.select(id_col, vec_col).mapInPandas(scan, schema=CAND_SCHEMA)
+    # Cap the fan-out: every corpus partition emits |queries| × margin
+    # candidate rows into the global top-k shuffle, so partition count
+    # is a parallelism-vs-candidate-volume tradeoff (at corpus scale
+    # the answer is ivf_topk, not more partitions here).
+    cands = fan_out(df.select(id_col, vec_col), target=min(8, df.sparkSession.sparkContext.defaultParallelism)).mapInPandas(scan, schema=CAND_SCHEMA)
     cands = cands.where(F.col("a") != F.col("b"))
     return _rank_topk(cands, k)
 
@@ -144,6 +146,8 @@ def ivf_topk(
     hot spot at web scale — cap or sub-split pathological cells
     upstream (template/boilerplate embeddings).
     """
+    # no fan_out: groupBy(cell).applyInPandas shuffles anyway — an
+    # upstream repartition would be a second, wasted shuffle
     margin = 2 * k + 8
     with_cell = df.select(
         F.col(id_col), F.col(vec_col), ivf_cell(vec_col, cell_dims).alias("cell")
@@ -163,20 +167,61 @@ def ivf_topk(
                 {"a": np.int64, "b": np.int64, "sim": np.float64}
             )
         idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
-        out_a, out_b, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            cols = idx[qi]
-            cols = cols[np.isfinite(sims[qi, cols])]
-            out_a.append(np.full(len(cols), ids[qi]))
-            out_b.append(ids[cols])
-            out_s.append(sims[qi, cols])
+        rows = np.arange(sims.shape[0])[:, None]
+        vals = sims[rows, idx]
+        keep = np.isfinite(vals)  # drops the -inf self-pair slots
         return pd.DataFrame(
             {
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "sim": np.concatenate(out_s),
+                "a": np.repeat(ids, n_keep).reshape(len(ids), n_keep)[keep],
+                "b": ids[idx][keep],
+                "sim": vals[keep],
             }
         )
 
     cands = with_cell.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
     return _rank_topk(cands, k)
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_dims: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
+    a < b and rounded cosine ≥ threshold, candidates restricted to the
+    same LSH cell (sign-bit quantizer — the standard recall/cost
+    tradeoff; raise cell_dims for cheaper+lower-recall, 0 cells for
+    exact).
+
+    Per-cell upper-triangular matmul via applyInPandas; the only
+    shuffle is groupBy(cell). Pair expansion is bounded by the cell
+    population, never |corpus|².
+    """
+
+    with_cell = df.select(
+        F.col(id_col), F.col(vec_col), ivf_cell(vec_col, cell_dims).alias("cell")
+    )
+    # raw-sim prefilter with epsilon margin; exact decision on the
+    # rounded value below (oracle contract)
+    eps = 1e-6
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold - eps
+        lo, hi = np.minimum(ids[iu[keep]], ids[ju[keep]]), np.maximum(
+            ids[iu[keep]], ids[ju[keep]]
+        )
+        return pd.DataFrame({"a": lo, "b": hi, "sim": sims[iu[keep], ju[keep]]})
+
+    cands = with_cell.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
+    return cands.select("a", "b", F.round("sim", 6).alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
+    )

@@ -20,8 +20,21 @@ from flink_ms_spark.operators.dedup import (
     ngram_jaccard,
     simhash,
 )
-from flink_ms_spark.operators.similarity import cosine_topk, ivf_topk
-from flink_ms_spark.operators.text import predict_lang, quality_columns, fingerprint
+from flink_ms_spark.operators.multimodal import (
+    decode_image_meta,
+    extract_features,
+    fake_image_decoder,
+    synthesize_media,
+)
+from flink_ms_spark.operators.similarity import cosine_topk, embedding_neardup, ivf_topk
+from flink_ms_spark.operators.text import (
+    bpe_ish_token_count,
+    char_count_no_spaces,
+    fingerprint,
+    predict_lang,
+    quality_columns,
+    token_count,
+)
 from flink_ms_spark.plans.registry import register
 from flink_ms_spark.sources.tables import load_table
 
@@ -120,9 +133,12 @@ sh AS (SELECT doc_id, unnest(list_transform(
          generate_series(1, greatest(len(t) - 2, 1)),
          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
        FROM toks),
-hs AS (SELECT doc_id, hh.h, s FROM sh
-       CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh)
-SELECT doc_id, CAST(h AS INT) AS h, min(md5(h || '|' || s)) AS minhash
+x AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x
+      FROM sh),
+hs AS (SELECT doc_id, hh.h, ((2 * hh.h + 1) * x + hh.h * 12345 + 7) % 2147483647 AS mh
+       FROM x CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh)
+SELECT doc_id, CAST(h AS INT) AS h, min(mh) AS minhash
 FROM hs GROUP BY doc_id, h
 """
 
@@ -139,10 +155,13 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(t) AS s FROM toks),
-hs AS (SELECT doc_id, hh.h, s FROM sh
-       CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh),
-sigs AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS minhash
+sh AS (SELECT doc_id, unnest(t) AS s FROM toks),
+x AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x
+      FROM sh),
+hs AS (SELECT doc_id, hh.h, ((2 * hh.h + 1) * x + hh.h * 12345 + 7) % 2147483647 AS mh
+       FROM x CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh),
+sigs AS (SELECT doc_id, h, min(mh) AS minhash
          FROM hs GROUP BY doc_id, h),
 bands AS (SELECT doc_id, CAST((h - 1) // 1 AS INT) AS band,
                  string_agg(h || ':' || minhash, ',' ORDER BY h || ':' || minhash) AS band_sig
@@ -267,3 +286,89 @@ SELECT a, b, cos_sim, rk FROM rk WHERE rk <= 5
 @register("ivf_topk", oracle=_IVF_ORACLE)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5, cell_dims=3)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (LSH-cell-bucketed)
+
+_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cells AS (SELECT vec_id, v,
+            (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+             CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+             CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) AS cell,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DOUBLE)
+              AS cos_sim
+          FROM cells a JOIN cells b USING (cell) WHERE a.vec_id < b.vec_id)
+SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+"""
+
+
+@register("embedding_neardup", oracle=_NEARDUP_ORACLE)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ 0.4 within LSH cells (the
+    fixture embeddings are random — 0.4 is the 'near-dup' tail there)."""
+    return embedding_neardup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing: binary payload → header-scan metadata
+
+_MEDIA_META_ORACLE = """
+SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height
+FROM documents
+"""
+
+
+@register("media_meta", oracle=_MEDIA_META_ORACLE)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas header scan. Fixture payloads
+    are UTF-8 doc bytes (opaque to the operator), so dims are NULL and
+    n_bytes is the UTF-8 byte length — which DuckDB can oracle-check.
+    Real PNG/JPEG header parsing is covered by unit tests."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return decode_image_meta(media)
+
+
+@register("media_features")  # rows-only: byte-histogram decode isn't SQL-expressible
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-extract over Arrow batches with the
+    deterministic fake decoder (codec libs absent by design)."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, decoder=fake_image_decoder)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# token statistics (whitespace + BPE-ish subword counts)
+
+_TOKEN_STATS_ORACLE = """
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_subwords,
+  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_chars
+FROM documents
+"""
+
+
+@register("token_stats", oracle=_TOKEN_STATS_ORACLE)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subwords"),
+        char_count_no_spaces("text").alias("n_chars"),
+    )

@@ -466,3 +466,38 @@ def q_coldstart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot("mean_u", "i_factors"), 6).alias("prediction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K4/X1 — queryable-state upsert semantics as a pure batch op:
+# latest payload per key (last-write-wins by arrival ordinal)
+
+_SERVING_UPSERT_ORACLE = """
+WITH r AS (SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+           FROM events)
+SELECT CAST(user_id AS VARCHAR) AS key, event_type, value
+FROM r WHERE rn = 1
+"""
+
+
+@register("serving_upsert", oracle=_SERVING_UPSERT_ORACLE)
+def q_serving_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K4 queryable-state sink's upsert, batch form: string-keyed
+    latest-per-key over the events stream, ordered by source offset
+    (event_id) — the same last-write-wins contract the streaming
+    loader applies per micro-batch (streaming/loader.py).
+
+    Scale: single shuffle on key with a max-struct aggregate (partial
+    agg map-side) — no window sort of the whole stream.
+    """
+    from flink_ms_spark.serving.store import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").alias("_ord"),
+        "event_type",
+        "value",
+    )
+    return latest_per_key(ev)
