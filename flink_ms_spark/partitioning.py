@@ -1,16 +1,26 @@
-"""Physical-layout helpers.
+"""Physical-layout helpers: the knobs that matter at 100 TB.
 
-``fan_out`` guards map-heavy per-row operators (shingle explodes,
-hash fan-outs, Arrow decode batches) against under-partitioned inputs.
-On a real cluster reading 100 TB the scan already yields thousands of
-splits and this is a no-op; locally (or after a collapsing coalesce) a
-single small parquet file arrives as ONE partition and a 32-core
-machine would run the whole explode on one task.
+- ``fan_out`` guards map-heavy per-row operators (shingle explodes,
+  hash fan-outs, Arrow decode batches) against under-partitioned
+  inputs. On a real cluster reading 100 TB the scan already yields
+  thousands of splits and this is a no-op; locally (or after a
+  collapsing coalesce) a single small parquet file arrives as ONE
+  partition and a 32-core machine would run the whole explode on one
+  task.
+- ``write_bucketed`` / co-located joins: persist fact tables bucketed
+  by their join key so repeated key-equi joins and aggregations skip
+  the shuffle entirely (the reference hand-rolls this as its
+  range-partitioned model layout, SVMImpl.scala:40-45; Spark bucketing
+  is the built-in, declarative form).
+- ``salted_join``: explicit skew mitigation for keys too hot even for
+  AQE skew-splitting — salt the big side N ways, replicate the small
+  side N ways, join on (key, salt).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -22,3 +32,54 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed on their shared join key with the same bucket
+    count join WITHOUT a shuffle (and without a sort when sorted) —
+    the plan shows no Exchange on either side. At 100 TB this converts
+    every repeated model/fact join from a full network shuffle into a
+    local per-bucket merge.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the big side gets a deterministic salt in
+    [0, n_salt) (hash of all its columns — uniform, reproducible), the
+    small side is replicated n_salt times; the join key becomes
+    (key, salt), splitting each hot key's rows across n_salt reducers.
+
+    Use when one key holds an outsized share of the big side (power-law
+    user/item distributions) and AQE's skew-split — which only splits
+    by partition, not by key — still leaves a straggler.
+    """
+    big_cols = [c for c in big.columns]
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big_cols]), F.lit(n_salt))
+    )
+    salts = small.sparkSession.createDataFrame(
+        [(i,) for i in range(n_salt)], "_salt INT"
+    )
+    replicated_small = small.crossJoin(F.broadcast(salts)).withColumn(
+        "_salt", F.col("_salt").cast("bigint")
+    )
+    out = salted_big.join(replicated_small, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

@@ -242,3 +242,94 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority
 """,
 )
+
+# Q4 flavor — EXISTS semi-join: priority counts of orders with a
+# discounted line
+register_sql(
+    "exists_discounted",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+""",
+)
+
+# Q17 flavor — correlated scalar subquery: revenue of small-quantity
+# lines relative to the per-part average
+register_sql(
+    "part_small_qty",
+    """
+SELECT l.l_partkey,
+  CAST(round(sum(l.l_extendedprice), 2) AS DOUBLE) AS small_qty_revenue
+FROM lineitem l
+WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY l.l_partkey
+""",
+)
+
+# set ops — INTERSECT / EXCEPT (distinct semantics on both engines)
+register_sql(
+    "nations_intersect",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+
+register_sql(
+    "nations_except",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+)
+
+# Q18 flavor — HAVING over a join aggregate
+register_sql(
+    "big_order_customers",
+    """
+SELECT c_custkey, o_orderkey,
+  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, o_orderkey
+HAVING sum(l_quantity) > 250
+""",
+)
+
+# Sessionization — 30-minute-gap sessions per user over the event
+# stream (gaps-and-islands: lag + cumulative sum). Spark reads the
+# fixture's TIMESTAMP(NANOS) as BIGINT nanos; DuckDB as TIMESTAMP —
+# only the gap expression differs.
+_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id,
+    CASE WHEN {gap_sec} > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id,
+    sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g)
+SELECT user_id, count(DISTINCT session_no) + 0 AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+register_sql(
+    "sessionize",
+    spark_sql=_SESSIONIZE.format(
+        gap_sec="(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))"
+        " / 1000000000.0"
+    ),
+    duck_sql=_SESSIONIZE.format(
+        gap_sec="date_diff('second',"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY event_id), ts)"
+    ),
+)
