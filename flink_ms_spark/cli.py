@@ -1,0 +1,320 @@
+"""Command-line surface mirroring the reference's job entry points, so
+a user of the reference can run the same jobs with the same flags
+against the Spark engine.
+
+Job ↔ reference mapping (flags keep the reference's ParameterTool
+names, including their quirks — e.g. train-svm's singular
+``--iteration``, SVMImpl.scala:26):
+
+- ``train-als``            ALSImpl.scala (CSV ratings → ALS → model text)
+- ``mean-vector``          ALSMeanVector.scala (model text → MEAN rows)
+- ``train-svm``            SVMImpl.scala (LibSVM → LinearSVC → flat/ranged text)
+- ``generate-als-model``   ALSModelGenerator.scala
+- ``generate-svm-model``   SVMModelGenerator.scala
+- ``serve``                ALSKafkaProducer+Consumer collapsed: model text
+                           (recursively enumerated, S4) → ModelStore
+- ``predict-als``          ALSPredict.java console loop ("user,item" lines)
+- ``predict-svm``          SVMPredict.java console loop ("id:val id:val ...")
+- ``mse``                  MSE.java (model + ratings → mean squared error)
+
+Every job is declarative DataFrame work; ``--output`` writes the
+reference text format (K1 overwrite semantics), no output prints (K3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(app: str) -> SparkSession:
+    from flink_ms_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def _sink(df: DataFrame, output: str | None) -> None:
+    """K1 text sink (overwrite) or K3 print fallback."""
+    if output:
+        df.write.mode("overwrite").text(output)
+    else:
+        for row in df.collect():
+            print(row[0])
+
+
+def _sep(name: str) -> str:
+    return "\t" if name == "tab" else ","
+
+
+def cmd_train_als(args: argparse.Namespace) -> None:
+    from flink_ms_spark.ml.als import als_model_table, train_als
+    from flink_ms_spark.ml.generators import als_model_text_rows
+    from flink_ms_spark.sources.text import read_csv_ratings
+
+    spark = _spark("[ALS] model-training")
+    ratings = read_csv_ratings(
+        spark, args.input, sep=_sep(args.fieldDelimiter), header=args.ignoreFirstLine
+    )
+    model = train_als(
+        ratings,
+        rank=args.numFactors,
+        max_iter=args.iterations,
+        reg_param=getattr(args, "lambda"),
+        seed=args.seed,
+        num_blocks=args.blocks,
+    )
+    _sink(als_model_text_rows(als_model_table(model)), args.output)
+
+
+def cmd_mean_vector(args: argparse.Namespace) -> None:
+    from flink_ms_spark.functions.codecs import parse_model_line
+    from flink_ms_spark.functions.vector import elementwise_mean
+
+    spark = _spark("[ALS] mean-vector")
+    model = (
+        spark.read.text(args.input)
+        .select(*parse_model_line("value"))
+        .where(F.col("id").isNotNull())
+    )
+    means = []
+    for kind in ("U", "I"):
+        m = elementwise_mean(model.where(F.col("kind") == kind)).select(
+            F.concat_ws(
+                ",", F.lit("MEAN"), F.lit(kind), F.array_join("factors", ";")
+            ).alias("value")
+        )
+        means.append(m)
+    _sink(means[0].unionAll(means[1]), args.output)
+
+
+def cmd_train_svm(args: argparse.Namespace) -> None:
+    from flink_ms_spark.ml.svm import svm_model_ranged, svm_model_table, train_svm
+    from flink_ms_spark.sources.text import read_libsvm
+
+    spark = _spark("[SVM] model-fitting")
+    train = read_libsvm(spark, args.training)
+    model = train_svm(train, max_iter=args.iteration)
+    flat = svm_model_table(spark, model)
+    if args.partition:
+        ranged = svm_model_ranged(flat, range_size=args.range)
+        pairs = F.transform(
+            F.map_entries("entries"),
+            lambda e: F.concat_ws(":", e.getField("key"), e.getField("value")),
+        )
+        out = ranged.select(
+            F.concat_ws(",", "bucket", F.concat_ws(";", pairs)).alias("value")
+        )
+    else:
+        out = flat.select(F.concat_ws(",", "feature_id", "weight").alias("value"))
+    _sink(out, args.output)
+
+
+def cmd_generate_als(args: argparse.Namespace) -> None:
+    from flink_ms_spark.ml.generators import als_model_text_rows, generate_als_model
+
+    spark = _spark("[ALS] model-generator")
+    model = generate_als_model(
+        spark,
+        num_users=args.numUsers,
+        num_items=args.numItems,
+        latent_factors=args.latentFactors,
+        seed=args.seed,
+        parallelism=args.parallelism,
+    )
+    _sink(als_model_text_rows(model), args.output)
+
+
+def cmd_generate_svm(args: argparse.Namespace) -> None:
+    from flink_ms_spark.functions.codecs import bucket_of
+    from flink_ms_spark.ml.generators import generate_svm_model
+
+    spark = _spark("[SVM] model-generator")
+    flat = generate_svm_model(
+        spark, num_features=args.numFeatures, seed=args.seed, parallelism=args.parallelism
+    )
+    ranged = (
+        flat.withColumn("bucket", bucket_of("feature_id", args.range))
+        .groupBy("bucket")
+        .agg(
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("feature_id", "weight"))),
+                    lambda s: F.concat_ws(
+                        ":", s.getField("feature_id"), s.getField("weight")
+                    ),
+                ),
+            ).alias("pairs")
+        )
+        .select(F.concat_ws(",", "bucket", "pairs").alias("value"))
+    )
+    _sink(ranged, args.output)
+
+
+def cmd_serve(args: argparse.Namespace) -> None:
+    from flink_ms_spark.functions.codecs import parse_model_line
+    from flink_ms_spark.serving.store import ModelStore
+    from flink_ms_spark.sources.text import read_recursive_text
+
+    spark = _spark("[serve] model-pipeline")
+    store = ModelStore(spark, args.state_name)
+    lines = read_recursive_text(spark, args.input)
+    parsed = lines.select(*parse_model_line("value")).where(F.col("id").isNotNull())
+    store.upsert_batch(parsed)
+    print(f"served {len(store)} keys into state '{args.state_name}'", file=sys.stderr)
+
+
+def cmd_predict_als(args: argparse.Namespace, stdin=None) -> None:
+    """ALSPredict.java console loop: 'user,item' per line → prediction."""
+    from flink_ms_spark.functions.codecs import parse_model_line
+    from flink_ms_spark.serving.store import ModelStore
+    from flink_ms_spark.sources.text import read_recursive_text
+
+    spark = _spark("[ALS] predict")
+    store = ModelStore(spark, "ALS_MODEL")
+    lines = read_recursive_text(spark, args.model)
+    store.upsert_batch(
+        lines.select(*parse_model_line("value")).where(F.col("id").isNotNull())
+    )
+    for raw in stdin or sys.stdin:
+        q = raw.upper().strip()  # T9 normalize (ALSPredict.java:61)
+        if not q or q == "QUIT":
+            break
+        user, item = [t.strip() for t in q.split(",")][:2]
+        uf, itf = store.lookup(f"{user}-U"), store.lookup(f"{item}-I")
+        if uf is None or itf is None:
+            print(f"model parameters are missing for the query: {q}")
+            continue
+        pred = sum(a * b for a, b in zip(uf.factors, itf.factors))
+        print(f"prediction for user={user} item={item} is {pred}")
+
+
+def cmd_predict_svm(args: argparse.Namespace, stdin=None) -> None:
+    """SVMPredict.java console loop: sparse 'id:val id:val ...' lines."""
+    from flink_ms_spark.serving.store import ModelStore
+
+    spark = _spark("[SVM] predict")
+    store = ModelStore(spark, "SVM_MODEL")
+    flat = spark.read.text(args.model).select(
+        F.split("value", ",")[0].alias("key"),
+        F.split("value", ",")[0].cast("int").alias("feature_id"),
+        F.split("value", ",")[1].cast("double").alias("weight"),
+    )
+    store.upsert_batch(flat.where(F.col("feature_id").isNotNull()))
+    for raw in stdin or sys.stdin:
+        q = raw.strip()
+        if not q or q.upper() == "QUIT":
+            break
+        raw_score = 0.0
+        for tok in q.split():
+            fid, val = tok.split(":")
+            row = store.lookup(fid.strip())
+            if row is not None:  # missing features contribute 0 (M4)
+                raw_score += row.weight * float(val)
+        if args.outputDecisionFunction:
+            print(f"decision function value: {raw_score}")
+        else:
+            label = 1.0 if raw_score > args.threshold else -1.0  # strict >
+            print(f"predicted label: {label}")
+
+
+def cmd_mse(args: argparse.Namespace) -> None:
+    from flink_ms_spark.functions.codecs import parse_model_line
+    from flink_ms_spark.operators.evaluate import mse
+    from flink_ms_spark.sources.text import read_csv_ratings
+
+    spark = _spark("[ALS] evaluation")
+    model = (
+        spark.read.text(args.model)
+        .select(*parse_model_line("value"))
+        .where(F.col("id").isNotNull())
+    )
+    ratings = read_csv_ratings(
+        spark, args.input, sep=_sep(args.fieldDelimiter), header=args.ignoreFirstLine
+    )
+    row = mse(ratings, model).collect()[0]
+    print(f"MSE={row['mse']} over n={row['n']} scored pairs")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="flink_ms_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train-als")
+    t.add_argument("--input", required=True)
+    t.add_argument("--output")
+    t.add_argument("--iterations", type=int, default=10)
+    t.add_argument("--numFactors", type=int, default=10)
+    t.add_argument("--lambda", type=float, default=0.9)
+    t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--blocks", type=int, default=None)
+    t.add_argument("--fieldDelimiter", choices=["comma", "tab"], default="comma")
+    t.add_argument("--ignoreFirstLine", type=lambda s: s != "false", default=True)
+    t.set_defaults(func=cmd_train_als)
+
+    m = sub.add_parser("mean-vector")
+    m.add_argument("--input", required=True)
+    m.add_argument("--output")
+    m.set_defaults(func=cmd_mean_vector)
+
+    s = sub.add_parser("train-svm")
+    s.add_argument("--training", required=True)
+    s.add_argument("--output")
+    s.add_argument("--blocks", type=int, default=10)
+    s.add_argument("--iteration", type=int, default=10)  # sic — SVMImpl.scala:26
+    s.add_argument("--partition", action="store_true")
+    s.add_argument("--range", type=int, default=1000)
+    s.set_defaults(func=cmd_train_svm)
+
+    ga = sub.add_parser("generate-als-model")
+    ga.add_argument("--numUsers", type=int, required=True)
+    ga.add_argument("--numItems", type=int, required=True)
+    ga.add_argument("--latentFactors", type=int, required=True)
+    ga.add_argument("--output")
+    ga.add_argument("--parallelism", type=int, default=2)
+    ga.add_argument("--seed", type=int, default=42)
+    ga.set_defaults(func=cmd_generate_als)
+
+    gs = sub.add_parser("generate-svm-model")
+    gs.add_argument("--numFeatures", type=int, required=True)
+    gs.add_argument("--range", type=int, default=1000)
+    gs.add_argument("--output")
+    gs.add_argument("--parallelism", type=int, default=2)
+    gs.add_argument("--seed", type=int, default=42)
+    gs.set_defaults(func=cmd_generate_svm)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--input", required=True)
+    sv.add_argument("--state-name", default="ALS_MODEL")
+    sv.set_defaults(func=cmd_serve)
+
+    pa = sub.add_parser("predict-als")
+    pa.add_argument("--model", required=True)
+    pa.set_defaults(func=cmd_predict_als)
+
+    ps = sub.add_parser("predict-svm")
+    ps.add_argument("--model", required=True)
+    ps.add_argument("--threshold", type=float, default=0.0)
+    ps.add_argument("--outputDecisionFunction", action="store_true")
+    ps.set_defaults(func=cmd_predict_svm)
+
+    e = sub.add_parser("mse")
+    e.add_argument("--model", required=True)
+    e.add_argument("--input", required=True)
+    e.add_argument("--fieldDelimiter", choices=["comma", "tab"], default="tab")
+    e.add_argument("--ignoreFirstLine", type=lambda s: s != "false", default=True)
+    e.set_defaults(func=cmd_mse)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""CLI parity: the reference's job entry points as subcommands, run
+end-to-end on tiny inputs (train → mean-vector → serve → predict →
+mse; generators; SVM flat + ranged layouts)."""
+
+from __future__ import annotations
+
+import io
+
+from flink_ms_spark import cli
+
+
+def _lines(spark, path: str) -> list[str]:
+    return [r.value for r in spark.read.text(str(path)).collect()]
+
+
+def test_generate_als_model_deterministic(spark, tmp_path):
+    out1, out2 = tmp_path / "m1", tmp_path / "m2"
+    argv = [
+        "generate-als-model",
+        "--numUsers", "10", "--numItems", "15", "--latentFactors", "4",
+    ]
+    cli.main(argv + ["--output", str(out1)])
+    cli.main(argv + ["--output", str(out2)])
+    l1, l2 = sorted(_lines(spark, out1)), sorted(_lines(spark, out2))
+    assert l1 == l2  # seeded: same model on every run
+    assert len(l1) == 25
+    kinds = {line.split(",")[1] for line in l1}
+    assert kinds == {"U", "I"}
+    factors = [float(x) for x in l1[0].split(",")[2].split(";")]
+    assert len(factors) == 4 and all(f > 0 for f in factors)
+
+
+def test_generate_svm_model_ranged_layout(spark, tmp_path):
+    out = tmp_path / "svm"
+    cli.main([
+        "generate-svm-model", "--numFeatures", "50", "--range", "20",
+        "--output", str(out),
+    ])
+    rows = sorted(_lines(spark, out))
+    buckets = {int(r.split(",")[0]) for r in rows}
+    assert buckets == {0, 1, 2}  # ids 1..50, range 20 → buckets 0..2
+    pairs = rows[0].split(",")[1].split(";")
+    zeros = sum(1 for p in pairs if float(p.split(":")[1]) == 0.0)
+    assert 0 < zeros < len(pairs)  # ~50% exact zeros
+    for p in pairs:
+        w = float(p.split(":")[1])
+        assert w == 0.0 or -10.0 <= w <= 10.0
+
+
+def test_als_workflow_train_serve_predict_mse(spark, tmp_path, capsys):
+    ratings = tmp_path / "ratings.csv"
+    ratings.write_text(
+        "user,item,rating\n"
+        + "\n".join(
+            f"{u},{i},{(u * 3 + i * 7) % 5 + 1}" for u in range(8) for i in range(6)
+        )
+        + "\n"
+    )
+    model_dir = tmp_path / "model"
+    cli.main([
+        "train-als", "--input", str(ratings), "--output", str(model_dir),
+        "--iterations", "3", "--numFactors", "3", "--lambda", "0.1",
+    ])
+    model_lines = _lines(spark, model_dir)
+    assert len(model_lines) == 14  # 8 users + 6 items
+    assert all(len(line.split(",")) == 3 for line in model_lines)
+
+    mean_dir = tmp_path / "means"
+    cli.main(["mean-vector", "--input", str(model_dir), "--output", str(mean_dir)])
+    means = sorted(_lines(spark, mean_dir))
+    assert [m.split(",")[:2] for m in means] == [["MEAN", "I"], ["MEAN", "U"]]
+
+    cli.main(["serve", "--input", str(model_dir)])
+    captured = capsys.readouterr()
+    assert "served 14 keys" in captured.err
+
+    cli.cmd_predict_als(
+        type("A", (), {"model": str(model_dir)})(), stdin=io.StringIO("3,2\n99,1\n")
+    )
+    out = capsys.readouterr().out
+    assert "prediction for user=3 item=2 is " in out
+    assert "model parameters are missing for the query: 99,1" in out
+
+    # tab-separated eval file, no header
+    eval_file = tmp_path / "eval.tsv"
+    eval_file.write_text("u\ti\tr\n1\t1\t3.0\n2\t2\t4.0\n99\t1\t1.0\n")
+    cli.main([
+        "mse", "--model", str(model_dir), "--input", str(eval_file),
+    ])
+    out = capsys.readouterr().out
+    assert "MSE=" in out and "n=2" in out  # user 99 skipped (M8 semantics)
+
+
+def test_svm_train_and_predict(spark, tmp_path, capsys):
+    libsvm = tmp_path / "train.libsvm"
+    rows = []
+    for i in range(24):
+        label = i % 2
+        x1, x2 = (1.0 + i % 3, 0.2) if label else (-1.0 - i % 3, -0.4)
+        rows.append(f"{label} 1:{x1} 2:{x2} 3:{(i % 5) * 0.1}")
+    libsvm.write_text("\n".join(rows) + "\n")
+
+    flat_dir = tmp_path / "svm_flat"
+    cli.main(["train-svm", "--training", str(libsvm), "--output", str(flat_dir)])
+    flat = sorted(_lines(spark, flat_dir))
+    assert len(flat) == 3  # 3 features, 1-indexed
+    assert flat[0].split(",")[0] == "1"
+
+    ranged_dir = tmp_path / "svm_ranged"
+    cli.main([
+        "train-svm", "--training", str(libsvm), "--output", str(ranged_dir),
+        "--partition", "--range", "2",
+    ])
+    ranged = sorted(_lines(spark, ranged_dir))
+    assert ranged[0].startswith("0,1:")  # bucket 0 holds features 1 (id/2=0)
+
+    cli.cmd_predict_svm(
+        type(
+            "A", (), {"model": str(flat_dir), "threshold": 0.0, "outputDecisionFunction": False}
+        )(),
+        stdin=io.StringIO("1:2.0 2:0.3\n1:-2.0 2:-0.3\n9:1.0\n"),
+    )
+    out = capsys.readouterr().out
+    labels = [ln for ln in out.splitlines() if "predicted label" in ln]
+    assert len(labels) == 3
+    assert labels[0].endswith("1.0") and not labels[0].endswith("-1.0")
+    assert labels[1].endswith("-1.0")
+    assert labels[2].endswith("-1.0")  # all features missing → raw 0 → strict > fails

@@ -66,3 +66,67 @@ def test_online_sgd_stream_updates_model(spark, tmp_path):
     assert store.lookup("99-U") is not None
     # MEAN rows must never be overwritten by the SGD loop
     assert list(store.lookup("MEAN-U").factors) == [1.0, 1.0]
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time tumbling windows in append mode: a window emits once
+    the watermark passes its end; rows older than the watermark are
+    dropped across restarts (checkpointed watermark)."""
+    from flink_ms_spark.streaming.aggregates import windowed_event_counts
+
+    src = tmp_path / "events_in"
+    ckpt = tmp_path / "ckpt_win"
+    src.mkdir()
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def run(name: str) -> list:
+        stream = spark.readStream.schema(schema).json(str(src))
+        agg = windowed_event_counts(
+            stream, window_duration="1 hour", watermark_delay="30 minutes"
+        )
+        sink: list = []
+
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _bid: sink.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sink
+
+    # batch 1: two 10:00-window rows, one 13:00 row that pushes the
+    # watermark to 12:30 → the 10:00 window closes and is emitted
+    _write(
+        str(src / "a.json"),
+        [
+            '{"ts": "2024-01-01 10:05:00", "event_type": "click", "value": 1.0}',
+            '{"ts": "2024-01-01 10:20:00", "event_type": "click", "value": 2.0}',
+            '{"ts": "2024-01-01 13:00:00", "event_type": "view", "value": 5.0}',
+        ],
+    )
+    rows1 = run("win1")
+    emitted = {(str(r.window_start), r.event_type): r for r in rows1}
+    key = ("2024-01-01 10:00:00", "click")
+    assert key in emitted
+    assert emitted[key].n_events == 2 and emitted[key].total_value == 3.0
+
+    # batch 2: a LATE 10:40 row (before the 12:30 watermark → dropped)
+    # and a 15:00 row that closes the 13:00 window
+    _write(
+        str(src / "b.json"),
+        [
+            '{"ts": "2024-01-01 10:40:00", "event_type": "click", "value": 100.0}',
+            '{"ts": "2024-01-01 15:00:00", "event_type": "view", "value": 7.0}',
+        ],
+    )
+    rows2 = run("win2")
+    emitted2 = {(str(r.window_start), r.event_type): r for r in rows2}
+    # the late click row must NOT re-open or re-emit the 10:00 window
+    assert ("2024-01-01 10:00:00", "click") not in emitted2
+    key13 = ("2024-01-01 13:00:00", "view")
+    assert key13 in emitted2
+    assert emitted2[key13].n_events == 1 and emitted2[key13].total_value == 5.0
