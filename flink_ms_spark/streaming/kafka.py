@@ -1,0 +1,96 @@
+"""Kafka boundary (SURVEY.md §2.1 S7, §2.2 K2, §2.6 X5-X7).
+
+The reference publishes model text rows to Kafka with
+flush-on-checkpoint at-least-once (ALSKafkaProducer.java:29-37,
+``setFlushOnCheckpoint(true)``, ``setLogFailuresOnly(false)``) and
+consumes them with FlinkKafkaConsumer010 + checkpointing + fixed-delay
+restart (ALSKafkaConsumer.java:43-70).
+
+Spark-first: the Structured Streaming kafka sink is at-least-once by
+construction when a checkpointLocation is set (offsets commit after the
+sink write), so K2's flush-on-checkpoint contract is the default, not a
+flag. There is no broker in this container — these builders are
+covered by plan-construction tests only (``.isStreaming``, options),
+marked clearly; the pipeline from the parse stage down is the same
+code the file-source tests execute end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_kafka_lines(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S7 — Kafka streaming source of UTF-8 string values (the
+    reference's SimpleStringSchema, ALSKafkaConsumer.java:67-70).
+    Returns (value STRING, kafka_offset LONG) — the offset feeds
+    last-write-wins ordering in the store merge."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(
+            F.col("value").cast("string").alias("value"),
+            F.col("offset").alias("kafka_offset"),
+        )
+    )
+
+
+def write_kafka_lines(
+    lines: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    trigger_interval: str | None = None,
+):
+    """K2 — at-least-once Kafka sink for a streaming DataFrame with a
+    ``value`` column (reference ALSKafkaProducer.java:29-37; the
+    checkpoint supplies the flush-on-checkpoint guarantee).
+
+    Returns the started StreamingQuery.
+    """
+    writer = (
+        lines.selectExpr("CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def streaming_reliability_conf(
+    state_backend: str = "rocksdb",
+    task_retries: int = 3,
+) -> dict[str, str]:
+    """X6/X7 — session conf for the reference's reliability knobs:
+
+    - state backend selection (``--stateBackend rocksdb|fs|memory``,
+      ALSKafkaConsumer.java:53-65): RocksDB state store provider for
+      larger-than-heap streaming state; ``fs``/``memory`` map to the
+      default HDFS-backed provider (Spark keeps an in-memory map
+      snapshot-backed to the checkpoint dir — the 'memory' and 'fs'
+      cases differ only in checkpoint placement).
+    - fixed-delay restart ×3 (ALSKafkaConsumer.java:48-51): task-level
+      retries; query-level restart is the driver loop around
+      ``query.awaitTermination`` (Spark restarts from the checkpoint).
+
+    Pass to ``get_spark(extra_conf=...)``.
+    """
+    conf = {"spark.task.maxFailures": str(task_retries)}
+    if state_backend == "rocksdb":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    return conf

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_ms_spark.serving.store import ModelStore
@@ -130,3 +132,94 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     key13 = ("2024-01-01 13:00:00", "view")
     assert key13 in emitted2
     assert emitted2[key13].n_events == 1 and emitted2[key13].total_value == 5.0
+
+
+def test_transform_with_state_latest_per_key(spark, tmp_path):
+    """X1 via transformWithStateInPandas: engine-managed ValueState
+    keeps the latest payload per key across micro-batch runs (state
+    restored from the checkpoint on the second run).
+
+    Requires a working protobuf install (the TWS driver worker imports
+    google.protobuf.descriptor) — skipped where absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from flink_ms_spark.streaming.value_state import latest_per_key_state
+
+    src = tmp_path / "vs_in"
+    ckpt = tmp_path / "ckpt_vs"
+    src.mkdir()
+    schema = "key STRING, ord LONG, payload STRING"
+
+    changelog: dict[str, str] = {}
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def run() -> None:
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = latest_per_key_state(stream)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: changelog.update(
+                    {r.key: r.payload for r in df.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        str(src / "a.json"),
+        [
+            '{"key": "1-U", "ord": 1, "payload": "1.0;2.0"}',
+            '{"key": "2-U", "ord": 2, "payload": "3.0;4.0"}',
+            '{"key": "1-U", "ord": 3, "payload": "9.0;9.0"}',
+        ],
+    )
+    run()
+    assert changelog == {"1-U": "9.0;9.0", "2-U": "3.0;4.0"}
+
+    # second batch: within-batch last-write-wins by ord, other keys keep
+    # their checkpointed state
+    _write(
+        str(src / "b.json"),
+        [
+            '{"key": "2-U", "ord": 5, "payload": "7.0;7.0"}',
+            '{"key": "2-U", "ord": 4, "payload": "ignored"}',
+        ],
+    )
+    run()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert changelog["2-U"] == "7.0;7.0"
+    assert changelog["1-U"] == "9.0;9.0"
+
+
+def test_kafka_source_builder(spark):
+    """S7/K2 plan construction — no broker in this container, so this
+    only verifies the kafka connector wiring (skips if the connector
+    jar is absent)."""
+    from flink_ms_spark.streaming.kafka import read_kafka_lines
+
+    try:
+        df = read_kafka_lines(spark, "localhost:9092", "model-topic")
+    except Exception as e:  # connector jar not on the classpath
+        pytest.skip(f"kafka connector unavailable: {str(e)[:80]}")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["value", "kafka_offset"]
+
+
+def test_streaming_reliability_conf():
+    from flink_ms_spark.streaming.kafka import streaming_reliability_conf
+
+    conf = streaming_reliability_conf(state_backend="rocksdb", task_retries=3)
+    assert conf["spark.task.maxFailures"] == "3"
+    assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert "spark.sql.streaming.stateStore.providerClass" not in (
+        streaming_reliability_conf(state_backend="memory")
+    )
