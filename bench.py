@@ -62,21 +62,33 @@ def _force(df) -> None:
 
 def point_lookup_bench(spark, n_queries: int = 1000) -> dict[str, float]:
     """Reference harness shape (ALSPredictRandom.java:55-97): N random
-    (user,item) point lookups against the serving store, per-query ms."""
+    (user,item) point lookups against the serving store, per-query ms.
+    Set $SPARK_GRAFT_LATENCY_CSV to also write the reference's K5
+    per-query CSV (``user,item,prediction,elapsed_ms``,
+    ALSPredictRandom.java:94-97)."""
     store = ModelStore(spark, "ALS_MODEL")
     model = synthetic_als_model(spark)
     kv = model.select(model_key("id", "kind").alias("key"), "id", "kind", "factors")
     store.upsert_batch(kv)
     rng = random.Random(42)
-    lat = []
+    lat, rows = [], []
     for _ in range(n_queries):
         u, i = rng.randrange(0, 120), rng.randrange(0, 200)
         t0 = time.perf_counter()
         uf = store.lookup(f"{u}-U")
         itf = store.lookup(f"{i}-I")
-        if uf is not None and itf is not None:
+        pred = (
             sum(a * b for a, b in zip(uf.factors, itf.factors))
-        lat.append((time.perf_counter() - t0) * 1000.0)
+            if uf is not None and itf is not None
+            else None
+        )
+        ms = (time.perf_counter() - t0) * 1000.0
+        lat.append(ms)
+        rows.append(f"{u},{i},{pred},{ms:.4f}")
+    csv_path = os.environ.get("SPARK_GRAFT_LATENCY_CSV")
+    if csv_path:
+        with open(csv_path, "w") as f:
+            f.write("\n".join(rows) + "\n")
     lat.sort()
     return {
         "point_lookup_p50_ms": round(lat[len(lat) // 2], 4),

@@ -182,6 +182,127 @@ def ivf_topk(
     return _rank_topk(cands, k)
 
 
+def train_ivf_codebook(
+    df: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+):
+    """Train a k-means coarse quantizer for IVF cell assignment.
+
+    Returns a fitted ``pyspark.ml.clustering.KMeansModel``. At corpus
+    scale pass ``sample_fraction`` — the codebook needs a sample, not
+    the corpus (k-means over 100 TB of vectors is wasted work; 1-10M
+    sampled vectors give the same centroids).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    return KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    codebook,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: assign each vector to
+    its ``n_probe`` nearest centroids (n_probe > 1 trades compute for
+    recall — a vector appears in several cells as a probe candidate),
+    then exact cosine ranking within cells, same contract as
+    ``ivf_topk``.
+
+    Centroids are a tiny broadcast array; assignment is a vectorized
+    mapInPandas (one matmul per Arrow batch); the only shuffle is
+    groupBy(cell).
+    """
+    centers = np.array([np.asarray(c) for c in codebook.clusterCenters()])
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centers)
+    margin = 2 * k + 8
+
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType()), False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("is_member", T.BooleanType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value  # (k_cells, d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # squared euclidean to each centroid (kmeans metric)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1)[:, :n_probe]
+            n = len(pdf)
+            reps = []
+            for p in range(order.shape[1]):
+                reps.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            vec_col: pdf[vec_col],
+                            "cell": order[:, p].astype(np.int32),
+                            # only the NEAREST cell owns the vector as a
+                            # rankable member; probe copies only query
+                            "is_member": np.full(n, p == 0),
+                        }
+                    )
+                )
+            yield pd.concat(reps, ignore_index=True)
+
+    assigned = fan_out(df.select(id_col, vec_col)).mapInPandas(
+        assign, schema=assign_schema
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        member = pdf["is_member"].to_numpy(dtype=bool)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        # queries: every row (members + probes); corpus: members only
+        sims = m @ m[member].T
+        mem_ids = ids[member]
+        same = ids[:, None] == mem_ids[None, :]
+        sims[same] = -np.inf
+        n_keep = min(margin, sims.shape[1])
+        if n_keep <= 0 or sims.shape[1] == 0:
+            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
+                {"a": np.int64, "b": np.int64, "sim": np.float64}
+            )
+        idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
+        rows = np.arange(sims.shape[0])[:, None]
+        vals = sims[rows, idx]
+        keep = np.isfinite(vals)
+        return pd.DataFrame(
+            {
+                "a": np.repeat(ids, n_keep).reshape(len(ids), n_keep)[keep],
+                "b": mem_ids[idx][keep],
+                "sim": vals[keep],
+            }
+        )
+
+    cands = assigned.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
+    # a vector probing multiple cells can see the same neighbor twice
+    cands = cands.groupBy("a", "b").agg(F.max("sim").alias("sim"))
+    return _rank_topk(cands, k)
+
+
 def embedding_neardup(
     df: DataFrame,
     threshold: float = 0.9,

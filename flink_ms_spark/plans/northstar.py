@@ -336,6 +336,18 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(media)
 
 
+@register("ivf_kmeans_topk")  # rows-only: k-means centroids aren't SQL-reproducible
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path with a TRAINED coarse quantizer (vs ivf_topk's
+    deterministic sign-bit cells): k-means codebook, n_probe=2.
+    Recall vs brute force is asserted in tests/test_northstar.py."""
+    from flink_ms_spark.operators.similarity import ivf_kmeans_topk, train_ivf_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = train_ivf_codebook(emb, n_cells=8, seed=42)
+    return ivf_kmeans_topk(emb, codebook, k=5, n_probe=2)
+
+
 @register("media_features")  # rows-only: byte-histogram decode isn't SQL-expressible
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → feature-extract over Arrow batches with the

@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis): codec round-trips and
+latest-per-key semantics hold for arbitrary inputs, not just the
+fixtures. Each example batches all generated rows into ONE Spark job
+(per-example jobs would be prohibitively slow)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from flink_ms_spark.functions.codecs import format_model_row, parse_model_line
+from flink_ms_spark.serving.store import latest_per_key
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, width=64, min_value=-1e12, max_value=1e12
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**31 - 1),
+            st.sampled_from(["U", "I"]),
+            st.lists(finite_doubles, min_size=1, max_size=12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_model_row_roundtrip_exact(spark, rows):
+    """T5∘T4/T2 identity: format → parse returns the exact doubles
+    (Java shortest-roundtrip repr) and the composite key."""
+    df = spark.createDataFrame(
+        [(str(i), k, f) for i, k, f in rows],
+        "id STRING, kind STRING, factors ARRAY<DOUBLE>",
+    )
+    line = df.select(format_model_row("id", "kind", "factors").alias("value"))
+    back = line.select(*parse_model_line("value")).collect()
+    got = sorted((r.id, r.kind, tuple(r.factors)) for r in back)
+    want = sorted((str(i), k, tuple(f)) for i, k, f in rows)
+    assert len(got) == len(want)
+    for (gi, gk, gf), (wi, wk, wf) in zip(got, want):
+        assert (gi, gk) == (wi, wk)
+        assert len(gf) == len(wf)
+        for g, w in zip(gf, wf):
+            assert g == w or (math.isnan(g) and math.isnan(w))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # few keys → collisions
+            st.text(alphabet="abcxyz", min_size=0, max_size=6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_latest_per_key_matches_pandas(spark, rows):
+    """K4 upsert semantics ≡ pandas 'last row per key by ordinal'."""
+    data = [(str(k), i, p) for i, (k, p) in enumerate(rows)]  # unique ords
+    df = spark.createDataFrame(data, "key STRING, _ord LONG, payload STRING")
+    got = {r.key: r.payload for r in latest_per_key(df).collect()}
+    pdf = pd.DataFrame(data, columns=["key", "_ord", "payload"])
+    want = pdf.sort_values("_ord").groupby("key")["payload"].last().to_dict()
+    assert got == want
