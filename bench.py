@@ -49,6 +49,7 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "ivf_topk",
+    "ivf_kmeans_topk",
     "embedding_neardup",
     "token_stats",
     "media_meta",

@@ -188,22 +188,52 @@ def train_ivf_codebook(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float | None = None,
-):
-    """Train a k-means coarse quantizer for IVF cell assignment.
+    max_iter: int = 10,
+    backend: str = "local",
+) -> np.ndarray:
+    """Train a k-means coarse quantizer for IVF cell assignment;
+    returns the (n_cells, dim) centroid matrix.
 
-    Returns a fitted ``pyspark.ml.clustering.KMeansModel``. At corpus
-    scale pass ``sample_fraction`` — the codebook needs a sample, not
-    the corpus (k-means over 100 TB of vectors is wasted work; 1-10M
-    sampled vectors give the same centroids).
+    ``backend='local'`` (default, FAISS-style): sample → collect →
+    numpy Lloyd iterations on the driver. The codebook needs a SAMPLE,
+    not the corpus — at 100 TB you sample ~1M vectors (set
+    ``sample_fraction``), and local Lloyd on 1M×d beats 2·max_iter
+    distributed job rounds by a wide margin. ``backend='mllib'`` runs
+    ``pyspark.ml.clustering.KMeans`` for the rare case where even the
+    training sample must stay distributed.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
-    feats = train.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    return KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    if backend == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = train.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        ).persist()
+        try:
+            model = KMeans(
+                k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features"
+            ).fit(feats)
+            return np.array([np.asarray(c) for c in model.clusterCenters()])
+        finally:
+            feats.unpersist()
+
+    m = np.array([list(r[0]) for r in train.select(vec_col).collect()], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [
+                m[assign == c].mean(axis=0) if (assign == c).any() else centers[c]
+                for c in range(len(centers))
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
 
 
 def ivf_kmeans_topk(
@@ -224,7 +254,11 @@ def ivf_kmeans_topk(
     mapInPandas (one matmul per Arrow batch); the only shuffle is
     groupBy(cell).
     """
-    centers = np.array([np.asarray(c) for c in codebook.clusterCenters()])
+    centers = (
+        np.array([np.asarray(c) for c in codebook.clusterCenters()])
+        if hasattr(codebook, "clusterCenters")
+        else np.asarray(codebook, dtype=np.float64)
+    )
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centers)
     margin = 2 * k + 8
