@@ -55,6 +55,38 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    sized for the scan path (default 128 MB — one task per file at
+    standard ``maxPartitionBytes``).
+
+    The small-files problem is the classic failure mode of streaming
+    ingestion at scale: a million 1 MB files turn every scan into a
+    million tasks and crush the driver/listing layer. Returns the
+    number of output partitions chosen.
+
+    Partition count comes from actual input bytes (file-status sum, no
+    data read); round-robin repartition gives uniformly sized files.
+    """
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(_os.path.join(in_path, "**", "*"), recursive=True)
+        if _os.path.isfile(p)
+    )
+    n = max(1, round(total / target_bytes))
+    df = spark.read.parquet(in_path)
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return n
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

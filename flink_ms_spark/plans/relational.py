@@ -333,3 +333,23 @@ register_sql(
         " lag(ts) OVER (PARTITION BY user_id ORDER BY event_id), ts)"
     ),
 )
+
+# Time-series correlation — align two users' event-value series by
+# per-user sequence number, Pearson correlation per pair (the
+# distributed form of series-similarity search: alignment is a keyed
+# equi-join, correlation a single-pass aggregate)
+register_sql(
+    "series_correlation",
+    """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+  FROM events),
+p AS (SELECT a.user_id AS ua, b.user_id AS ub, a.value AS va, b.value AS vb
+      FROM s a JOIN s b ON b.user_id = a.user_id + 100 AND b.seq = a.seq)
+SELECT ua, ub, CAST(round(corr(va, vb), 6) AS DOUBLE) AS corr_ab,
+       count(*) AS n
+FROM p GROUP BY ua, ub
+HAVING count(*) >= 5
+""",
+)

@@ -61,3 +61,18 @@ def test_salted_join_matches_plain_join(spark):
         F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from flink_ms_spark.partitioning import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    # 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*")) == 64
+    n = compact_parquet(spark, src, dst, target_bytes=10**12)
+    assert n == 1
+    assert len(glob.glob(dst + "/part-*")) == 1
+    assert spark.read.parquet(dst).count() == 10_000

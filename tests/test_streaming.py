@@ -223,3 +223,53 @@ def test_streaming_reliability_conf():
     assert "spark.sql.streaming.stateStore.providerClass" not in (
         streaming_reliability_conf(state_backend="memory")
     )
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    """Stream dedup: duplicate digests are dropped within the watermark
+    horizon, including across micro-batch runs (digest state is
+    checkpointed)."""
+    from flink_ms_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    ckpt = tmp_path / "ckpt_dedup"
+    src.mkdir()
+    schema = "ts TIMESTAMP, doc_id LONG, text STRING"
+    seen: list = []
+
+    def run() -> None:
+        stream = spark.readStream.schema(schema).json(str(src))
+        deduped = streaming_exact_dedup(stream, watermark_delay="2 hours")
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda df, _bid: seen.extend((r.doc_id, r.text_hash) for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        str(src / "a.json"),
+        [
+            '{"ts": "2024-01-01 10:00:00", "doc_id": 1, "text": "the quick fox"}',
+            '{"ts": "2024-01-01 10:01:00", "doc_id": 2, "text": "The  quick fox "}',
+            '{"ts": "2024-01-01 10:02:00", "doc_id": 3, "text": "something else"}',
+        ],
+    )
+    run()
+    # doc 2 normalizes to doc 1's content → dropped
+    assert sorted(d for d, _ in seen) == [1, 3]
+
+    _write(
+        str(src / "b.json"),
+        [
+            '{"ts": "2024-01-01 10:30:00", "doc_id": 4, "text": "the quick fox"}',
+            '{"ts": "2024-01-01 10:31:00", "doc_id": 5, "text": "brand new text"}',
+        ],
+    )
+    run()
+    # doc 4 duplicates checkpointed digest state → still dropped
+    assert sorted(d for d, _ in seen) == [1, 3, 5]
