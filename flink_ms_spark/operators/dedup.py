@@ -95,6 +95,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band's full
     signature become candidate pairs (a < b, distinct).
@@ -102,8 +103,11 @@ def lsh_candidate_pairs(
     Scale: groupBy(band, band_sig) buckets; pair expansion is a
     self-join *within buckets only*. Skewed buckets (near-identical
     boilerplate at web scale) are the known hot spot — AQE skew-join
-    splitting handles moderate skew; pathological buckets should be
-    capped upstream (drop buckets with > N members as "template" docs).
+    splitting handles moderate skew; ``max_bucket_size`` drops buckets
+    beyond it entirely ("template" docs whose quadratic pair expansion
+    would dominate the job — at web scale a single boilerplate bucket
+    of 10^6 docs means 10^12 pairs; those docs belong in exact-dedup's
+    digest groups, not in pairwise verification).
     """
     banded = signatures.withColumn("band", ((F.col("h") - 1) / F.lit(band_size)).cast("int"))
     band_sigs = banded.groupBy(id_col, "band").agg(
@@ -111,6 +115,13 @@ def lsh_candidate_pairs(
             "band_sig"
         )
     )
+    if max_bucket_size is not None:
+        sizes = band_sigs.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
+        band_sigs = (
+            band_sigs.join(sizes, ["band", "band_sig"])
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     a = band_sigs.select(F.col(id_col).alias("a"), "band", "band_sig")
     b = band_sigs.select(F.col(id_col).alias("b"), "band", "band_sig")
     return (

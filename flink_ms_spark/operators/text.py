@@ -103,6 +103,29 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
+#: (pattern, replacement) pairs — kept RE2-compatible so the DuckDB
+#: oracle can apply the identical regexes (no backrefs, no lookaround).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    # requires a separator after the country/area part so pure digit
+    # runs fall through to the <ID> catch-all
+    (r"\+?\(?[0-9]{1,4}\)?[()\-\. ][0-9()\-\. ]{4,}[0-9]", "<PHONE>"),
+    (r"[0-9]{9,}", "<ID>"),
+)
+
+
+def scrub_pii(text: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Redact emails / URLs / phone-like runs / long digit runs — the
+    standard pre-training scrub pass. Order matters (emails before the
+    digit-run catch-all); patterns chain as nested regexp_replace, all
+    JVM-side."""
+    out = _c(text)
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def bpe_ish_token_count(text: Column | str) -> Column:
     """Rough subword count: words + punctuation runs, the usual
     pre-tokenizer regex shape. Counts matches of \\w+ or single

@@ -33,6 +33,7 @@ from flink_ms_spark.operators.text import (
     fingerprint,
     predict_lang,
     quality_columns,
+    scrub_pii,
     token_count,
 )
 from flink_ms_spark.plans.registry import register
@@ -365,6 +366,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # token statistics (whitespace + BPE-ish subword counts)
+
+# --------------------------------------------------------------------------
+# PII scrub (emails/URLs/phones/ID runs — RE2-compatible patterns so
+# the oracle applies the identical regexes)
+
+_PII_ORACLE = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    'https?://[^\s]+', '<URL>', 'g'),
+    '\+?\(?[0-9]{1,4}\)?[()\-\. ][0-9()\-\. ]{4,}[0-9]', '<PHONE>', 'g'),
+    '[0-9]{9,}', '<ID>', 'g') AS scrubbed
+FROM documents
+"""
+
+
+@register("pii_scrub", oracle=_PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", scrub_pii("text").alias("scrubbed"))
+
 
 _TOKEN_STATS_ORACLE = """
 SELECT doc_id,

@@ -174,3 +174,38 @@ def test_ivf_kmeans_topk_recall(spark, sf_smoke):
     r1, r2 = recall(1), recall(2)
     assert r1 > 0.15  # random-vector corpus: within-cell truth share
     assert r2 >= r1  # probing more cells can only help
+
+
+def test_lsh_bucket_cap_drops_template_buckets(spark):
+    """max_bucket_size drops oversized buckets (quadratic-pair
+    protection) without touching normal buckets."""
+    from flink_ms_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text") for i in range(6)]
+        + [(10, "alpha beta gamma"), (11, "alpha beta gamma")],
+        "doc_id LONG, text STRING",
+    )
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=1)
+    uncapped = lsh_candidate_pairs(sigs, band_size=1)
+    capped = lsh_candidate_pairs(sigs, band_size=1, max_bucket_size=4)
+    assert uncapped.count() == 15 + 1  # C(6,2) template pairs + 1 real pair
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert got == {(10, 11)}  # template bucket (6 > 4) dropped entirely
+
+
+def test_scrub_pii_redacts(spark):
+    from flink_ms_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+x@example.org or visit https://a.io/b?c=1 now"),
+            (2, "call +1 (415) 555-0199 ref 123456789012"),
+            (3, "clean text stays clean"),
+        ],
+        "id LONG, text STRING",
+    )
+    got = {r.id: r.s for r in df.select("id", scrub_pii("text").alias("s")).collect()}
+    assert got[1] == "contact <EMAIL> or visit <URL> now"
+    assert got[2] == "call <PHONE> ref <ID>"
+    assert got[3] == "clean text stays clean"
