@@ -52,8 +52,11 @@ HEADLINE = [
     "ivf_kmeans_topk",
     "embedding_neardup",
     "token_stats",
+    "pii_scrub",
     "media_meta",
     "serving_upsert",
+    "sessionize",
+    "series_correlation",
 ]
 
 

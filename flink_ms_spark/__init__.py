@@ -24,3 +24,54 @@ Architecture stance (see SURVEY.md §7):
 __version__ = "0.1.0"
 
 from flink_ms_spark.session import get_spark  # noqa: F401
+
+# Lazy public surface: keep `import flink_ms_spark` cheap (no pyspark.ml
+# import chain) while exposing the operator toolkit at the top level.
+_EXPORTS = {
+    # training / models
+    "train_als": "flink_ms_spark.ml.als",
+    "als_model_table": "flink_ms_spark.ml.als",
+    "train_svm": "flink_ms_spark.ml.svm",
+    "svm_model_table": "flink_ms_spark.ml.svm",
+    "svm_model_ranged": "flink_ms_spark.ml.svm",
+    "generate_als_model": "flink_ms_spark.ml.generators",
+    "generate_svm_model": "flink_ms_spark.ml.generators",
+    # serving / prediction / evaluation
+    "ModelStore": "flink_ms_spark.serving.store",
+    "latest_per_key": "flink_ms_spark.serving.store",
+    "predict_als_batch": "flink_ms_spark.operators.predict",
+    "predict_svm_batch": "flink_ms_spark.operators.predict",
+    "mse": "flink_ms_spark.operators.evaluate",
+    "sgd_step": "flink_ms_spark.operators.sgd",
+    # training-data pipeline
+    "exact_dedup_groups": "flink_ms_spark.operators.dedup",
+    "minhash_signatures": "flink_ms_spark.operators.dedup",
+    "lsh_candidate_pairs": "flink_ms_spark.operators.dedup",
+    "ngram_jaccard": "flink_ms_spark.operators.dedup",
+    "simhash": "flink_ms_spark.operators.dedup",
+    "cosine_topk": "flink_ms_spark.operators.similarity",
+    "ivf_topk": "flink_ms_spark.operators.similarity",
+    "ivf_kmeans_topk": "flink_ms_spark.operators.similarity",
+    "train_ivf_codebook": "flink_ms_spark.operators.similarity",
+    "embedding_neardup": "flink_ms_spark.operators.similarity",
+    "quality_columns": "flink_ms_spark.operators.text",
+    "predict_lang": "flink_ms_spark.operators.text",
+    "scrub_pii": "flink_ms_spark.operators.text",
+    "decode_image_meta": "flink_ms_spark.operators.multimodal",
+    "extract_features": "flink_ms_spark.operators.multimodal",
+    # physical layout
+    "fan_out": "flink_ms_spark.partitioning",
+    "write_bucketed": "flink_ms_spark.partitioning",
+    "salted_join": "flink_ms_spark.partitioning",
+    "compact_parquet": "flink_ms_spark.partitioning",
+}
+
+__all__ = ["get_spark", *sorted(_EXPORTS)]
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
