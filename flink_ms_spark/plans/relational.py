@@ -353,3 +353,26 @@ FROM p GROUP BY ua, ub
 HAVING count(*) >= 5
 """,
 )
+
+# explicit GROUPING SETS (beyond rollup/cube)
+register_sql(
+    "grouping_sets_customer",
+    """
+SELECT c_mktsegment, c_nationkey, count(*) AS n,
+       CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+)
+
+# correlated LATERAL subquery — per-nation top-2 customers
+register_sql(
+    "lateral_top_customers",
+    """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+""",
+)
