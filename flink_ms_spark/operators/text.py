@@ -103,6 +103,39 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
+def rolling_fingerprints(
+    text: Column | str,
+    k: int = 8,
+    mod: int = 16,
+) -> Column:
+    """Rolling-hash fingerprint set: hash every character k-gram of the
+    normalized text and keep those where hash % mod == 0 (0-mod-p
+    selection — the classic content-defined sampling used for partial
+    / plagiarism-style overlap detection; expected density 1/mod).
+
+    Returns a sorted ARRAY<BIGINT> of distinct sampled hashes: two
+    documents sharing a k-char run (≥ the sampling gap) share
+    fingerprints regardless of where the run sits — the positional
+    robustness whole-document digests lack.
+
+    Everything is built-in expressions over one pass of positions —
+    map-side only, no shuffle, no UDF.
+    """
+    norm = normalize_text(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % 2_147_483_647,
+    )
+    return F.array_sort(
+        F.array_distinct(F.filter(hashes, lambda h: h % mod == 0))
+    )
+
+
 #: (pattern, replacement) pairs — kept RE2-compatible so the DuckDB
 #: oracle can apply the identical regexes (no backrefs, no lookaround).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (

@@ -33,6 +33,7 @@ from flink_ms_spark.operators.text import (
     fingerprint,
     predict_lang,
     quality_columns,
+    rolling_fingerprints,
     scrub_pii,
     token_count,
 )
@@ -405,4 +406,31 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_subwords"),
         char_count_no_spaces("text").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling-hash fingerprints (0-mod-p sampled char k-grams)
+
+_ROLLING_FP_ORACLE = r"""
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+g AS (SELECT doc_id, list_transform(
+        generate_series(1, greatest(length(t) - 7, 1)),
+        i -> substr(t, i, 8)) AS grams
+      FROM n)
+SELECT doc_id,
+  list_sort(list_distinct(list_filter(
+    list_transform(grams,
+      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647),
+    h -> h % 16 = 0))) AS fps
+FROM g
+"""
+
+
+@register("rolling_fingerprints", oracle=_ROLLING_FP_ORACLE)
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprints("text", k=8, mod=16).alias("fps")
     )

@@ -28,6 +28,7 @@ from flink_ms_spark.plans.synthetic import (
     DUCK_SVM_MODEL_CTE,
     KIND_OFFSET,
     K,
+    N_ITEMS,
     N_USERS,
     duck_factor,
     factors_array,
@@ -501,3 +502,53 @@ def q_serving_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return latest_per_key(ev)
+
+
+# --------------------------------------------------------------------------
+# top-N recommendations per user — recommendForAllUsers-shape serving
+# query over the synthetic model (users × items scored, window top-3)
+
+_ALS_TOPN_ORACLE = f"""
+WITH users AS (SELECT unnest(generate_series(0, 19)) AS user_id),
+items AS (SELECT unnest(generate_series(0, {N_ITEMS - 1})) AS item_id),
+scored AS (
+  SELECT u.user_id, i.item_id,
+    CAST(round(list_sum(list_transform(generate_series(1, {K}),
+      j -> ({duck_factor("u.user_id", "j", "U")})
+           * ({duck_factor("i.item_id", "j", "I")}))), 6) AS DOUBLE)
+      AS prediction
+  FROM users u CROSS JOIN items i),
+rk AS (SELECT user_id, item_id, prediction,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY prediction DESC, item_id) AS INT) AS rk
+       FROM scored)
+SELECT user_id, item_id, prediction, rk FROM rk WHERE rk <= 3
+"""
+
+
+@register("als_topn_recs", oracle=_ALS_TOPN_ORACLE)
+def q_als_topn_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 item recommendations for the first 20 users — the
+    recommendForAllUsers serving shape: broadcast item factors, score
+    user×item blocks, per-user top-k window (the full-scale form
+    blocks both sides; the plan shape — broadcast + window — is the
+    same).
+    """
+    from pyspark.sql.window import Window
+
+    model = synthetic_als_model(spark)
+    users = model.where((F.col("kind") == "U") & (F.col("id").cast("int") < 20)).select(
+        F.col("id").cast("int").alias("user_id"), F.col("factors").alias("uf")
+    )
+    items = model.where(F.col("kind") == "I").select(
+        F.col("id").cast("int").alias("item_id"), F.col("factors").alias("if_")
+    )
+    scored = users.crossJoin(F.broadcast(items)).select(
+        "user_id",
+        "item_id",
+        F.round(dot("uf", "if_"), 6).alias("prediction"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("prediction").desc(), F.col("item_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
