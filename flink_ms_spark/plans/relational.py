@@ -376,3 +376,32 @@ LATERAL (SELECT c_name, c_acctbal FROM customer c
          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
 """,
 )
+
+# recursive CTE (Spark 4.x) — month spine joined to order counts
+register_sql(
+    "recursive_month_spine",
+    """
+WITH RECURSIVE m(n) AS (
+  SELECT 1
+  UNION ALL
+  SELECT n + 1 FROM m WHERE n < 12)
+SELECT m.n AS mon, count(o_orderkey) AS n_orders
+FROM m LEFT JOIN orders ON month(o_orderdate) = m.n
+GROUP BY m.n
+""",
+)
+
+# UNPIVOT — wide per-segment stats to long (metric, value) form
+register_sql(
+    "unpivot_segment_stats",
+    """
+WITH agg AS (
+  SELECT c_mktsegment,
+         CAST(round(avg(c_acctbal), 6) AS DOUBLE) AS avg_bal,
+         CAST(round(min(c_acctbal), 6) AS DOUBLE) AS min_bal,
+         CAST(round(max(c_acctbal), 6) AS DOUBLE) AS max_bal
+  FROM customer GROUP BY c_mktsegment)
+SELECT * FROM agg
+UNPIVOT (v FOR metric IN (avg_bal, min_bal, max_bal))
+""",
+)
