@@ -273,3 +273,52 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     run()
     # doc 4 duplicates checkpointed digest state → still dropped
     assert sorted(d for d, _ in seen) == [1, 3, 5]
+
+
+def test_online_sgd_stream_converges_over_batches(spark, tmp_path):
+    """The streaming learning loop end-to-end: each micro-batch's
+    stream-static join + sgd_step merge must reduce the served model's
+    MSE on the observed ratings (reference SGD.java's purpose)."""
+    from flink_ms_spark.operators.evaluate import mse
+    from flink_ms_spark.serving.store import ModelStore
+    from flink_ms_spark.streaming.loader import run_online_sgd_stream
+
+    # ground truth: rank-1 structure rating = (u+1)(i+1)/4
+    users, items = range(4), range(4)
+    ratings = [(u, i, (u + 1) * (i + 1) / 4.0) for u in users for i in items]
+    ratings_df = spark.createDataFrame(
+        ratings, "user_id INT, item_id INT, rating DOUBLE"
+    )
+
+    # start from a flat (wrong) model: every factor vector [0.5, 0.5]
+    store = ModelStore(spark, "ALS_MODEL")
+    seed_rows = [(f"{u}-U", str(u), "U", [0.5, 0.5]) for u in users] + [
+        (f"{i}-I", str(i), "I", [0.5, 0.5]) for i in items
+    ]
+    store.upsert_batch(
+        spark.createDataFrame(
+            seed_rows, "key STRING, id STRING, kind STRING, factors ARRAY<DOUBLE>"
+        )
+    )
+
+    def current_mse() -> float:
+        model = store.view().select("id", "kind", "factors")
+        return mse(ratings_df, model).collect()[0]["mse"]
+
+    src = tmp_path / "sgd_in"
+    ckpt = tmp_path / "ckpt_sgd_conv"
+    src.mkdir()
+    errs = [current_mse()]
+    for epoch in range(3):
+        _write(
+            str(src / f"epoch{epoch}.txt"),
+            [f"{u}\t{i}\t{r}" for u, i, r in ratings],
+        )
+        q = run_online_sgd_stream(
+            spark, str(src), store, str(ckpt), learning_rate=0.1, available_now=True
+        )
+        q.awaitTermination(120)
+        errs.append(current_mse())
+
+    assert errs[-1] < errs[0] * 0.5, f"SGD failed to converge: {errs}"
+    assert all(b <= a + 1e-9 for a, b in zip(errs, errs[1:])), f"MSE rose: {errs}"
