@@ -509,8 +509,8 @@ def q_serving_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query over the synthetic model (users × items scored, window top-3)
 
 _ALS_TOPN_ORACLE = f"""
-WITH users AS (SELECT unnest(generate_series(0, 19)) AS user_id),
-items AS (SELECT unnest(generate_series(0, {N_ITEMS - 1})) AS item_id),
+WITH users AS (SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS user_id),
+items AS (SELECT CAST(unnest(generate_series(0, {N_ITEMS - 1})) AS INT) AS item_id),
 scored AS (
   SELECT u.user_id, i.item_id,
     CAST(round(list_sum(list_transform(generate_series(1, {K}),
