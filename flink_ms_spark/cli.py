@@ -193,31 +193,66 @@ def cmd_predict_als(args: argparse.Namespace, stdin=None) -> None:
 
 
 def cmd_predict_svm(args: argparse.Namespace, stdin=None) -> None:
-    """SVMPredict.java console loop: sparse 'id:val id:val ...' lines."""
+    """SVMPredict.java console loop: sparse 'id:val id:val ...' lines.
+    With ``--partition`` the model file holds the ranged layout
+    (``bucket,id:w;id:w;...``) and each query groups its features by
+    bucket — one store lookup per bucket, the RangePartitionSVMPredict
+    optimization (RangePartitionSVMPredict.java:54-113)."""
     from flink_ms_spark.serving.store import ModelStore
 
     spark = _spark("[SVM] predict")
     store = ModelStore(spark, "SVM_MODEL")
-    flat = spark.read.text(args.model).select(
-        F.split("value", ",")[0].alias("key"),
-        F.split("value", ",")[0].cast("int").alias("feature_id"),
-        F.split("value", ",")[1].cast("double").alias("weight"),
-    )
-    store.upsert_batch(flat.where(F.col("feature_id").isNotNull()))
+    if args.partition:
+        ranged = spark.read.text(args.model).select(
+            F.split("value", ",")[0].alias("key"),
+            F.split("value", ",")[1].alias("pairs"),
+        )
+        store.upsert_batch(ranged.where(F.col("key") != ""))
+    else:
+        flat = spark.read.text(args.model).select(
+            F.split("value", ",")[0].alias("key"),
+            F.split("value", ",")[0].cast("int").alias("feature_id"),
+            F.split("value", ",")[1].cast("double").alias("weight"),
+        )
+        store.upsert_batch(flat.where(F.col("feature_id").isNotNull()))
+
+    def raw_score(query: str) -> float:
+        feats = [tok.split(":") for tok in query.split()]
+        if not args.partition:
+            # one lookup per feature (SVMPredict.java:63-79)
+            return sum(
+                row.weight * float(val)
+                for fid, val in feats
+                if (row := store.lookup(fid.strip())) is not None
+            )
+        # one lookup per bucket; local hash-probe per feature
+        by_bucket: dict[str, list[tuple[int, float]]] = {}
+        for fid, val in feats:
+            by_bucket.setdefault(str(int(fid) // args.range), []).append(
+                (int(fid), float(val))
+            )
+        score = 0.0
+        for bucket, fv in by_bucket.items():
+            row = store.lookup(bucket)
+            if row is None:
+                continue
+            weights = dict(
+                (int(p.split(":")[0]), float(p.split(":")[1]))
+                for p in row.pairs.split(";")
+                if p
+            )
+            score += sum(w * v for f, v in fv if (w := weights.get(f)) is not None)
+        return score
+
     for raw in stdin or sys.stdin:
         q = raw.strip()
         if not q or q.upper() == "QUIT":
             break
-        raw_score = 0.0
-        for tok in q.split():
-            fid, val = tok.split(":")
-            row = store.lookup(fid.strip())
-            if row is not None:  # missing features contribute 0 (M4)
-                raw_score += row.weight * float(val)
+        score = raw_score(q)
         if args.outputDecisionFunction:
-            print(f"decision function value: {raw_score}")
+            print(f"decision function value: {score}")
         else:
-            label = 1.0 if raw_score > args.threshold else -1.0  # strict >
+            label = 1.0 if score > args.threshold else -1.0  # strict >
             print(f"predicted label: {label}")
 
 
@@ -299,6 +334,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--model", required=True)
     ps.add_argument("--threshold", type=float, default=0.0)
     ps.add_argument("--outputDecisionFunction", action="store_true")
+    ps.add_argument("--partition", action="store_true")  # ranged model layout
+    ps.add_argument("--range", type=int, default=1000)
     ps.set_defaults(func=cmd_predict_svm)
 
     e = sub.add_parser("mse")

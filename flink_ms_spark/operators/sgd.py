@@ -4,9 +4,11 @@ Reference semantics (SGD.java:160-234), adopted exactly:
 
 - error ``e = r − u·i``
 - simultaneous update (both updates read PRE-update factors —
-  SGD.java:199-207; we deliberately do NOT reproduce SGDV0's sequential
-  variant, SURVEY.md M6 note):
-  ``u' = u + η(e·i − λu·u)``, ``i' = i + η(e·u − λi·i)``
+  SGD.java:199-207): ``u' = u + η(e·i − λu·u)``, ``i' = i + η(e·u − λi·i)``.
+  SGDV0's sequential variant (SGDV0.java:188-197 mutates the user vector
+  in place first, so the item update sees POST-update user factors:
+  ``i' = i + η(e·u' − λi·i)``) is available via ``sequential=True`` —
+  the semantic fork is documented in SURVEY.md M6; SGD.java is default.
 - cold-start fallback: missing user/item factors ⇒ mean vector
   (MEAN-U / MEAN-I; SGD.java:140-151,219-234) — left join + coalesce.
 - NaN guard: drop update rows containing NaN (SGDV0.java:206-226
@@ -43,6 +45,7 @@ def sgd_step(
     item_reg: float = 0.0,
     broadcast_model: bool = True,
     ordinal_col: str | None = None,
+    sequential: bool = False,
 ) -> DataFrame:
     """One SGD micro-batch → updated model rows (id, kind, factors).
 
@@ -91,9 +94,19 @@ def sgd_step(
     e = (F.col("rating") - dot("u", "i")).alias("e")
     joined = joined.withColumn("e", e)
 
-    # Simultaneous update: both expressions reference the pre-update u/i.
     u_new = F.zip_with("u", "i", lambda uf, itf: uf + eta * (F.col("e") * itf - lu * uf))
-    i_new = F.zip_with("i", "u", lambda itf, uf: itf + eta * (F.col("e") * uf - li * itf))
+    if sequential:
+        # SGDV0: item update reads the POST-update user vector
+        joined = joined.withColumn("u_upd", u_new)
+        u_new = F.col("u_upd")
+        i_new = F.zip_with(
+            "i", "u_upd", lambda itf, uf: itf + eta * (F.col("e") * uf - li * itf)
+        )
+    else:
+        # SGD.java: simultaneous — both expressions read pre-update u/i
+        i_new = F.zip_with(
+            "i", "u", lambda itf, uf: itf + eta * (F.col("e") * uf - li * itf)
+        )
     updated = joined.select(
         "_ord",
         F.explode(

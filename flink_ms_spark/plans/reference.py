@@ -552,3 +552,66 @@ def q_als_topn_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prediction").desc(), F.col("item_id")
     )
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# M6 variant — SGDV0's sequential update (item sees post-update user)
+
+_SGD_SEQ_ORACLE = f"""
+WITH {_RATINGS_CTE},
+r2 AS (
+  SELECT event_id AS ord, CAST(user_id AS INT) AS user_id,
+         CAST(event_id % 200 AS INT) AS item_id,
+         LEAST(GREATEST(value, 0.0), 5.0) AS rating
+  FROM events WHERE CAST(user_id AS INT) < {N_USERS}),
+upd AS (
+  SELECT ord, user_id, item_id, rating,
+    rating - list_sum(list_transform(generate_series(1, {K}),
+      j -> ({_UF}) * ({_IF}))) AS e
+  FROM r2),
+rows_out AS (
+  SELECT ord, CAST(user_id AS VARCHAR) AS id, 'U' AS kind, js.j AS pos,
+         ({_UF.replace('j', 'js.j')}) + 0.1 * e * ({_IF.replace('j', 'js.j')}) AS val
+  FROM upd CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS j) js
+  UNION ALL
+  SELECT ord, CAST(item_id AS VARCHAR) AS id, 'I' AS kind, js.j AS pos,
+         ({_IF.replace('j', 'js.j')})
+           + 0.1 * e * (({_UF.replace('j', 'js.j')})
+                        + 0.1 * e * ({_IF.replace('j', 'js.j')})) AS val
+  FROM upd CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS j) js),
+latest AS (
+  SELECT id, kind, pos, val,
+         row_number() OVER (PARTITION BY id, kind, pos ORDER BY ord DESC) AS rn
+  FROM rows_out)
+SELECT id, kind, CAST(pos AS INT) AS pos,
+       CAST(round(val, 6) AS DOUBLE) AS value
+FROM latest WHERE rn = 1
+"""
+
+
+@register("sgd_step_sequential", oracle=_SGD_SEQ_ORACLE)
+def q_sgd_step_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGDV0's semantic fork (SGDV0.java:188-197): the item update reads
+    the post-update user vector — i' = i + η·e·(u + η·e·i) at λ=0."""
+    events = load_table(spark, sf_dir, "events")
+    ratings = events.select(
+        F.col("user_id").cast("int").alias("user_id"),
+        (F.col("event_id") % 200).cast("int").alias("item_id"),
+        F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(5.0)).alias("rating"),
+        F.col("event_id").alias("ord"),
+    ).where(F.col("user_id") < N_USERS)
+    updated = sgd_step(
+        ratings,
+        synthetic_als_model(spark),
+        learning_rate=0.1,
+        ordinal_col="ord",
+        sequential=True,
+    )
+    return updated.select(
+        "id", "kind", F.posexplode("factors").alias("pos0", "v")
+    ).select(
+        "id",
+        "kind",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round("v", 6).alias("value"),
+    )

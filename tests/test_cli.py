@@ -114,15 +114,20 @@ def test_svm_train_and_predict(spark, tmp_path, capsys):
     ranged = sorted(_lines(spark, ranged_dir))
     assert ranged[0].startswith("0,1:")  # bucket 0 holds features 1 (id/2=0)
 
-    cli.cmd_predict_svm(
-        type(
-            "A", (), {"model": str(flat_dir), "threshold": 0.0, "outputDecisionFunction": False}
-        )(),
-        stdin=io.StringIO("1:2.0 2:0.3\n1:-2.0 2:-0.3\n9:1.0\n"),
-    )
-    out = capsys.readouterr().out
-    labels = [ln for ln in out.splitlines() if "predicted label" in ln]
-    assert len(labels) == 3
-    assert labels[0].endswith("1.0") and not labels[0].endswith("-1.0")
-    assert labels[1].endswith("-1.0")
-    assert labels[2].endswith("-1.0")  # all features missing → raw 0 → strict > fails
+    def predict(model_dir, partition):
+        cli.cmd_predict_svm(
+            type(
+                "A", (), {"model": str(model_dir), "threshold": 0.0,
+                          "outputDecisionFunction": False,
+                          "partition": partition, "range": 2},
+            )(),
+            stdin=io.StringIO("1:2.0 2:0.3\n1:-2.0 2:-0.3\n9:1.0\n"),
+        )
+        out = capsys.readouterr().out
+        return [ln for ln in out.splitlines() if "predicted label" in ln]
+
+    for labels in (predict(flat_dir, False), predict(ranged_dir, True)):
+        assert len(labels) == 3
+        assert labels[0].endswith("1.0") and not labels[0].endswith("-1.0")
+        assert labels[1].endswith("-1.0")
+        assert labels[2].endswith("-1.0")  # missing features → raw 0 → strict > fails
