@@ -154,6 +154,46 @@ def extract_features(
     return fan_out(df).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling: emit ``n_frames`` evenly spaced frames per
+    media row — the standard pre-processing step before per-frame
+    embedding.
+
+    The DECODE is stubbed (no video codecs in this container): a
+    "frame" is a deterministic evenly-spaced byte slice of the payload,
+    standing in for demuxed frames. What is real: the fan-out schema
+    (one row per frame, payload stays binary), the Arrow batch path,
+    and the even-spacing index math — the Spark-side plumbing a real
+    decoder drops into.
+    """
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = payload if payload is not None else b""
+                step = max(len(data) // n_frames, 1)
+                for k in range(n_frames):
+                    lo = min(k * step, len(data))
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(bytes(data[lo : lo + step]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return fan_out(df).mapInPandas(cut, schema=FRAME_SCHEMA)
+
+
 def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic fake media table from the documents fixture:
     payload = UTF-8 bytes of the text (opaque binary as far as the

@@ -434,3 +434,16 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_fingerprints("text", k=8, mod=16).alias("fps")
     )
+
+
+@register("media_frames")  # rows-only: byte-slice frame stub isn't SQL-worthy
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 4 evenly spaced frames per media row;
+    returns per-frame byte counts (payloads never leave the executors)."""
+    from flink_ms_spark.operators.multimodal import sample_frames
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"), kind="video")
+    frames = sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_payload").alias("n_bytes")
+    )

@@ -405,3 +405,28 @@ SELECT * FROM agg
 UNPIVOT (v FOR metric IN (avg_bal, min_bal, max_bal))
 """,
 )
+
+# native session_window (Spark built-in) vs gaps-and-islands oracle:
+# per-user 30-minute-gap sessions with event counts and bounds
+register_sql(
+    "session_window_agg",
+    spark_sql="""
+WITH e AS (SELECT user_id, timestamp_micros(ts DIV 1000) AS t FROM events)
+SELECT user_id, session_window.start AS session_start, count(*) AS n_events
+FROM e GROUP BY user_id, session_window(t, '30 minutes')
+""",
+    duck_sql="""
+WITH e AS (SELECT user_id, ts AS t, event_id FROM events),
+g AS (SELECT user_id, t,
+        CASE WHEN date_diff('second',
+               lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id), t) > 1800
+             THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, t,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+SELECT user_id, min(t) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
