@@ -57,6 +57,7 @@ HEADLINE = [
     "serving_upsert",
     "sessionize",
     "series_correlation",
+    "corpus_curation",
 ]
 
 

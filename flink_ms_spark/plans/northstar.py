@@ -447,3 +447,47 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.length("frame_payload").alias("n_bytes")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus curation capstone: dedup keepers → quality gate → PII scrub →
+# per-language token accounting (the composed training-data pipeline)
+
+_CURATION_ORACLE = rf"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5({_DUCK_NORM})),
+kept AS (
+  SELECT d.* FROM documents d JOIN keepers k USING (doc_id)),
+quality AS (
+  SELECT * FROM kept
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
+scrubbed AS (
+  SELECT lang,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      'https?://[^\s]+', '<URL>', 'g'),
+      '\+?\(?[0-9]{{1,4}}\)?[()\-\. ][0-9()\-\. ]{{4,}}[0-9]', '<PHONE>', 'g'),
+      '[0-9]{{9,}}', '<ID>', 'g') AS s
+  FROM quality)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(s), '\s+'))) AS BIGINT) AS total_tokens
+FROM scrubbed GROUP BY lang
+"""
+
+
+@register("corpus_curation", oracle=_CURATION_ORACLE)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline in ONE plan: exact-dedup survivors →
+    length gate → PII scrub → per-language token totals. One shuffle
+    for the dedup agg, one broadcast-able semi join, one final agg —
+    the whole curation pass is two shuffles regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup_groups(docs).select(F.col("keeper_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    quality = kept.where(token_count("text") >= 20)
+    scrubbed = quality.select("lang", scrub_pii("text").alias("s"))
+    return scrubbed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("s")).cast("bigint").alias("total_tokens"),
+    )

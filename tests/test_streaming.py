@@ -322,3 +322,46 @@ def test_online_sgd_stream_converges_over_batches(spark, tmp_path):
 
     assert errs[-1] < errs[0] * 0.5, f"SGD failed to converge: {errs}"
     assert all(b <= a + 1e-9 for a, b in zip(errs, errs[1:])), f"MSE rose: {errs}"
+
+
+def test_interval_join_streams_within_bound(spark, tmp_path):
+    """Stream-stream interval join: conversions pair with the trigger
+    within 30 minutes; outside the bound they don't."""
+    from flink_ms_spark.streaming.joins import interval_join
+
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clicks"
+    ckpt = tmp_path / "ckpt_join"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    imp_schema = "user_id LONG, ts TIMESTAMP, campaign STRING"
+    clk_schema = "user_id LONG, ts TIMESTAMP, amount DOUBLE"
+
+    _write(
+        str(imp_dir / "a.json"),
+        [
+            '{"user_id": 1, "ts": "2024-01-01 10:00:00", "campaign": "c1"}',
+            '{"user_id": 2, "ts": "2024-01-01 10:00:00", "campaign": "c2"}',
+        ],
+    )
+    _write(
+        str(clk_dir / "a.json"),
+        [
+            '{"user_id": 1, "ts": "2024-01-01 10:10:00", "amount": 5.0}',
+            '{"user_id": 2, "ts": "2024-01-01 11:30:00", "amount": 7.0}',
+            '{"user_id": 3, "ts": "2024-01-01 10:05:00", "amount": 9.0}',
+        ],
+    )
+    imps = spark.readStream.schema(imp_schema).json(str(imp_dir))
+    clicks = spark.readStream.schema(clk_schema).json(str(clk_dir))
+    joined = interval_join(imps, clicks, max_delay="30 minutes")
+    rows: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.campaign, r.amount) for r in rows}
+    # user 1: within 10 min → joined; user 2: 90 min late → dropped;
+    # user 3: no impression → dropped
+    assert got == {(1, "c1", 5.0)}
