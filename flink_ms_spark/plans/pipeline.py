@@ -1,0 +1,252 @@
+"""Training-data pipeline queries (north-star extensions beyond the
+reference's surface): duplicate-cluster resolution, vocabulary /
+TF-IDF, deterministic train/valid/test splits, stratified sampling,
+and value histograms — the operations a large-scale corpus-curation
+pipeline runs after the per-doc scoring ops in ``northstar.py``.
+
+All hash/sampling decisions are md5-based so the DuckDB oracle can
+reproduce them exactly (same trick as ``minhash``: 15-hex-char prefix
+→ 60-bit integer, identical on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_ms_spark.operators.cluster import (
+    canonical_per_component,
+    connected_components,
+)
+from flink_ms_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+from flink_ms_spark.plans.northstar import _LSH_ORACLE
+from flink_ms_spark.plans.registry import register
+from flink_ms_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over LSH pairs.
+# Oracle: recursive CTE computing min-reachable-id per node over the
+# symmetrized candidate-pair edge list (same LSH CTE as q:lsh_pairs).
+
+_CC_CORE = f"""
+WITH RECURSIVE pairs AS ({_LSH_ORACLE}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+r AS (
+  SELECT u, u AS reach FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v AS reach FROM r JOIN edges e ON e.u = r.reach
+),
+comp AS (SELECT u AS doc_id, MIN(reach) AS component FROM r GROUP BY u)
+"""
+
+_DUP_CLUSTERS_ORACLE = _CC_CORE + "SELECT doc_id, component FROM comp"
+
+_DUP_CANONICAL_ORACLE = _CC_CORE + (
+    "SELECT component, count(*) AS n_docs, min(doc_id) AS canonical_doc_id "
+    "FROM comp GROUP BY component"
+)
+
+
+def _lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=1)
+    pairs = lsh_candidate_pairs(sigs, band_size=1)
+    return connected_components(pairs, src="a", dst="b")
+
+
+@register("dup_clusters", oracle=_DUP_CLUSTERS_ORACLE)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: every doc in an LSH candidate pair labeled
+    with the min doc_id of its connected component (min-label
+    propagation; oracle = recursive CTE reachability)."""
+    cc = _lsh_components(spark, sf_dir)
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@register("dup_canonical", oracle=_DUP_CANONICAL_ORACLE)
+def q_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster summary: size + canonical (min-id) member per
+    component — the survivors list of a cluster-dedup pass."""
+    return canonical_per_component(_lsh_components(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Vocabulary: term + total tf + doc-frequency, top-100 by tf.
+
+_VOCAB_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents)
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks WHERE term <> '' AND length(term) >= 2
+GROUP BY term ORDER BY tf DESC, term LIMIT 100
+"""
+
+
+@register("vocab_topk", oracle=_VOCAB_ORACLE)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (lowercased a-z tokens, len>=2): top-100 terms
+    by collection frequency with document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter("term <> '' AND length(term) >= 2")
+    vocab = toks.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    return vocab.orderBy(F.desc("tf"), "term").limit(100)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top-3 terms per doc. Ratio idf (tf·(N+1)/(df+1)) instead of
+# log idf — integer numerator + one IEEE division is bit-identical
+# across engines, so the ranking (and hash) is deterministic; log-idf
+# last-ulp differences across libm implementations are not.
+
+_TFIDF_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents),
+tfd AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term <> '' AND length(term) >= 2 GROUP BY doc_id, term),
+dfd AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
+n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+  SELECT tfd.doc_id, tfd.term,
+         CAST(tfd.tf * (n.n_total + 1) AS DOUBLE) / CAST(dfd.df + 1 AS DOUBLE) AS score
+  FROM tfd JOIN dfd ON tfd.term = dfd.term CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, term, rk, CAST(round(score, 6) AS DOUBLE) AS tfidf
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (ratio-idf variant — see module
+    docstring for why not log-idf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter("term <> '' AND length(term) >= 2")
+    tfd = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfd = tfd.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_total"))
+    scored = (
+        tfd.join(dfd, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") * (F.col("n_total") + F.lit(1))).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .select("doc_id", "term", "rk", F.round("score", 6).alias("tfidf"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/valid/test split: md5(doc_id) mod 100 → 80/10/10.
+
+_SPLIT_ORACLE = """
+WITH b AS (SELECT n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+           FROM documents)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(round(avg(n_chars), 6) AS DOUBLE) AS avg_chars
+FROM b GROUP BY 1 ORDER BY split
+"""
+
+
+@register("split_assign", oracle=_SPLIT_ORACLE)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 80/10/10 split with per-split counts and mean doc
+    length — content-stable (a doc keeps its split across reruns and
+    across engines), the property random splits lack."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    ).alias("split")
+    return (
+        docs.select(split, "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: deterministic ~10% per language stratum.
+
+_STRATIFIED_ORACLE = """
+WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+        count(*) OVER (PARTITION BY lang) AS cnt
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= (cnt + 9) // 10
+"""
+
+
+@register("stratified_sample", oracle=_STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ceil(10%) sample, chosen by md5 rank so the sample
+    is deterministic and engine-independent (integer ceil via
+    (n+9) div 10 — float 0.1 arithmetic is not cross-engine-stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("hk"))
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    wc = Window.partitionBy("lang")
+    r = h.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return r.filter(F.col("rn") <= F.expr("(cnt + 9) div 10")).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Equal-width histogram over events.value (20 bins).
+
+_HISTOGRAM_ORACLE = """
+WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+b AS (SELECT LEAST(CAST(floor(((value - mn) / (mx - mn)) * 20) AS INT), 19) AS bin
+      FROM events CROSS JOIN mm)
+SELECT bin, count(*) AS n FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("value_histogram", oracle=_HISTOGRAM_ORACLE)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-width histogram of events.value. The bin expression
+    is pure IEEE (sub/div/mul/floor), so both engines place every row
+    identically; the max value is clamped into the last bin."""
+    events = load_table(spark, sf_dir, "events")
+    mm = events.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = events.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 20)
+            .cast("int"),
+            F.lit(19),
+        ).alias("bin")
+    )
+    return b.groupBy("bin").agg(F.count("*").alias("n")).orderBy("bin")

@@ -430,3 +430,105 @@ SELECT user_id, min(t) AS session_start, count(*) AS n_events
 FROM s GROUP BY user_id, sid
 """,
 )
+
+# TPC-H Q7 flavor — volume shipping between two nations, by year
+register_sql(
+    "volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+
+# TPC-H Q8 flavor — one nation's market share inside a region, by year
+register_sql(
+    "market_share",
+    """
+SELECT o_year,
+  CAST(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                      ELSE CAST(0 AS DOUBLE) END) / sum(volume), 6) AS DOUBLE)
+    AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+
+# TPC-H Q14 flavor — promo revenue share for one month
+register_sql(
+    "promo_revenue",
+    spark_sql="""
+SELECT CAST(round(
+  CAST(100 AS DOUBLE) *
+    sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)
+             ELSE CAST(0 AS DOUBLE) END)
+    / sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP_NTZ '1997-02-01 00:00:00'
+""",
+)
+ORACLE_SQL["promo_revenue"] = ORACLE_SQL["promo_revenue"].replace(
+    "TIMESTAMP_NTZ", "TIMESTAMP"
+)
+
+# TPC-H Q19 flavor — OR-of-brackets join predicate (brand/size/qty)
+register_sql(
+    "bracket_revenue",
+    """
+SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+
+# TPC-H Q22 flavor — well-funded customers with no orders, per nation
+# (scalar subquery threshold + anti-join; threshold rounded to 2dp on
+# both engines so the cross-engine avg summation order can't flip
+# membership at the boundary)
+register_sql(
+    "acctbal_no_orders",
+    """
+SELECT n_name, count(*) AS numcust,
+       CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(round(avg(c_acctbal), 2) AS DOUBLE)
+                   FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
