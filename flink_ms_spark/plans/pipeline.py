@@ -250,3 +250,122 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin")
     )
     return b.groupBy("bin").agg(F.count("*").alias("n")).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent earlier
+# (or same-instant) view. Oracle = DuckDB's native ASOF LEFT JOIN;
+# Spark side = union+window single-shuffle implementation.
+
+_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       v.event_id AS view_event_asof
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("asof_purchase_view", oracle=_ASOF_ORACLE)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join purchases→views per user (see
+    operators/asof.py for the union+window plan shape)."""
+    from flink_ms_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("t"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "t"
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", "t", F.col("event_id").alias("view_event")
+    )
+    out = asof_join_backward(
+        purchases, views, on="user_id", ts_col="t", right_value_cols=["view_event"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("purchase_ts"),
+        F.col("view_event_asof"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: chunk docs into ~2048-token packs per language
+# stratum (cumulative token count before each doc, integer-divided by
+# the budget — the standard approximate packing for LLM pretraining
+# shards; per-stratum windows keep the sort distributed).
+
+_PACKING_ORACLE = r"""
+WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+      FROM t)
+SELECT lang, cum_before // 2048 AS pack_id,
+       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id
+"""
+
+
+@register("sequence_packing", oracle=_PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing (2048/pack) per language stratum."""
+    from flink_ms_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        c.select("lang", F.expr("cum_before div 2048").alias("pack_id"), "n_tokens")
+        .groupBy("lang", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("lang", "pack_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated quantiles per event type (both engines implement
+# the same linear-interpolation definition; verified bit-equal after
+# round-6). The approximate sketch path (percentile_approx) is pinned
+# separately in tests/test_sketches.py — at 100 TB you'd reach for the
+# sketch, with this exact form as the small-partition oracle.
+
+_QUANTILES_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90,
+       CAST(round(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("value_quantiles", oracle=_QUANTILES_ORACLE)
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value per event type (exact percentile)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
