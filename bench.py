@@ -58,6 +58,14 @@ HEADLINE = [
     "sessionize",
     "series_correlation",
     "corpus_curation",
+    # round-1 widening: cluster dedup, as-of, TF-IDF, packing,
+    # quantiles, TPC-H Q7 flavor
+    "dup_clusters",
+    "asof_purchase_view",
+    "tfidf_top_terms",
+    "sequence_packing",
+    "value_quantiles",
+    "volume_shipping",
 ]
 
 
@@ -111,8 +119,14 @@ def main() -> None:
     # warm-up: JVM, file listing, catalog imports (not counted)
     _force(QUERIES["distinct_segments"](spark, sf_dir))
 
+    # Per-query: one untimed warm-up run, then the timed run. First
+    # executions are dominated by whole-stage-codegen compilation and
+    # JIT (5-10× on sub-second queries — measured, see BASELINE.md);
+    # steady-state throughput is what a resident engine delivers and
+    # what the reference's long-lived serving job model implies.
     times: dict[str, float] = {}
     for name in HEADLINE:
+        _force(QUERIES[name](spark, sf_dir))
         t0 = time.perf_counter()
         _force(QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)

@@ -16,20 +16,30 @@ from pyspark.sql import functions as F
 
 from flink_ms_spark.operators.cluster import (
     canonical_per_component,
-    connected_components,
+    connected_components_bipartite,
 )
-from flink_ms_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
-from flink_ms_spark.plans.northstar import _LSH_ORACLE
+from flink_ms_spark.operators.dedup import minhash_signatures
+from flink_ms_spark.plans.northstar import _MINHASH_ORACLE
 from flink_ms_spark.plans.registry import register
 from flink_ms_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
-# Duplicate-cluster resolution: connected components over LSH pairs.
-# Oracle: recursive CTE computing min-reachable-id per node over the
-# symmetrized candidate-pair edge list (same LSH CTE as q:lsh_pairs).
+# Duplicate-cluster resolution: connected components over the LSH
+# candidate graph (3-gram-shingle minhash, 4 one-row bands — candidate
+# iff ANY minhash collides). The Spark side never materializes pairwise
+# edges: it runs min-label propagation on the bipartite doc↔bucket
+# membership graph (see connected_components_bipartite — a k-doc bucket
+# is k rows, not k²/2 edges; the unigram variant of this fixture is
+# ~95% complete as a pair graph at sf0.1, which is exactly the blow-up
+# web-scale boilerplate causes). The oracle derives the SAME components
+# from explicit pairs via recursive-CTE reachability.
 
 _CC_CORE = f"""
-WITH RECURSIVE pairs AS ({_LSH_ORACLE}),
+WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
+bands AS (SELECT doc_id, h AS band, minhash AS band_sig FROM sigs),
+pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y USING (band, band_sig)
+          WHERE x.doc_id < y.doc_id),
 edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
 r AS (
   SELECT u, u AS reach FROM (SELECT DISTINCT u FROM edges)
@@ -49,9 +59,12 @@ _DUP_CANONICAL_ORACLE = _CC_CORE + (
 
 def _lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=1)
-    pairs = lsh_candidate_pairs(sigs, band_size=1)
-    return connected_components(pairs, src="a", dst="b")
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3)
+    membership = sigs.select(
+        F.col("doc_id").alias("node"),
+        F.concat_ws(":", "h", "minhash").alias("group"),
+    )
+    return connected_components_bipartite(membership)
 
 
 @register("dup_clusters", oracle=_DUP_CLUSTERS_ORACLE)

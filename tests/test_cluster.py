@@ -32,3 +32,23 @@ def test_edge_order_irrelevant(spark):
     pairs = spark.createDataFrame([(4, 3), (3, 4), (2, 3), (1, 2)], ["a", "b"])
     got = {(r.node, r.component) for r in connected_components(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_bipartite_matches_pair_graph(spark):
+    from flink_ms_spark.operators.cluster import connected_components_bipartite
+
+    # buckets: {1,2} share g1, {2,3} share g2, {5,6} share g3; 9 alone
+    rows = [(1, "g1"), (2, "g1"), (2, "g2"), (3, "g2"), (5, "g3"), (6, "g3"), (9, "g4")]
+    m = spark.createDataFrame(rows, ["node", "group"])
+    want = {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+    # 9 is in no >=2 bucket -> excluded, exactly like the pair graph;
+    # local union-find path and distributed propagation path agree
+    got_local = {
+        (r.node, r.component) for r in connected_components_bipartite(m).collect()
+    }
+    got_dist = {
+        (r.node, r.component)
+        for r in connected_components_bipartite(m, local_threshold=0).collect()
+    }
+    assert got_local == want
+    assert got_dist == want
