@@ -66,6 +66,12 @@ HEADLINE = [
     "sequence_packing",
     "value_quantiles",
     "volume_shipping",
+    # curation + TPC-H widening
+    "repetition_stats",
+    "decontaminate",
+    "domain_mix",
+    "returned_items",
+    "customer_orders_dist",
 ]
 
 

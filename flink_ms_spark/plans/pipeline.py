@@ -382,3 +382,209 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+# most-common-token fraction and duplicate-bigram fraction, plus the
+# filter verdict. The bigram stats are computed with higher-order array
+# functions (zip_with/array_distinct) — per-row JVM work, NO shuffle;
+# only the top-token mode needs the token explode + two partial-agg
+# shuffles. At 100 TB both aggs combine map-side, and the doc_id
+# grouping carries no skew (keys are unique).
+
+_REPETITION_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_cnt
+        FROM cnt GROUP BY doc_id),
+big AS (SELECT doc_id, len(bg) AS n_bigrams, len(list_distinct(bg)) AS n_dist
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]) AS bg
+              FROM toks WHERE len(t) >= 2)),
+r AS (SELECT a.doc_id, a.n_tokens,
+             CAST(round(CAST(a.top_cnt AS DOUBLE) / a.n_tokens, 6) AS DOUBLE)
+               AS top_token_frac,
+             CAST(round(CASE WHEN b.n_bigrams IS NULL THEN CAST(0 AS DOUBLE)
+                             ELSE CAST(b.n_bigrams - b.n_dist AS DOUBLE)
+                                  / b.n_bigrams END, 6) AS DOUBLE)
+               AS dup_bigram_frac
+      FROM agg a LEFT JOIN big b USING (doc_id))
+SELECT doc_id, n_tokens, top_token_frac, dup_bigram_frac,
+       (top_token_frac > 0.2 OR dup_bigram_frac > 0.5) AS repetitive
+FROM r
+"""
+
+
+@register("repetition_stats", oracle=_REPETITION_ORACLE)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition quality stats + Gopher-style filter verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    agg = (
+        t.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_cnt"))
+    )
+    big = t.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.expr(
+            "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).alias("n_dist"),
+    )
+    r = agg.join(big, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("top_cnt").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_token_frac"),
+        F.round(
+            F.when(F.col("n_bigrams").isNull(), F.lit(0.0)).otherwise(
+                (F.col("n_bigrams") - F.col("n_dist")).cast("double")
+                / F.col("n_bigrams")
+            ),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    return r.withColumn(
+        "repetitive",
+        (F.col("top_token_frac") > 0.2) | (F.col("dup_bigram_frac") > 0.5),
+    )
+
+
+# --------------------------------------------------------------------------
+# Eval-set decontamination (GPT-3 §C / PaLM style): docs whose id ≡ 0
+# (mod 100) stand in for the held-out benchmark; every other doc is
+# scored by the fraction of its distinct word-5-grams that collide with
+# the eval set's 5-gram universe. Spark side builds 5-grams with
+# transform(sequence)+slice (per-row JVM, no shuffle), then a BROADCAST
+# left join against the (small, by construction) eval-gram set — at
+# 100 TB the eval corpus is a few GB of grams, exactly the broadcast
+# regime; the only shuffle is the final per-doc count.
+
+_DECONTAM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+4], ' '))) AS gram
+        FROM toks WHERE len(t) >= 5)),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+j AS (SELECT tr.doc_id, CASE WHEN ev.gram IS NULL THEN 0 ELSE 1 END AS hit
+      FROM (SELECT * FROM g WHERE doc_id % 100 <> 0) tr
+      LEFT JOIN ev ON tr.gram = ev.gram)
+SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_hit,
+       CAST(round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS DOUBLE)
+         AS contamination,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) >= 0.5 AS contaminated
+FROM j GROUP BY doc_id
+"""
+
+
+@register("decontaminate", oracle=_DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram overlap of each doc against the doc_id%100==0 eval set."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 4),"
+                        " i -> concat_ws(' ', slice(t, i, 5)))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % 100 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    out = (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    contamination = F.round(
+        F.col("n_hit").cast("double") / F.col("n_grams"), 6
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        contamination.alias("contamination"),
+        (contamination >= 0.5).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain-mix accounting: per-source token share of the corpus and the
+# resampling weight that would equalize the mix (uniform target). One
+# narrow scan + one tiny agg; the OVER () totals run on the ~20-row
+# aggregate, not the corpus, so this is scan-bound at any scale.
+
+_DOMAIN_MIX_ORACLE = """
+WITH a AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                       AS BIGINT) AS tokens
+           FROM documents GROUP BY source)
+SELECT source, n_docs, tokens,
+       CAST(round(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 6) AS DOUBLE)
+         AS share,
+       CAST(round(CAST(sum(tokens) OVER () AS DOUBLE)
+                  / count(*) OVER () / tokens, 6) AS DOUBLE) AS weight
+FROM a ORDER BY source
+"""
+
+
+@register("domain_mix", oracle=_DOMAIN_MIX_ORACLE)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus share + uniform-rebalance sampling weight."""
+    from flink_ms_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = (
+        docs.select("source", token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return a.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(
+            F.col("tokens").cast("double") / F.sum("tokens").over(w), 6
+        ).alias("share"),
+        F.round(
+            F.sum("tokens").over(w).cast("double")
+            / F.count("*").over(w)
+            / F.col("tokens"),
+            6,
+        ).alias("weight"),
+    ).orderBy("source")

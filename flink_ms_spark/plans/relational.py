@@ -532,3 +532,104 @@ GROUP BY n_name
 ORDER BY n_name
 """,
 )
+
+# TPC-H Q3 flavor — top unshipped orders by revenue (fixture has no
+# o_shippriority column, so the grouping is (orderkey, orderdate)).
+# ORDER BY the ROUNDED revenue + key so the LIMIT-10 frontier can't
+# flip on cross-engine ulp differences in summation order.
+register_sql(
+    "shipping_priority",
+    spark_sql="""
+SELECT l_orderkey, o_orderdate,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP_NTZ '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP_NTZ '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+ORACLE_SQL["shipping_priority"] = ORACLE_SQL["shipping_priority"].replace(
+    "TIMESTAMP_NTZ", "TIMESTAMP"
+)
+
+# TPC-H Q6 flavor — forecasting revenue change (single tight scan+agg;
+# at scale this is the pushdown poster child: both date bounds and the
+# discount/quantity range reach the parquet reader as PushedFilters)
+register_sql(
+    "forecast_revenue",
+    spark_sql="""
+SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
+  AND l_discount BETWEEN CAST(0.03 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(30 AS DOUBLE)
+""",
+)
+ORACLE_SQL["forecast_revenue"] = ORACLE_SQL["forecast_revenue"].replace(
+    "TIMESTAMP_NTZ", "TIMESTAMP"
+)
+
+# TPC-H Q10 flavor — returned-item revenue per customer, top 20
+register_sql(
+    "returned_items",
+    spark_sql="""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+ORACLE_SQL["returned_items"] = ORACLE_SQL["returned_items"].replace(
+    "TIMESTAMP_NTZ", "TIMESTAMP"
+)
+
+# TPC-H Q13 flavor — distribution of customers by order count
+# (left join keeps zero-order customers; all-integer, exactly portable)
+register_sql(
+    "customer_orders_dist",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+
+# TPC-H Q15 flavor — top supplier by quarter revenue (CTE + scalar-max
+# equality; both engines round to 2dp BEFORE the max comparison so the
+# winner can't differ on summation order)
+register_sql(
+    "top_supplier",
+    spark_sql="""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+""",
+)
+ORACLE_SQL["top_supplier"] = ORACLE_SQL["top_supplier"].replace(
+    "TIMESTAMP_NTZ", "TIMESTAMP"
+)

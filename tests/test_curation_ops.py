@@ -1,0 +1,55 @@
+"""Semantic invariants for the corpus-curation widening ops
+(repetition filters, eval-set decontamination, domain mix) and the
+broadcast plan shape of the decontamination join. Cross-engine value
+parity is the driver's DuckDB gate; these pin the semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ms_spark.plans.catalog import QUERIES
+
+
+def test_repetition_fracs_bounded(spark, sf_smoke):
+    rows = QUERIES["repetition_stats"](spark, sf_smoke).collect()
+    assert rows, "no docs scored"
+    for r in rows:
+        assert 0.0 <= r.top_token_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        assert r.repetitive == (r.top_token_frac > 0.2 or r.dup_bigram_frac > 0.5)
+
+
+def test_decontaminate_excludes_eval_docs(spark, sf_smoke):
+    rows = QUERIES["decontaminate"](spark, sf_smoke).collect()
+    assert rows, "no train docs scored"
+    for r in rows:
+        assert r.doc_id % 100 != 0, "eval doc leaked into scored set"
+        assert 0 <= r.n_hit <= r.n_grams
+        assert r.contaminated == (r.contamination >= 0.5)
+
+
+def test_decontaminate_eval_join_is_broadcast(spark, sf_smoke):
+    df = QUERIES["decontaminate"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_domain_mix_shares_and_weights(spark, sf_smoke):
+    rows = QUERIES["domain_mix"](spark, sf_smoke).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    n_src = len(rows)
+    for r in rows:
+        # weight rebalances this source to a uniform 1/n_src share
+        assert abs(r.weight * r.tokens * n_src - sum(x.tokens for x in rows)) / sum(
+            x.tokens for x in rows
+        ) < 1e-3
+
+
+def test_customer_orders_dist_counts_all_customers(spark, sf_smoke):
+    from flink_ms_spark.sources.tables import load_table
+
+    dist = QUERIES["customer_orders_dist"](spark, sf_smoke)
+    total = dist.agg(F.sum("custdist")).collect()[0][0]
+    n_cust = load_table(spark, sf_smoke, "customer").count()
+    assert total == n_cust, "distribution must partition the customer set"
