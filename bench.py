@@ -72,6 +72,8 @@ HEADLINE = [
     "domain_mix",
     "returned_items",
     "customer_orders_dist",
+    "lm_score",
+    "lev_neardup",
 ]
 
 

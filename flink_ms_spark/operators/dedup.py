@@ -115,19 +115,24 @@ def lsh_candidate_pairs(
             "band_sig"
         )
     )
+    # Pair expansion WITHOUT a self-join: one groupBy collects each
+    # bucket's member set, then a double explode emits the a<b pairs
+    # in place. Same result as the bucket self-join but one shuffle
+    # fewer (the join would repartition both sides by (band, band_sig)
+    # again), the oversize-bucket drop is a free size() predicate on
+    # the bucket row, and the quadratic expansion happens inside that
+    # row where it is already bounded.
+    buckets = (
+        band_sigs.groupBy("band", "band_sig")
+        .agg(F.collect_set(id_col).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
     if max_bucket_size is not None:
-        sizes = band_sigs.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
-        band_sigs = (
-            band_sigs.join(sizes, ["band", "band_sig"])
-            .where(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
-    a = band_sigs.select(F.col(id_col).alias("a"), "band", "band_sig")
-    b = band_sigs.select(F.col(id_col).alias("b"), "band", "band_sig")
+        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
     return (
-        a.join(b, ["band", "band_sig"])
+        buckets.select(F.explode("_ids").alias("a"), F.col("_ids"))
+        .select("a", F.explode("_ids").alias("b"))
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
     )
 

@@ -588,3 +588,103 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality scoring (CCNet-style, Wenzek et al. 2020): fit a
+# corpus unigram model, score each doc by mean negative log-likelihood.
+# High avg_nll = rare-token-heavy (noise/garble candidates); low =
+# boilerplate-ish. The vocab aggregate is tiny (it's a vocabulary, not
+# a corpus) so the prob join broadcasts; total-count is a 1-row cross
+# join the optimizer folds into the broadcast side. Two shuffles total
+# (vocab agg, per-doc avg), both with map-side partial aggregation.
+
+_LM_SCORE_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents),
+v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v),
+s AS (SELECT t.doc_id, -ln(v.c / tot.n) AS nll
+      FROM toks t JOIN v USING (tok) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(round(avg(nll), 6) AS DOUBLE) AS avg_nll
+FROM s GROUP BY doc_id
+"""
+
+
+@register("lm_score", oracle=_LM_SCORE_ORACLE)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log-likelihood under a corpus unigram LM."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    v = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = v.agg(F.sum("c").cast("double").alias("n"))
+    probs = F.broadcast(v.crossJoin(F.broadcast(tot)))
+    return (
+        toks.join(probs, "tok")
+        .select("doc_id", (-F.log(F.col("c") / F.col("n"))).alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Candidate-verify near-dup: LSH (3-gram minhash bands) proposes pairs,
+# exact Levenshtein confirms. This is the canonical two-phase web-dedup
+# shape — the quadratic exact metric runs ONLY on the candidate set, so
+# its cost scales with near-dup density, not corpus size². The verify
+# join ships each candidate's text once (shuffle join on doc_id; at
+# 100 TB you'd sort the pair list by id so text fetches batch per
+# partition — here Catalyst's shuffle join does exactly that).
+
+_LEV_ORACLE = f"""
+WITH sigs AS ({_MINHASH_ORACLE}),
+pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM sigs x JOIN sigs y ON x.h = y.h AND x.minhash = y.minhash
+          WHERE x.doc_id < y.doc_id),
+j AS (SELECT a, b, levenshtein(da.text, db.text) AS lev,
+             greatest(len(da.text), len(db.text)) AS mx
+      FROM pairs
+      JOIN documents da ON da.doc_id = a
+      JOIN documents db ON db.doc_id = b)
+SELECT a, b, CAST(lev AS BIGINT) AS lev,
+       CAST(round(CAST(lev AS DOUBLE) / mx, 6) AS DOUBLE) AS rel_dist
+FROM j WHERE CAST(lev AS DOUBLE) / mx <= 0.4
+"""
+
+
+@register("lev_neardup", oracle=_LEV_ORACLE)
+def q_lev_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by relative Levenshtein distance ≤ 0.4."""
+    from flink_ms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    from flink_ms_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3)
+    # AQE coalesces the (small-bytes) candidate shuffle to 1 partition,
+    # which would serialize the O(len²) Levenshtein verify — fan the
+    # pair list back out so the verify stage uses every core.
+    pairs = fan_out(lsh_candidate_pairs(sigs, band_size=1))
+    da = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta"))
+    db = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb"))
+    j = pairs.join(da, "a").join(db, "b").select(
+        "a",
+        "b",
+        F.levenshtein("_ta", "_tb").cast("long").alias("lev"),
+        F.greatest(F.length("_ta"), F.length("_tb")).alias("mx"),
+    )
+    return j.where(F.col("lev").cast("double") / F.col("mx") <= 0.4).select(
+        "a",
+        "b",
+        "lev",
+        F.round(F.col("lev").cast("double") / F.col("mx"), 6).alias("rel_dist"),
+    )

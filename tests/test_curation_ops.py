@@ -53,3 +53,17 @@ def test_customer_orders_dist_counts_all_customers(spark, sf_smoke):
     total = dist.agg(F.sum("custdist")).collect()[0][0]
     n_cust = load_table(spark, sf_smoke, "customer").count()
     assert total == n_cust, "distribution must partition the customer set"
+
+
+def test_lm_score_rare_tokens_score_higher(spark, sf_smoke):
+    rows = QUERIES["lm_score"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_nll > 0.0, "NLL of any non-degenerate unigram model is positive"
+
+
+def test_lev_neardup_verifies_candidates(spark, sf_smoke):
+    rows = QUERIES["lev_neardup"](spark, sf_smoke).collect()
+    for r in rows:
+        assert r.a < r.b
+        assert 0.0 <= r.rel_dist <= 0.4
