@@ -74,6 +74,8 @@ HEADLINE = [
     "customer_orders_dist",
     "lm_score",
     "lev_neardup",
+    "hyperplane_neardup",
+    "winsorized_stats",
 ]
 
 

@@ -380,3 +380,92 @@ def embedding_neardup(
     return cands.select("a", "b", F.round("sim", 6).alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
     )
+
+
+def hyperplane_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5)^dim,
+    derived from md5 so Spark and any oracle engine can embed the SAME
+    literal planes (no RNG-state coupling between engines)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16) / 2**32
+            - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_code(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit code of the vector against each hyperplane (SimHash for
+    embeddings, Charikar 2002). Pure JVM column expressions — the
+    bucketing stage never leaves codegen; only the verify stage pays
+    the Python/Arrow toll."""
+    v = F.transform(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                    lambda x: x.cast("double"))
+    bits = []
+    for row in planes:
+        arr = F.array(*[F.lit(w) for w in row])
+        dot = F.aggregate(
+            F.zip_with(v, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def pairwise_cos_within(
+    df: DataFrame,
+    bucket_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos_sim) pairs with a < b and rounded cosine ≥ threshold,
+    candidates restricted to rows sharing ``bucket_col``. Per-bucket
+    upper-triangular matmul via applyInPandas — one shuffle, pair
+    expansion bounded by bucket population, never |corpus|²."""
+    eps = 1e-6
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold - eps
+        lo = np.minimum(ids[iu[keep]], ids[ju[keep]])
+        hi = np.maximum(ids[iu[keep]], ids[ju[keep]])
+        return pd.DataFrame({"a": lo, "b": hi, "sim": sims[iu[keep], ju[keep]]})
+
+    cands = df.groupBy(bucket_col).applyInPandas(per_bucket, schema=CAND_SCHEMA)
+    return cands.select("a", "b", F.round("sim", 6).alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
+    )
+
+
+def hyperplane_neardup(
+    df: DataFrame,
+    n_planes: int = 4,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane-LSH near-duplicate pairs: bucket by the
+    n_planes sign-bit code, verify exact cosine within buckets. Unlike
+    ``embedding_neardup``'s coordinate-sign cells, the projections mix
+    ALL dimensions, so recall doesn't depend on which coordinates carry
+    the signal; more planes → smaller buckets → cheaper verify, lower
+    recall."""
+    planes = hyperplane_planes(n_planes, dim, seed)
+    coded = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_code(vec_col, planes).alias("_code")
+    )
+    return pairwise_cos_within(
+        coded, "_code", threshold, id_col=id_col, vec_col=vec_col
+    )

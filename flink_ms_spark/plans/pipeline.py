@@ -688,3 +688,87 @@ def q_lev_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lev",
         F.round(F.col("lev").cast("double") / F.col("mx"), 6).alias("rel_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup over embeddings (Charikar 2002
+# SimHash for vectors). The planes are md5-derived at import time and
+# embedded as LITERALS in both the Spark plan and the oracle SQL, so
+# the two engines bucket by bit-identical projections — no RNG-state
+# coupling. Bucketing is pure codegen'd column math; only the
+# within-bucket verify (upper-triangular matmul) crosses into Arrow.
+
+from flink_ms_spark.operators.similarity import (  # noqa: E402
+    hyperplane_neardup,
+    hyperplane_planes,
+)
+
+_HP_PLANES = hyperplane_planes(n_planes=4, dim=64, seed=7)
+_HP_BITS = " || ".join(
+    "CASE WHEN list_dot_product(v, ["
+    + ", ".join(repr(w) for w in row)
+    + "]) >= 0 THEN '1' ELSE '0' END"
+    for row in _HP_PLANES
+)
+
+_HP_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c AS (SELECT vec_id, v, {_HP_BITS} AS code,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DOUBLE)
+              AS cos_sim
+          FROM c a JOIN c b USING (code) WHERE a.vec_id < b.vec_id)
+SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+"""
+
+
+@register("hyperplane_neardup", oracle=_HP_ORACLE)
+def q_hyperplane_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-plane random-hyperplane LSH + exact cosine ≥ 0.4 verify."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_neardup(emb, n_planes=4, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust stats: clip events.value at the per-type exact
+# p01/p99, then mean/stddev of the clipped series — the outlier-robust
+# summary a feature-QA pass runs before training. The quantile agg and
+# the re-join are both on event_type (low cardinality, broadcast).
+
+_WINSOR_ORACLE = """
+WITH q AS (SELECT event_type,
+                  quantile_cont(value, 0.01) AS lo,
+                  quantile_cont(value, 0.99) AS hi
+           FROM events GROUP BY event_type),
+c AS (SELECT e.event_type, least(greatest(e.value, q.lo), q.hi) AS v
+      FROM events e JOIN q USING (event_type))
+SELECT event_type, count(*) AS n,
+       CAST(round(avg(v), 6) AS DOUBLE) AS w_mean,
+       CAST(round(stddev_samp(v), 6) AS DOUBLE) AS w_std
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("winsorized_stats", oracle=_WINSOR_ORACLE)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean/std after clipping at exact p01/p99."""
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    c = events.join(F.broadcast(q), "event_type").select(
+        "event_type", F.least(F.greatest("value", "lo"), "hi").alias("v")
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v"), 6).alias("w_mean"),
+            F.round(F.stddev_samp("v"), 6).alias("w_std"),
+        )
+        .orderBy("event_type")
+    )

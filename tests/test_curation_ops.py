@@ -67,3 +67,40 @@ def test_lev_neardup_verifies_candidates(spark, sf_smoke):
     for r in rows:
         assert r.a < r.b
         assert 0.0 <= r.rel_dist <= 0.4
+
+
+def test_hyperplane_bucketing_is_jvm_side(spark, sf_smoke):
+    # the bucketing stage must stay in codegen; only verify is Arrow
+    from flink_ms_spark.operators.similarity import hyperplane_code, hyperplane_planes
+    from flink_ms_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    coded = emb.select(hyperplane_code("embedding", hyperplane_planes(4, 64)).alias("c"))
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hyperplane_neardup_pairs_verified(spark, sf_smoke):
+    from flink_ms_spark.plans.catalog import QUERIES as Q
+
+    rows = Q["hyperplane_neardup"](spark, sf_smoke).collect()
+    assert rows, "expected some near-dup pairs in the cosine>=0.4 tail"
+    for r in rows:
+        assert r.a < r.b and r.cos_sim >= 0.4
+
+
+def test_winsorized_std_not_above_raw(spark, sf_smoke):
+    from flink_ms_spark.plans.catalog import QUERIES as Q
+    from flink_ms_spark.sources.tables import load_table
+
+    w = {r.event_type: r for r in Q["winsorized_stats"](spark, sf_smoke).collect()}
+    raw = {
+        r.event_type: r.s
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.stddev_samp("value").alias("s"))
+        .collect()
+    }
+    assert w
+    for t, r in w.items():
+        assert r.w_std <= raw[t] + 1e-9, "clipping can only shrink dispersion"
