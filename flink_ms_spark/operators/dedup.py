@@ -70,24 +70,31 @@ def minhash_signatures(
     shingles of ``(a_i·x + b_i) mod p`` where ``x`` is a 60-bit integer
     from md5(shingle) — one digest per shingle regardless of k.
 
-    Explode + hashing are map-side; the only shuffle is the
-    per-(doc, seed) MIN aggregation, pre-combined map-side, carrying
-    BIGINTs (not digest strings)."""
-    sh = fan_out(df).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    Shuffle-FREE: the shingle→hash→min pipeline is higher-order array
+    math evaluated per document row (one md5 per shingle, then k
+    affine-reseed traversals of the cached base-hash array), so the
+    signature job is map-only — at 100 TB it runs at scan speed with
+    zero exchange. The tiny k-row posexplode stays within the row."""
+    xs = F.transform(
+        shingles(F.col(text_col), shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
     )
-    x = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MINHASH_P
-    hashes = F.transform(
+    mins = F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda h: ((F.lit(2) * h + 1) * F.col("x") + h * F.lit(12_345) + 7) % MINHASH_P,
-    )
-    seeds = sh.select(id_col, x.alias("x")).select(
-        id_col, F.posexplode(hashes).alias("pos", "mh")
+        lambda h: F.array_min(
+            F.transform(
+                F.col("_xs"),
+                lambda x: ((F.lit(2) * h + 1) * x + h * F.lit(12_345) + 7)
+                % MINHASH_P,
+            )
+        ),
     )
     return (
-        seeds.withColumn("h", F.col("pos") + 1)
-        .groupBy(id_col, "h")
-        .agg(F.min("mh").alias("minhash"))
+        fan_out(df)
+        .select(F.col(id_col), xs.alias("_xs"))
+        .select(id_col, F.posexplode(mins).alias("pos", "minhash"))
+        .select(id_col, (F.col("pos") + 1).cast("int").alias("h"), "minhash")
     )
 
 
@@ -109,12 +116,23 @@ def lsh_candidate_pairs(
     of 10^6 docs means 10^12 pairs; those docs belong in exact-dedup's
     digest groups, not in pairwise verification).
     """
-    banded = signatures.withColumn("band", ((F.col("h") - 1) / F.lit(band_size)).cast("int"))
-    band_sigs = banded.groupBy(id_col, "band").agg(
-        F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "h", "minhash")))).alias(
-            "band_sig"
+    if band_size == 1:
+        # one-row bands: the band signature IS the row — skip the
+        # per-(doc, band) collect_list shuffle entirely
+        band_sigs = signatures.select(
+            F.col(id_col),
+            (F.col("h") - 1).cast("int").alias("band"),
+            F.concat_ws(":", "h", "minhash").alias("band_sig"),
         )
-    )
+    else:
+        banded = signatures.withColumn(
+            "band", ((F.col("h") - 1) / F.lit(band_size)).cast("int")
+        )
+        band_sigs = banded.groupBy(id_col, "band").agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.concat_ws(":", "h", "minhash")))
+            ).alias("band_sig")
+        )
     # Pair expansion WITHOUT a self-join: one groupBy collects each
     # bucket's member set, then a double explode emits the a<b pairs
     # in place. Same result as the bucket self-join but one shuffle

@@ -666,14 +666,16 @@ def q_lev_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    from flink_ms_spark.partitioning import fan_out
-
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3)
     # AQE coalesces the (small-bytes) candidate shuffle to 1 partition,
     # which would serialize the O(len²) Levenshtein verify — fan the
-    # pair list back out so the verify stage uses every core.
-    pairs = fan_out(lsh_candidate_pairs(sigs, band_size=1))
+    # pair list back out so the verify stage uses every core. Plain
+    # repartition, not fan_out: fan_out's partition-count probe would
+    # execute the whole candidate plan a second time.
+    pairs = lsh_candidate_pairs(sigs, band_size=1).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     da = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta"))
     db = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb"))
     j = pairs.join(da, "a").join(db, "b").select(

@@ -633,3 +633,36 @@ ORDER BY s_suppkey
 ORACLE_SQL["top_supplier"] = ORACLE_SQL["top_supplier"].replace(
     "TIMESTAMP_NTZ", "TIMESTAMP"
 )
+
+# Rolling 7-day revenue — RANGE frame over a NUMERIC day index (both
+# engines support integer range frames; interval frames are
+# Spark-unsupported, so the portable form is also the scale-correct
+# one: one shuffle for the daily rollup, one global sort for the
+# window — at 100 TB you'd partition the window by month and stitch)
+register_sql(
+    "rolling_7d_revenue",
+    spark_sql="""
+WITH d AS (SELECT datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS day_no,
+                  o_totalprice
+           FROM orders),
+g AS (SELECT day_no, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS day_rev
+      FROM d GROUP BY day_no)
+SELECT day_no, day_rev,
+       CAST(round(sum(day_rev) OVER (ORDER BY day_no
+                                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+                  2) AS DOUBLE) AS rev_7d
+FROM g ORDER BY day_no
+""",
+    duck_sql="""
+WITH d AS (SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+                  o_totalprice
+           FROM orders),
+g AS (SELECT day_no, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS day_rev
+      FROM d GROUP BY day_no)
+SELECT day_no, day_rev,
+       CAST(round(sum(day_rev) OVER (ORDER BY day_no
+                                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+                  2) AS DOUBLE) AS rev_7d
+FROM g ORDER BY day_no
+""",
+)
