@@ -24,6 +24,7 @@ reference text format (K1 overwrite semantics), no output prints (K3).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -274,6 +275,52 @@ def cmd_mse(args: argparse.Namespace) -> None:
     print(f"MSE={row['mse']} over n={row['n']} scored pairs")
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """End-to-end corpus curation WRITE job: exact-dedup survivors →
+    token-length gate → PII scrub → lang-partitioned parquet, with
+    per-file row caps standing in for target file bytes (the
+    small-files guard a streaming ingest pipeline needs), plus a JSON
+    manifest of per-language doc/token counts.
+
+    The write is partitioned by ``lang`` so downstream per-language
+    readers prune partitions at the directory level; maxRecordsPerFile
+    bounds individual files without an extra repartition job."""
+    import json
+
+    from flink_ms_spark.operators.dedup import exact_dedup_groups
+    from flink_ms_spark.operators.text import scrub_pii, token_count
+    from flink_ms_spark.sources.tables import load_table
+
+    spark = _spark("[CURATE] corpus-write")
+    docs = load_table(spark, args.input_dir, "documents")
+    keepers = exact_dedup_groups(docs).select(F.col("keeper_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    quality = kept.where(token_count("text") >= args.min_tokens)
+    curated = quality.select(
+        "doc_id", "lang", "source", scrub_pii("text").alias("text")
+    ).withColumn("n_tokens", token_count("text"))  # tokens of the SCRUBBED text
+    (
+        curated.write.mode("overwrite")
+        .option("maxRecordsPerFile", args.max_records_per_file)
+        .partitionBy("lang")
+        .parquet(args.output)
+    )
+    manifest = {
+        r["lang"]: {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]}
+        for r in spark.read.parquet(args.output)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .collect()
+    }
+    manifest_path = os.path.join(args.output, "_manifest.json")
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    print(f"curated {sum(m['n_docs'] for m in manifest.values())} docs -> {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_ms_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -344,6 +391,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--fieldDelimiter", choices=["comma", "tab"], default="tab")
     e.add_argument("--ignoreFirstLine", type=lambda s: s != "false", default=True)
     e.set_defaults(func=cmd_mse)
+
+    c = sub.add_parser("curate")
+    c.add_argument("--input-dir", required=True, help="fixture sf dir")
+    c.add_argument("--output", required=True)
+    c.add_argument("--min-tokens", type=int, default=20)
+    c.add_argument("--max-records-per-file", type=int, default=100_000)
+    c.set_defaults(func=cmd_curate)
 
     return p
 

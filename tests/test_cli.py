@@ -131,3 +131,38 @@ def test_svm_train_and_predict(spark, tmp_path, capsys):
         assert labels[0].endswith("1.0") and not labels[0].endswith("-1.0")
         assert labels[1].endswith("-1.0")
         assert labels[2].endswith("-1.0")  # missing features → raw 0 → strict > fails
+
+
+def test_curate_writes_partitioned_corpus(tmp_path, capsys):
+    import json
+    import os
+
+    from flink_ms_spark.cli import main
+    from flink_ms_spark.plans.catalog import QUERIES
+    from flink_ms_spark.session import get_spark
+
+    out = str(tmp_path / "curated")
+    main(
+        [
+            "curate",
+            "--input-dir", "/root/testdata/sf0.001",
+            "--output", out,
+            "--min-tokens", "20",
+        ]
+    )
+    assert "curated " in capsys.readouterr().out
+    # layout: hive-style lang partitions + manifest
+    langs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert langs, "expected lang=* partition directories"
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    # manifest must agree with the corpus_curation catalog query
+    spark = get_spark("flink-ms-spark-tests")
+    expect = {
+        r.lang: (r.n_docs, r.total_tokens)
+        for r in QUERIES["corpus_curation"](spark, "/root/testdata/sf0.001").collect()
+    }
+    got = {k: (v["n_docs"], v["total_tokens"]) for k, v in manifest.items()}
+    assert got == expect
+    # partition pruning: reading one lang dir sees only that lang
+    one = spark.read.parquet(out).where(f"lang = '{langs[0].split('=')[1]}'")
+    assert one.count() == manifest[langs[0].split("=")[1]]["n_docs"]
