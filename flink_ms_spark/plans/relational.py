@@ -666,3 +666,20 @@ SELECT day_no, day_rev,
 FROM g ORDER BY day_no
 """,
 )
+
+# Quantile discretization — per-type decile binning via ntile over a
+# TOTAL order (value + event_id tiebreak: ntile is only portable when
+# the order is total; ties split arbitrarily otherwise)
+register_sql(
+    "value_deciles",
+    """
+WITH d AS (SELECT event_type, value,
+                  ntile(10) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS decile
+           FROM events)
+SELECT event_type, decile, count(*) AS n,
+       CAST(round(min(value), 6) AS DOUBLE) AS lo,
+       CAST(round(max(value), 6) AS DOUBLE) AS hi
+FROM d GROUP BY event_type, decile ORDER BY event_type, decile
+""",
+)
