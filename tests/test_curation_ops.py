@@ -104,3 +104,39 @@ def test_winsorized_std_not_above_raw(spark, sf_smoke):
     assert w
     for t, r in w.items():
         assert r.w_std <= raw[t] + 1e-9, "clipping can only shrink dispersion"
+
+
+def test_pq_topk_recall_beats_chance(spark, sf_oracle):
+    import numpy as np
+
+    from flink_ms_spark.plans.catalog import QUERIES as Q
+    from flink_ms_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_oracle, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    m = np.array([list(r[1]) for r in rows])
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(2)
+    np.fill_diagonal(d2, np.inf)
+    exact = {ids[i]: set(ids[np.argsort(d2[i])[:5]]) for i in range(len(ids))}
+    got: dict = {}
+    out = Q["pq_topk"](spark, sf_oracle).collect()
+    for r in out:
+        got.setdefault(r.a, set()).add(r.b)
+    assert len(out) == 5 * len(ids)
+    recall = float(np.mean([len(got[i] & exact[i]) / 5 for i in exact]))
+    # 0.444 measured; chance is 5/499 ≈ 0.01 — random vectors are the
+    # PQ worst case (distance concentration), so 0.3 is a safe floor
+    assert recall >= 0.3, f"recall@5 {recall}"
+
+
+def test_pq_codes_compress_and_roundtrip(spark, sf_smoke):
+    from flink_ms_spark.operators.similarity import pq_encode, train_pq_codebooks
+    from flink_ms_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cb = train_pq_codebooks(emb, n_subspaces=16, n_codes=32, seed=42)
+    assert cb.shape == (16, 32, 4)
+    codes = pq_encode(emb, cb).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.code) == 16 and all(0 <= c < 32 for c in r.code)
