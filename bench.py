@@ -78,6 +78,7 @@ HEADLINE = [
     "winsorized_stats",
     "pq_topk",
     "value_deciles",
+    "preceding_5min_count",
 ]
 
 

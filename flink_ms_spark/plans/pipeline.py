@@ -788,3 +788,39 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = train_pq_codebooks(emb, n_subspaces=16, n_codes=32, seed=42)
     return pq_topk(emb, cb, k=5)
+
+
+# --------------------------------------------------------------------------
+# Banded range join: per event, how many events (any user) landed in
+# the strictly-preceding 5 minutes. Non-equi time joins plan as
+# nested-loop in Spark; operators/rangejoin.py rewrites to an equi
+# join on 5-minute buckets (left side explodes to ≤2 candidate
+# buckets) + exact band filter. Micros-long arithmetic on both
+# engines (fixture timestamps are micro-precision, verified).
+
+_PRECEDING_ORACLE = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+c AS (SELECT a.event_id, count(*) AS n
+      FROM e a JOIN e b ON b.t >= a.t - 300000000 AND b.t < a.t
+      GROUP BY a.event_id)
+SELECT e.event_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_preceding
+FROM e LEFT JOIN c USING (event_id)
+"""
+
+
+@register("preceding_5min_count", oracle=_PRECEDING_ORACLE)
+def q_preceding_5min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events in the strictly-preceding 5-minute band, per event."""
+    from flink_ms_spark.operators.rangejoin import banded_range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts div 1000").alias("l_ts")
+    )
+    r = ev.select(F.col("event_id").alias("r_id"), F.col("l_ts").alias("r_ts"))
+    j = banded_range_join(
+        ev, r, left_ts="l_ts", right_ts="r_ts", lower=-300_000_000, upper=0
+    )
+    counts = j.groupBy("event_id").agg(F.count("*").alias("n"))
+    return ev.join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_preceding")
+    )

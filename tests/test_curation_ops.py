@@ -140,3 +140,31 @@ def test_pq_codes_compress_and_roundtrip(spark, sf_smoke):
     assert len(codes) == emb.count()
     for r in codes:
         assert len(r.code) == 16 and all(0 <= c < 32 for c in r.code)
+
+
+def test_banded_range_join_no_nested_loop(spark, sf_smoke):
+    # the whole point of the bucket rewrite: no BroadcastNestedLoopJoin
+    from flink_ms_spark.plans.catalog import QUERIES as Q
+
+    df = Q["preceding_5min_count"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    rows = df.collect()
+    assert rows and all(r.n_preceding >= 0 for r in rows)
+
+
+def test_banded_range_join_band_semantics(spark):
+    from flink_ms_spark.operators.rangejoin import banded_range_join
+
+    l = spark.createDataFrame([(1, 1000), (2, 2000)], ["lid", "l_ts"])
+    r = spark.createDataFrame(
+        [(10, 700), (11, 999), (12, 1000), (13, 1999), (14, 2000)], ["rid", "r_ts"]
+    )
+    got = {
+        (x.lid, x.rid)
+        for x in banded_range_join(
+            l, r, "l_ts", "r_ts", lower=-300, upper=0
+        ).collect()
+    }
+    # half-open [ts-300, ts): 700 and 999 for l=1000; 1999 (not 2000) for l=2000
+    assert got == {(1, 10), (1, 11), (2, 13)}
