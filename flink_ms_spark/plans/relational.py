@@ -683,3 +683,48 @@ SELECT event_type, decile, count(*) AS n,
 FROM d GROUP BY event_type, decile ORDER BY event_type, decile
 """,
 )
+
+# arg-max aggregate — latest event per user WITHOUT a window sort:
+# max_by over a composite orderable key (zero-padded ts||event_id so
+# ties on timestamp break deterministically on BOTH engines). At scale
+# this is one partial-aggregating shuffle vs the window form's full
+# per-key sort — the preferred latest-per-key shape.
+register_sql(
+    "user_last_event",
+    spark_sql="""
+WITH e AS (SELECT user_id, event_type, value,
+                  lpad(CAST(ts div 1000 AS STRING), 20, '0')
+                    || lpad(CAST(event_id AS STRING), 12, '0') AS ok
+           FROM events)
+SELECT user_id,
+       max_by(event_type, ok) AS last_type,
+       CAST(round(max_by(value, ok), 6) AS DOUBLE) AS last_value,
+       count(*) AS n_events
+FROM e GROUP BY user_id ORDER BY user_id
+""",
+    duck_sql="""
+WITH e AS (SELECT user_id, event_type, value,
+                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                    || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+           FROM events)
+SELECT user_id,
+       max_by(event_type, ok) AS last_type,
+       CAST(round(max_by(value, ok), 6) AS DOUBLE) AS last_value,
+       count(*) AS n_events
+FROM e GROUP BY user_id ORDER BY user_id
+""",
+)
+
+# ARRAY-typed output — per-language sorted distinct source list (set
+# semantics made deterministic by sorting; collect_set order is not)
+register_sql(
+    "sources_per_lang",
+    spark_sql="""
+SELECT lang, array_sort(collect_set(source)) AS sources, count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    duck_sql="""
+SELECT lang, list_sort(list(DISTINCT source)) AS sources, count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
