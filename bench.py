@@ -79,6 +79,7 @@ HEADLINE = [
     "pq_topk",
     "value_deciles",
     "preceding_5min_count",
+    "duplicated_ngrams",
 ]
 
 
@@ -122,6 +123,36 @@ def point_lookup_bench(spark, n_queries: int = 1000) -> dict[str, float]:
     }
 
 
+def training_and_throughput_bench(spark, sf_dir: str) -> dict[str, float]:
+    """The BASELINE.md 'metrics our harness emits' rows beyond the
+    headline queries: ALS train wall (reference defaults: rank 10,
+    10 iters, seed 42), and batch ALS predict throughput (broadcast
+    model join over every fixture rating — the serving-side bulk
+    path, vs the reference's per-record state RPCs)."""
+    from flink_ms_spark.ml.als import als_model_table, train_als
+    from flink_ms_spark.operators.predict import predict_als_batch
+    from flink_ms_spark.sources.ratings import ratings_from_events
+
+    ratings = ratings_from_events(spark, sf_dir)
+    t0 = time.perf_counter()
+    model = train_als(ratings, rank=10, max_iter=10, reg_param=0.9, seed=42)
+    table = als_model_table(model)
+    n_model = table.count()  # forces training + table materialization
+    train_s = time.perf_counter() - t0
+
+    queries = ratings.select("user_id", "item_id")
+    _force(predict_als_batch(queries, table))  # warm
+    t0 = time.perf_counter()
+    _force(predict_als_batch(queries, table))
+    predict_s = time.perf_counter() - t0
+    n_q = queries.count()
+    return {
+        "als_train_s": round(train_s, 2),
+        "als_model_rows": n_model,
+        "batch_predict_rows_per_s": round(n_q / predict_s),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -151,6 +182,7 @@ def main() -> None:
         times[name] = round(min(walls), 3)
 
     extra = point_lookup_bench(spark)
+    extra.update(training_and_throughput_bench(spark, sf_dir))
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_wall",

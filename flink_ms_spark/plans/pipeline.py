@@ -824,3 +824,55 @@ def q_preceding_5min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(counts, "event_id", "left").select(
         "event_id", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_preceding")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated n-grams (the detection signal behind exact
+# substring dedup, Lee et al. 2021): 10-gram spans appearing in ≥2
+# distinct documents, ranked by document frequency. Span construction
+# is transform(sequence)+slice per row (no shuffle); the only shuffle
+# is the gram groupBy, map-side combined. At 100 TB the head of this
+# list IS the boilerplate/license-text catalog you strip before
+# training.
+
+_DUP_NGRAMS_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 9),
+                      i -> array_to_string(t[i:i+9], ' '))) AS gram
+        FROM toks WHERE len(t) >= 10))
+SELECT gram, count(*) AS df
+FROM g GROUP BY gram HAVING count(*) >= 2
+ORDER BY df DESC, gram LIMIT 100
+"""
+
+
+@register("duplicated_ngrams", oracle=_DUP_NGRAMS_ORACLE)
+def q_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 10-gram spans shared by ≥2 documents (boilerplate
+    catalog; df = number of distinct docs containing the span)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 10)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 9),"
+                        " i -> concat_ws(' ', slice(t, i, 10)))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .orderBy(F.desc("df"), "gram")
+        .limit(100)
+    )
