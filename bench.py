@@ -80,6 +80,7 @@ HEADLINE = [
     "value_deciles",
     "preceding_5min_count",
     "duplicated_ngrams",
+    "char_entropy",
 ]
 
 

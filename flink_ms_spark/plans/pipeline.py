@@ -876,3 +876,82 @@ def q_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "gram")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal: Shannon entropy (bits) of the
+# per-doc character distribution — near-zero entropy = repeated-char
+# garbage, unusually high = binary-ish noise. Portable because both
+# engines compute the same -Σ p·log2(p) over integer counts and the
+# result is rounded to 6 dp (libm ulp differences vanish well below
+# that). The char explode is the only heavy stage; its groupBy is
+# map-side combined on (doc_id, char) with ≤ |alphabet| groups per doc.
+
+_ENTROPY_ORACLE = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cc GROUP BY doc_id)
+SELECT cc.doc_id,
+       CAST(tot.t AS BIGINT) AS n_chars,
+       count(*) AS n_distinct_chars,
+       CAST(round(-sum((cc.n / tot.t) * log2(cc.n / tot.t)), 6) AS DOUBLE)
+         AS char_entropy
+FROM cc JOIN tot USING (doc_id)
+GROUP BY cc.doc_id, tot.t
+"""
+
+
+@register("char_entropy", oracle=_ENTROPY_ORACLE)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy (bits) of the character distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cc.groupBy("doc_id").agg(F.sum("n").cast("double").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id", "t")
+        .agg(
+            F.count("*").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("t").cast("bigint").alias("n_chars"),
+            "n_distinct_chars",
+            "char_entropy",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-k deterministic per-stratum sample: exactly min(k, |stratum|)
+# docs per language, chosen by md5(doc_id) order — the cross-engine-
+# reproducible analogue of per-group reservoir sampling (fractional
+# sampling is q:stratified_sample). One window sort per stratum.
+
+_FIXED_K_ORACLE = """
+WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+SELECT doc_id, lang, rk FROM r WHERE rk <= 5
+"""
+
+
+@register("fixed_k_sample", oracle=_FIXED_K_ORACLE)
+def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language by md5 order (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+    )

@@ -76,3 +76,37 @@ def test_partial_aggregation_before_shuffle(spark, sf_oracle):
     # map-side combine: HashAggregate appears below and above the exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning" in plan
+
+
+def test_forecast_revenue_filters_pushed(spark, sf_oracle):
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    df = QUERIES["forecast_revenue"](spark, sf_oracle)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = formatted.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_user_last_event_partial_aggregates(spark, sf_oracle):
+    # max_by latest-per-key must partial-aggregate before the exchange
+    # (the whole point of preferring it over a window sort)
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    df = QUERIES["user_last_event"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, "expected map-side partial max_by"
+    assert plan.index("partial_max_by") > plan.index("Exchange hashpartitioning"), (
+        "partial agg must run below (after in plan text = before in dataflow) "
+        "the hash exchange"
+    )
+    assert "Window" not in plan, "latest-per-key must not fall back to a window sort"
+
+
+def test_repetition_stats_array_math_stays_jvm(spark, sf_oracle):
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    df = QUERIES["repetition_stats"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
