@@ -54,6 +54,18 @@ _EXPORTS = {
     "ivf_kmeans_topk": "flink_ms_spark.operators.similarity",
     "train_ivf_codebook": "flink_ms_spark.operators.similarity",
     "embedding_neardup": "flink_ms_spark.operators.similarity",
+    "hyperplane_neardup": "flink_ms_spark.operators.similarity",
+    "pairwise_cos_within": "flink_ms_spark.operators.similarity",
+    "train_pq_codebooks": "flink_ms_spark.operators.similarity",
+    "pq_encode": "flink_ms_spark.operators.similarity",
+    "pq_topk": "flink_ms_spark.operators.similarity",
+    "connected_components": "flink_ms_spark.operators.cluster",
+    "connected_components_bipartite": "flink_ms_spark.operators.cluster",
+    "canonical_per_component": "flink_ms_spark.operators.cluster",
+    "asof_join_backward": "flink_ms_spark.operators.asof",
+    "banded_range_join": "flink_ms_spark.operators.rangejoin",
+    "streaming_exact_dedup": "flink_ms_spark.streaming.dedup",
+    "streaming_curate": "flink_ms_spark.streaming.curate",
     "quality_columns": "flink_ms_spark.operators.text",
     "predict_lang": "flink_ms_spark.operators.text",
     "scrub_pii": "flink_ms_spark.operators.text",

@@ -166,3 +166,34 @@ def test_curate_writes_partitioned_corpus(tmp_path, capsys):
     # partition pruning: reading one lang dir sees only that lang
     one = spark.read.parquet(out).where(f"lang = '{langs[0].split('=')[1]}'")
     assert one.count() == manifest[langs[0].split("=")[1]]["n_docs"]
+
+
+def test_source_sink_format_roundtrips(tmp_path):
+    """Format breadth beyond parquet: the curated-table schema survives
+    ORC, CSV (header + explicit schema), and JSON-lines round trips."""
+    from flink_ms_spark.session import get_spark
+    from flink_ms_spark.sources.tables import load_table
+
+    spark = get_spark("flink-ms-spark-tests")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    want = sorted((r.doc_id, r.lang, r.source, r.n_chars) for r in docs.collect())
+
+    orc = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(orc)
+    got = sorted(tuple(r) for r in spark.read.orc(orc).collect())
+    assert got == want
+
+    csv = str(tmp_path / "docs_csv")
+    docs.write.mode("overwrite").option("header", True).csv(csv)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema(docs.schema).option("header", True).csv(csv).collect()
+    )
+    assert got == want
+
+    js = str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").json(js)
+    got = sorted(tuple(r) for r in spark.read.schema(docs.schema).json(js).collect())
+    assert got == want
