@@ -169,3 +169,23 @@ def bpe_ish_token_count(text: Column | str) -> Column:
             lambda p: (F.trim(p) != "") & (p != " "),
         )
     )
+
+
+def compression_ratio_udf():
+    """Arrow-batched compression-ratio scorer: zlib bytes / raw bytes.
+    The classic redundancy quality filter (low ratio = repetitive /
+    templated text, near-1 = high-entropy noise). This is the
+    documented exception to the no-Python-in-hot-paths rule: there is
+    no JVM-side zlib expression, so it runs as a vectorized pandas UDF
+    (one Python call per Arrow batch, not per row)."""
+    import zlib
+
+    import pandas  # noqa: F401 — resolves the UDF's string type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(s: "pandas.Series") -> "pandas.Series":
+        raw = s.fillna("").str.encode("utf-8")
+        return raw.map(lambda b: len(zlib.compress(b, 6)) / len(b) if b else 1.0)
+
+    _ratio.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_ratio, "double")

@@ -955,3 +955,19 @@ def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
     )
+
+
+@register("compression_ratio")  # rows-only: no zlib in ANSI SQL/DuckDB
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-redundancy quality signal per doc (pandas-UDF path — the
+    sanctioned Arrow-batched exception; bounds + monotonicity pinned
+    in tests/test_curation_ops.py)."""
+    from flink_ms_spark.operators.text import compression_ratio_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = compression_ratio_udf()
+    return docs.select(
+        "doc_id",
+        F.round(ratio("text"), 6).alias("zlib_ratio"),
+        F.length("text").alias("n_chars"),
+    )

@@ -168,3 +168,22 @@ def test_banded_range_join_band_semantics(spark):
     }
     # half-open [ts-300, ts): 700 and 999 for l=1000; 1999 (not 2000) for l=2000
     assert got == {(1, 10), (1, 11), (2, 13)}
+
+
+def test_compression_ratio_bounds_and_monotonicity(spark, sf_smoke):
+    from flink_ms_spark.plans.catalog import QUERIES as Q
+
+    rows = Q["compression_ratio"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.zlib_ratio <= 1.5  # tiny inputs can exceed 1 (header)
+    # repeated text must compress better than varied text
+    df = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{i}x{i * 7}" for i in range(200)))],
+        ["doc_id", "text"],
+    )
+    from flink_ms_spark.operators.text import compression_ratio_udf
+
+    ratio = compression_ratio_udf()
+    got = {r.doc_id: r.r for r in df.select("doc_id", ratio("text").alias("r")).collect()}
+    assert got[1] < got[2] / 2, f"repetition must compress far better: {got}"
