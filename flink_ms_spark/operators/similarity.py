@@ -626,3 +626,51 @@ def pq_topk(
     scored = cands.select("a", "b", F.round("ad2", 6).alias("ad2"))
     w = Window.partitionBy("a").orderBy(F.col("ad2").asc(), F.col("b").asc())
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    n_subspaces: int = 16,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Persist a PQ index: ``<path>/codebooks`` (subspace, code,
+    centroid) + ``<path>/codes`` (id, code array) as parquet. Build
+    once, serve many — the catalog's self-contained ``pq_topk`` query
+    retrains per call, which a resident engine would not. Returns the
+    codebooks."""
+    cb = train_pq_codebooks(
+        df,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        vec_col=vec_col,
+        seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    spark = df.sparkSession
+    rows = [
+        (s, c, [float(x) for x in cb[s, c]])
+        for s in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebooks")
+    pq_encode(df, cb, id_col=id_col, vec_col=vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    return cb
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    n_sub = max(r.subspace for r in rows) + 1
+    n_codes = max(r.code for r in rows) + 1
+    cb = np.empty((n_sub, n_codes, len(rows[0].centroid)))
+    for r in rows:
+        cb[r.subspace, r.code] = r.centroid
+    return cb

@@ -187,3 +187,28 @@ def test_compression_ratio_bounds_and_monotonicity(spark, sf_smoke):
     ratio = compression_ratio_udf()
     got = {r.doc_id: r.r for r in df.select("doc_id", ratio("text").alias("r")).collect()}
     assert got[1] < got[2] / 2, f"repetition must compress far better: {got}"
+
+
+def test_pq_index_roundtrip(spark, sf_smoke, tmp_path):
+    import numpy as np
+
+    from flink_ms_spark.operators.similarity import (
+        build_pq_index,
+        load_pq_codebooks,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from flink_ms_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = str(tmp_path / "pq_index")
+    cb = build_pq_index(emb, idx, n_subspaces=16, n_codes=32, seed=42)
+    loaded = load_pq_codebooks(spark, idx)
+    assert np.allclose(cb, loaded)
+    # same codebooks -> same top-k, whether fresh or loaded
+    direct = train_pq_codebooks(emb, 16, 32, seed=42)
+    want = {(r.a, r.b, r.rk) for r in pq_topk(emb, direct, k=3).collect()}
+    got = {(r.a, r.b, r.rk) for r in pq_topk(emb, loaded, k=3).collect()}
+    assert got == want
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == emb.count()
