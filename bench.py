@@ -81,6 +81,7 @@ HEADLINE = [
     "preceding_5min_count",
     "duplicated_ngrams",
     "char_entropy",
+    "training_mix_manifest",
 ]
 
 

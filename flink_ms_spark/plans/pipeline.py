@@ -971,3 +971,81 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio("text"), 6).alias("zlib_ratio"),
         F.length("text").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone #2 — the training-mix manifest: exact-dedup survivors pass
+# the token gate, get their deterministic split (md5(doc_id) mod 100 →
+# 80/10/10), and the result is the per-(split, lang) doc/token ledger
+# with each cell's token share WITHIN its split — the table a batch
+# scheduler feeds from. One plan: dedup agg → semi join → map-side
+# gate/split → final agg (+ a window over the ~15-row aggregate).
+
+_MIX_MANIFEST_ORACLE = """
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+kept AS (SELECT d.* FROM documents d JOIN keepers k USING (doc_id)),
+gated AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM kept
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 20),
+cells AS (
+  SELECT CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+         lang, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM gated GROUP BY 1, lang)
+SELECT split, lang, n_docs, total_tokens,
+       CAST(round(CAST(total_tokens AS DOUBLE)
+                  / sum(total_tokens) OVER (PARTITION BY split), 6) AS DOUBLE)
+         AS split_share
+FROM cells ORDER BY split, lang
+"""
+
+
+@register("training_mix_manifest", oracle=_MIX_MANIFEST_ORACLE)
+def q_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup → gate → split → per-(split, lang) token ledger."""
+    from flink_ms_spark.operators.dedup import exact_dedup_groups
+    from flink_ms_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup_groups(docs).select(F.col("keeper_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    gated = kept.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 100
+        ).alias("bucket"),
+    ).where(F.col("n_tokens") >= 20)
+    cells = (
+        gated.withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "valid")
+            .otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy("split")
+    return cells.select(
+        "split",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w), 6
+        ).alias("split_share"),
+    ).orderBy("split", "lang")
