@@ -1049,3 +1049,99 @@ def q_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w), 6
         ).alias("split_share"),
     ).orderBy("split", "lang")
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical search — the keyword-query complement to the ANN family
+# (cosine_topk / ivf_topk / pq_topk): score documents against a fixed
+# term set with Okapi BM25 (k1=1.2, b=0.75) and return the top 20.
+# The idf uses the raw Robertson ratio (N - df + 0.5)/(df + 0.5)
+# WITHOUT the log: the log is monotone, so rankings are identical, and
+# rational arithmetic is bit-deterministic across engines where libm
+# log() is not (same trick as tfidf_top_terms). Every literal is cast
+# to DOUBLE on both sides — bare decimals are DECIMAL-typed in both
+# Spark and DuckDB and poison float parity.
+#
+# Scale path: tokenize → per-doc tf is one shuffle; df for the query
+# terms is a tiny aggregate (broadcast back); the scoring join is
+# tf ⋈ broadcast(df) ⋈ dl, then a global top-k (rank-limit pushes a
+# partial TakeOrdered to each partition). At 100 TB the tf/dl tables
+# are the inverted-index build — persist them once, reuse per query.
+
+_BM25_TERMS = ["join", "vector", "spark"]
+
+_BM25_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents),
+tfd AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+        GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dlen FROM tfd GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl),
+q AS (SELECT unnest(['join', 'vector', 'spark']) AS term),
+dfq AS (SELECT q.term, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+        FROM q JOIN tfd t ON t.term = q.term GROUP BY q.term),
+scored AS (
+  SELECT t.doc_id,
+         sum(((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+             * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(t.tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * l.dlen / s.avgdl))) AS score
+  FROM tfd t JOIN dfq d ON t.term = d.term
+       JOIN dl l ON t.doc_id = l.doc_id
+       CROSS JOIN stats s
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("bm25_search", oracle=_BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed keyword query (rational idf).
+
+    Reference parity: the reference's text pipeline is bag-of-words
+    scoring over parsed documents; this is the ranked-retrieval form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter("term <> ''")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    dfq = (
+        tf.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            * (F.col("tf").cast("double") * F.lit(2.2))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )

@@ -728,3 +728,187 @@ SELECT lang, list_sort(list(DISTINCT source)) AS sources, count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """,
 )
+
+# Calendar spine + LOCF gap fill — daily revenue per event type over
+# the full [min, max] day range, missing days carried forward (the
+# time-series resampling shape: generated spine, left join, then
+# last-non-null window). Spine generation is sequence()/
+# generate_series on both engines; day arithmetic stays integer.
+register_sql(
+    "daily_value_locf",
+    spark_sql="""
+WITH e AS (SELECT event_type,
+                  CAST((ts div 1000) div 86400000000 AS BIGINT) AS day_no,
+                  value
+           FROM events),
+bounds AS (SELECT min(day_no) AS lo, max(day_no) AS hi FROM e),
+spine AS (SELECT t.event_type, s.day_no
+          FROM (SELECT DISTINCT event_type FROM e) t
+          CROSS JOIN (SELECT explode(sequence((SELECT lo FROM bounds),
+                                              (SELECT hi FROM bounds))) AS day_no) s),
+daily AS (SELECT event_type, day_no,
+                 CAST(round(sum(value), 6) AS DOUBLE) AS day_value
+          FROM e GROUP BY event_type, day_no)
+SELECT event_type, day_no,
+       CAST(coalesce(d.day_value,
+              last(d.day_value, true) OVER (PARTITION BY event_type ORDER BY day_no
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0 AS DOUBLE)) AS DOUBLE) AS filled_value,
+       (d.day_value IS NULL) AS was_gap
+FROM spine LEFT JOIN daily d USING (event_type, day_no)
+ORDER BY event_type, day_no
+""",
+    duck_sql="""
+WITH e AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day_no,
+                  value
+           FROM events),
+bounds AS (SELECT min(day_no) AS lo, max(day_no) AS hi FROM e),
+spine AS (SELECT t.event_type, s.day_no
+          FROM (SELECT DISTINCT event_type FROM e) t
+          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                                    (SELECT hi FROM bounds))) AS day_no) s),
+daily AS (SELECT event_type, day_no,
+                 CAST(round(sum(value), 6) AS DOUBLE) AS day_value
+          FROM e GROUP BY event_type, day_no)
+SELECT event_type, day_no,
+       CAST(coalesce(d.day_value,
+              last_value(d.day_value IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY day_no
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0 AS DOUBLE)) AS DOUBLE) AS filled_value,
+       (d.day_value IS NULL) AS was_gap
+FROM spine LEFT JOIN daily d USING (event_type, day_no)
+ORDER BY event_type, day_no
+""",
+)
+
+# Session funnel — per user: views, purchases, and view→purchase
+# conversions where a purchase follows a view within 30 minutes
+# (EXISTS over a time band), rolled up to per-nation-independent
+# corpus rates. Conversion test reuses the banded join shape.
+register_sql(
+    "funnel_conversion",
+    spark_sql="""
+WITH e AS (SELECT user_id, event_type, ts div 1000 AS t FROM events),
+v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+conv AS (SELECT DISTINCT v.user_id, v.t
+         FROM v JOIN p ON v.user_id = p.user_id
+                      AND p.t > v.t AND p.t <= v.t + 1800000000)
+SELECT (SELECT count(*) FROM v) AS n_views,
+       (SELECT count(*) FROM p) AS n_purchases,
+       (SELECT count(*) FROM conv) AS n_converting_views,
+       CAST(round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+                  / (SELECT count(*) FROM v), 6) AS DOUBLE) AS view_conversion_rate
+""",
+    duck_sql="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+conv AS (SELECT DISTINCT v.user_id, v.t
+         FROM v JOIN p ON v.user_id = p.user_id
+                      AND p.t > v.t AND p.t <= v.t + 1800000000)
+SELECT (SELECT count(*) FROM v) AS n_views,
+       (SELECT count(*) FROM p) AS n_purchases,
+       (SELECT count(*) FROM conv) AS n_converting_views,
+       CAST(round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+                  / (SELECT count(*) FROM v), 6) AS DOUBLE) AS view_conversion_rate
+""",
+)
+
+# Event-type co-occurrence with lift — market-basket pair counts over
+# per-user distinct type sets (self-join a<b on user), lift =
+# P(a,b)/(P(a)P(b)). All-integer counts + one rounded division.
+register_sql(
+    "event_cooccurrence",
+    """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+m AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+          FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type)
+SELECT type_a, type_b, n_both,
+       CAST(round(CAST(n_both AS DOUBLE) * n.n_users
+                  / (ma.n_t * mb.n_t), 6) AS DOUBLE) AS lift
+FROM pairs JOIN m ma ON pairs.type_a = ma.event_type
+           JOIN m mb ON pairs.type_b = mb.event_type
+           CROSS JOIN n
+ORDER BY type_a, type_b
+""",
+)
+
+# Gaps-and-islands: per-user runs of consecutive same event_type
+# (SCD-style state intervals). Island id = global row_number minus
+# per-(user, type) row_number — the classic two-window trick; run
+# stats are integer-exact, avg is one division.
+register_sql(
+    "user_state_intervals",
+    """
+WITH o AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn_t
+           FROM events),
+runs AS (SELECT user_id, event_type, rn - rn_t AS grp, count(*) AS run_len
+         FROM o GROUP BY user_id, event_type, rn - rn_t)
+SELECT user_id, count(*) AS n_runs, max(run_len) AS max_run_len,
+       CAST(round(avg(CAST(run_len AS DOUBLE)), 6) AS DOUBLE) AS avg_run_len
+FROM runs GROUP BY user_id ORDER BY user_id
+""",
+)
+
+# Z-score outliers — top-5 most extreme values per event type by
+# |value - mean| / stddev. Ranking is monotone in |value - mean| for a
+# fixed group, so cross-engine stddev accumulation differences cannot
+# reorder it; z rounds to 4 dp in the output.
+register_sql(
+    "zscore_outliers",
+    """
+WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+           FROM events GROUP BY event_type),
+scored AS (SELECT e.event_id, e.event_type, e.value,
+                  (e.value - s.mu) / s.sd AS z
+           FROM events e JOIN s ON e.event_type = s.event_type),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY abs(z) DESC, event_id) AS rk
+           FROM scored)
+SELECT event_type, rk, event_id,
+       CAST(round(value, 6) AS DOUBLE) AS value,
+       CAST(round(z, 4) AS DOUBLE) AS zscore
+FROM ranked WHERE rk <= 5 ORDER BY event_type, rk
+""",
+)
+
+# Cumulative distinct users per day — first-seen day per user, daily
+# new-user counts over the observed day spine, running sum. Integer
+# arithmetic end to end.
+register_sql(
+    "cumulative_distinct_users",
+    spark_sql="""
+WITH e AS (SELECT user_id,
+                  CAST((ts div 1000) div 86400000000 AS BIGINT) AS day_no
+           FROM events),
+firsts AS (SELECT user_id, min(day_no) AS day_no FROM e GROUP BY user_id),
+days AS (SELECT DISTINCT day_no FROM e),
+newu AS (SELECT day_no, count(*) AS new_users FROM firsts GROUP BY day_no)
+SELECT d.day_no, coalesce(n.new_users, 0) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0))
+            OVER (ORDER BY d.day_no) AS BIGINT) AS cum_users
+FROM days d LEFT JOIN newu n ON d.day_no = n.day_no
+ORDER BY d.day_no
+""",
+    duck_sql="""
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_no FROM events),
+firsts AS (SELECT user_id, min(day_no) AS day_no FROM e GROUP BY user_id),
+days AS (SELECT DISTINCT day_no FROM e),
+newu AS (SELECT day_no, count(*) AS new_users FROM firsts GROUP BY day_no)
+SELECT d.day_no, coalesce(n.new_users, 0) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0))
+            OVER (ORDER BY d.day_no) AS BIGINT) AS cum_users
+FROM days d LEFT JOIN newu n ON d.day_no = n.day_no
+ORDER BY d.day_no
+""",
+)
