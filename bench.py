@@ -82,6 +82,10 @@ HEADLINE = [
     "duplicated_ngrams",
     "char_entropy",
     "training_mix_manifest",
+    # time-series + search widening
+    "daily_value_locf",
+    "funnel_conversion",
+    "bm25_search",
 ]
 
 

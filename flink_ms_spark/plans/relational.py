@@ -912,3 +912,69 @@ FROM days d LEFT JOIN newu n ON d.day_no = n.day_no
 ORDER BY d.day_no
 """,
 )
+
+# Context-window chunking — split each document into fixed-size token
+# windows (C=64) with overlap (stride S=48), emitting per-chunk token
+# ranges. The training-data prep shape for fixed-context models; pure
+# integer math (whitespace token counts, ceil-div chunk counts), so
+# the spine explode is the only non-trivial operator.
+register_sql(
+    "doc_chunks",
+    spark_sql="""
+WITH d AS (SELECT doc_id, size(split(trim(text), '\\\\s+')) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 64 THEN 1
+                  ELSE 1 + CAST((n_tokens - 64 + 47) / 48 AS BIGINT) END AS n_chunks
+      FROM d)
+SELECT doc_id, chunk_id,
+       (chunk_id - 1) * 48 AS start_tok,
+       least((chunk_id - 1) * 48 + 64, n_tokens) AS end_tok,
+       least((chunk_id - 1) * 48 + 64, n_tokens) - (chunk_id - 1) * 48 AS chunk_len
+FROM c LATERAL VIEW explode(sequence(1, n_chunks)) AS chunk_id
+ORDER BY doc_id, chunk_id
+""",
+    duck_sql="""
+WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 64 THEN 1
+                  ELSE 1 + (n_tokens - 64 + 47) // 48 END AS n_chunks
+      FROM d),
+x AS (SELECT doc_id, n_tokens, unnest(generate_series(1, n_chunks)) AS chunk_id FROM c)
+SELECT doc_id, chunk_id,
+       (chunk_id - 1) * 48 AS start_tok,
+       least((chunk_id - 1) * 48 + 64, n_tokens) AS end_tok,
+       least((chunk_id - 1) * 48 + 64, n_tokens) - (chunk_id - 1) * 48 AS chunk_len
+FROM x ORDER BY doc_id, chunk_id
+""",
+)
+
+# Weighted Bernoulli sample, expected k=50, weight = n_chars — keep a
+# doc iff md5-uniform(doc_id) < k·w/ΣW, tested as the cross-
+# multiplication u·ΣW < k·w·2⁶⁰ (u < 2⁶⁰ from 15 hex chars). Each
+# side is the same two correctly-rounded IEEE multiplies on both
+# engines — no log/pow, no division — so the inclusion decision is
+# bit-identical across engines even where the products exceed 2⁵³.
+register_sql(
+    "weighted_sample",
+    spark_sql="""
+WITH h AS (SELECT doc_id, lang, n_chars,
+                  CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS u
+           FROM documents),
+w AS (SELECT sum(n_chars) AS total_w FROM h)
+SELECT doc_id, lang, n_chars
+FROM h CROSS JOIN w
+WHERE CAST(u AS DOUBLE) * total_w < CAST(50 AS DOUBLE) * n_chars * CAST(1152921504606846976 AS DOUBLE)
+ORDER BY doc_id
+""",
+    duck_sql="""
+WITH h AS (SELECT doc_id, lang, n_chars,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+           FROM documents),
+w AS (SELECT sum(n_chars) AS total_w FROM h)
+SELECT doc_id, lang, n_chars
+FROM h CROSS JOIN w
+WHERE CAST(u AS DOUBLE) * total_w < CAST(50 AS DOUBLE) * n_chars * CAST(1152921504606846976 AS DOUBLE)
+ORDER BY doc_id
+""",
+)
