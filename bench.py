@@ -86,6 +86,8 @@ HEADLINE = [
     "daily_value_locf",
     "funnel_conversion",
     "bm25_search",
+    "retention_cohorts",
+    "event_pagerank",
 ]
 
 

@@ -978,3 +978,246 @@ WHERE CAST(u AS DOUBLE) * total_w < CAST(50 AS DOUBLE) * n_chars * CAST(11529215
 ORDER BY doc_id
 """,
 )
+
+# TPC-H Q5 flavor — local-supplier revenue: six-way join (customer ⋈
+# orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) where customer and
+# supplier share a nation, revenue per nation for one region-year.
+# At scale: region/nation/supplier/customer broadcast down the chain;
+# the only big shuffle is lineitem ⋈ orders on orderkey. Dialect-shared.
+register_sql(
+    "tpch_q5",
+    spark_sql="""
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders    ON c_custkey = o_custkey
+JOIN lineitem  ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation    ON s_nationkey = n_nationkey
+JOIN region    ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    duck_sql="""
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders    ON c_custkey = o_custkey
+JOIN lineitem  ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation    ON s_nationkey = n_nationkey
+JOIN region    ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+
+# Weekly retention cohorts — users grouped by first-seen week; for
+# each (cohort_week, week_offset) count distinct returning users and
+# the retention ratio against the cohort size. Two shuffles at scale:
+# the per-user min (partial-agg friendly) and the cohort×offset
+# distinct-count; cohort matrix output is tiny (weeks²).
+register_sql(
+    "retention_cohorts",
+    spark_sql="""
+WITH e AS (SELECT user_id,
+                  CAST((ts div 1000) div 604800000000 AS BIGINT) AS week_no
+           FROM events),
+fw AS (SELECT user_id, min(week_no) AS cohort_week FROM e GROUP BY user_id),
+cs AS (SELECT cohort_week, count(*) AS cohort_size FROM fw GROUP BY cohort_week),
+act AS (SELECT f.cohort_week, e.week_no - f.cohort_week AS week_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM e JOIN fw f USING (user_id)
+        GROUP BY f.cohort_week, e.week_no - f.cohort_week)
+SELECT a.cohort_week, a.week_offset, a.active_users, c.cohort_size,
+       CAST(round(a.active_users / CAST(c.cohort_size AS DOUBLE), 6) AS DOUBLE) AS retention
+FROM act a JOIN cs c USING (cohort_week)
+ORDER BY cohort_week, week_offset
+""",
+    duck_sql="""
+WITH e AS (SELECT user_id,
+                  epoch_us(ts) // 604800000000 AS week_no
+           FROM events),
+fw AS (SELECT user_id, min(week_no) AS cohort_week FROM e GROUP BY user_id),
+cs AS (SELECT cohort_week, count(*) AS cohort_size FROM fw GROUP BY cohort_week),
+act AS (SELECT f.cohort_week, e.week_no - f.cohort_week AS week_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM e JOIN fw f USING (user_id)
+        GROUP BY f.cohort_week, e.week_no - f.cohort_week)
+SELECT a.cohort_week, a.week_offset, a.active_users, c.cohort_size,
+       CAST(round(a.active_users / CAST(c.cohort_size AS DOUBLE), 6) AS DOUBLE) AS retention
+FROM act a JOIN cs c USING (cohort_week)
+ORDER BY cohort_week, week_offset
+""",
+)
+
+# RFM segmentation — recency / frequency / monetary quartiles per
+# customer via ntile(4) with a c_custkey tie-break so quartile
+# assignment is deterministic across engines; segment code R*100+F*10+M.
+# ntile is a full sort per dimension but the per-customer rollup it
+# sorts is |customers|, not |orders| — the orders-table shuffle happens
+# once in the rollup CTE.
+register_sql(
+    "rfm_segments",
+    spark_sql="""
+WITH r AS (SELECT o_custkey AS custkey,
+                  datediff(TIMESTAMP_NTZ '2001-08-02 00:00:00', max(o_orderdate)) AS recency_days,
+                  count(*) AS frequency,
+                  CAST(round(sum(o_totalprice), 6) AS DOUBLE) AS monetary
+           FROM orders GROUP BY o_custkey),
+s AS (SELECT custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days, custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM r)
+SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+       count(*) AS n_customers,
+       CAST(round(avg(monetary), 6) AS DOUBLE) AS avg_monetary
+FROM s GROUP BY r_score * 100 + f_score * 10 + m_score
+ORDER BY segment
+""",
+    duck_sql="""
+WITH r AS (SELECT o_custkey AS custkey,
+                  datediff('day', max(o_orderdate), TIMESTAMP '2001-08-02 00:00:00') AS recency_days,
+                  count(*) AS frequency,
+                  CAST(round(sum(o_totalprice), 6) AS DOUBLE) AS monetary
+           FROM orders GROUP BY o_custkey),
+s AS (SELECT custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days, custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM r)
+SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+       count(*) AS n_customers,
+       CAST(round(avg(monetary), 6) AS DOUBLE) AS avg_monetary
+FROM s GROUP BY r_score * 100 + f_score * 10 + m_score
+ORDER BY segment
+""",
+)
+
+# Markov transition matrix — P(next event_type | event_type) from each
+# user's time-ordered event stream (lead over user partition, tie-break
+# event_id). One window shuffle on user_id, then a tiny (5×5) aggregate.
+register_sql(
+    "markov_transitions",
+    spark_sql="""
+WITH ev AS (SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events),
+e AS (SELECT src, dst, count(*) AS w FROM ev WHERE dst IS NOT NULL GROUP BY src, dst),
+t AS (SELECT src, sum(w) AS tot FROM e GROUP BY src)
+SELECT e.src, e.dst, e.w AS transitions,
+       CAST(round(e.w / CAST(t.tot AS DOUBLE), 6) AS DOUBLE) AS prob
+FROM e JOIN t USING (src)
+ORDER BY src, dst
+""",
+    duck_sql="""
+WITH ev AS (SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events),
+e AS (SELECT src, dst, count(*) AS w FROM ev WHERE dst IS NOT NULL GROUP BY src, dst),
+t AS (SELECT src, sum(w) AS tot FROM e GROUP BY src)
+SELECT e.src, e.dst, e.w AS transitions,
+       CAST(round(e.w / CAST(t.tot AS DOUBLE), 6) AS DOUBLE) AS prob
+FROM e JOIN t USING (src)
+ORDER BY src, dst
+""",
+)
+
+# PageRank over the event-type transition graph — 3 unrolled power
+# iterations, damping 0.85, uniform init over the node set. On the
+# 5-node fixture graph the state is tiny; at corpus scale the same
+# unrolled shape is N joins of rank⋈edges on src (rank table partitioned
+# by node — each iteration is one shuffle of the rank vector, edges
+# reused from cache). Final ranks rounded to 6 dp to absorb
+# cross-engine summation order.
+register_sql(
+    "event_pagerank",
+    spark_sql="""
+WITH ev AS (SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events),
+e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM ev WHERE dst IS NOT NULL GROUP BY src, dst),
+t AS (SELECT src, sum(w) AS tot FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w / t.tot AS p FROM e JOIN t USING (src)),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+p0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS pr FROM nodes CROSS JOIN nn),
+p1 AS (SELECT n.node,
+              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * coalesce(sum(p0.pr * ew.p), CAST(0 AS DOUBLE)) AS pr
+       FROM nodes n CROSS JOIN nn
+       LEFT JOIN ew ON ew.dst = n.node LEFT JOIN p0 ON p0.node = ew.src
+       GROUP BY n.node, nn.n),
+p2 AS (SELECT n.node,
+              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * coalesce(sum(p1.pr * ew.p), CAST(0 AS DOUBLE)) AS pr
+       FROM nodes n CROSS JOIN nn
+       LEFT JOIN ew ON ew.dst = n.node LEFT JOIN p1 ON p1.node = ew.src
+       GROUP BY n.node, nn.n),
+p3 AS (SELECT n.node,
+              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * coalesce(sum(p2.pr * ew.p), CAST(0 AS DOUBLE)) AS pr
+       FROM nodes n CROSS JOIN nn
+       LEFT JOIN ew ON ew.dst = n.node LEFT JOIN p2 ON p2.node = ew.src
+       GROUP BY n.node, nn.n)
+SELECT node, CAST(round(pr, 6) AS DOUBLE) AS pagerank
+FROM p3 ORDER BY pagerank DESC, node
+""",
+)
+
+# EWMA smoothing of the per-type daily value series, alpha = 0.5.
+# The recursion s_t = a·x_t + (1-a)·s_{t-1} is linearized as
+# s_t = 0.5^t · Σ_{i≤t} c_i with c_0 = x_0·2^0, c_i = a·x_i·2^i —
+# a cumulative-sum window, no recursion. alpha = 1/2 keeps every
+# power-of-two factor exactly representable so both engines compute
+# bit-identical terms; the ordered window sum fixes summation order.
+register_sql(
+    "ewma_smooth",
+    spark_sql="""
+WITH e AS (SELECT event_type,
+                  CAST((ts div 1000) div 86400000000 AS BIGINT) AS day_no,
+                  value
+           FROM events),
+d AS (SELECT event_type, day_no, CAST(round(sum(value), 6) AS DOUBLE) AS x
+      FROM e GROUP BY event_type, day_no),
+r AS (SELECT event_type, day_no, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_no) - 1 AS t
+      FROM d),
+c AS (SELECT event_type, day_no, x, t,
+             CASE WHEN t = 0 THEN x ELSE CAST(0.5 AS DOUBLE) * x END * power(CAST(2 AS DOUBLE), t) AS term
+      FROM r)
+SELECT event_type, day_no, x AS day_value,
+       CAST(round(power(CAST(0.5 AS DOUBLE), t) *
+                  sum(term) OVER (PARTITION BY event_type ORDER BY day_no
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+            AS DOUBLE) AS ewma
+FROM c ORDER BY event_type, day_no
+""",
+    duck_sql="""
+WITH e AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day_no,
+                  value
+           FROM events),
+d AS (SELECT event_type, day_no, CAST(round(sum(value), 6) AS DOUBLE) AS x
+      FROM e GROUP BY event_type, day_no),
+r AS (SELECT event_type, day_no, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_no) - 1 AS t
+      FROM d),
+c AS (SELECT event_type, day_no, x, t,
+             CASE WHEN t = 0 THEN x ELSE CAST(0.5 AS DOUBLE) * x END * power(CAST(2 AS DOUBLE), t) AS term
+      FROM r)
+SELECT event_type, day_no, x AS day_value,
+       CAST(round(power(CAST(0.5 AS DOUBLE), t) *
+                  sum(term) OVER (PARTITION BY event_type ORDER BY day_no
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+            AS DOUBLE) AS ewma
+FROM c ORDER BY event_type, day_no
+""",
+)
