@@ -382,6 +382,50 @@ def embedding_neardup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_dims: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings coarsely, then inside each
+    cluster drop every vector that has a *smaller-id* neighbor with
+    cosine ≥ threshold (one-pass min-id survivor rule — deterministic,
+    order-free, an upper bound on greedy SemDeDup's removals).
+
+    Returns one row per input vector: (id, *keep_cols, kept, dup_of)
+    where ``dup_of`` is the smallest qualifying neighbor id (NULL for
+    kept rows).
+
+    Scale shape: pair generation rides :func:`embedding_neardup`
+    (one groupBy(cell) shuffle, pair count bounded by cell population);
+    the min-id reduction is a partial-agg-friendly groupBy over the
+    (sparse) pair set; the final left join keys on ``id_col`` so AQE
+    broadcasts the small dup side at corpus scale.
+    """
+
+    pairs = embedding_neardup(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col, cell_dims=cell_dims
+    )
+    dup_of = pairs.groupBy(F.col("b").alias(id_col)).agg(
+        F.min("a").alias("dup_of")
+    )
+    return (
+        df.select(id_col, *keep_cols)
+        .join(dup_of, on=id_col, how="left")
+        .select(
+            id_col,
+            *keep_cols,
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy(id_col)
+    )
+
+
 def hyperplane_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-0.5, 0.5)^dim,
     derived from md5 so Spark and any oracle engine can embed the SAME

@@ -318,6 +318,43 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: min-id survivor over near-dup pairs
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cells AS (SELECT vec_id, v,
+            (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+             CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+             CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) AS cell,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DOUBLE)
+              AS cos_sim
+          FROM cells a JOIN cells b USING (cell) WHERE a.vec_id < b.vec_id),
+d AS (SELECT b AS vec_id, min(a) AS dup_of FROM pairs
+      WHERE cos_sim >= 0.4 GROUP BY b)
+SELECT e.vec_id, e.label, d.dup_of IS NULL AS kept, d.dup_of
+FROM e LEFT JOIN d USING (vec_id)
+ORDER BY e.vec_id
+"""
+
+
+@register("semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: within each sign-bit cell,
+    drop vectors with a smaller-id cosine-0.4 neighbor; one row per
+    vector with kept flag + surviving representative."""
+    from flink_ms_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, keep_cols=("label",)
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing: binary payload → header-scan metadata
 
 _MEDIA_META_ORACLE = """

@@ -209,3 +209,22 @@ def test_scrub_pii_redacts(spark):
     assert got[1] == "contact <EMAIL> or visit <URL> now"
     assert got[2] == "call <PHONE> ref <ID>"
     assert got[3] == "clean text stays clean"
+
+
+def test_semantic_dedup_consistent_with_pairs(spark, sf_smoke):
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["semantic_dedup"](spark, sf_smoke).collect()
+    pairs = QUERIES["embedding_neardup"](spark, sf_smoke).collect()
+    assert len(rows) == 500  # one verdict per embedding
+    dropped = {r.vec_id: r.dup_of for r in rows if not r.kept}
+    # dropped set == exactly the right sides of near-dup pairs; the
+    # representative is the smallest qualifying left side
+    want = {}
+    for p in pairs:
+        want[p.b] = min(want.get(p.b, p.a), p.a)
+    assert dropped == want
+    for r in rows:
+        assert r.kept == (r.dup_of is None)
+        if not r.kept:
+            assert r.dup_of < r.vec_id
