@@ -195,6 +195,70 @@ def ngram_jaccard(
     )
 
 
+def allpairs_jaccard(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact all-pairs similarity self-join with prefix filtering
+    (AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+    every (a, b, jaccard) pair with a < b and word-``shingle_n``-gram
+    Jaccard ≥ threshold, NO false negatives (unlike MinHash LSH).
+
+    Scale shape: each doc's shingles are ordered by ascending global
+    document frequency (rarest first); only the first
+    ``n − ⌈τ·n⌉ + 1`` shingles are indexed — any qualifying pair must
+    collide on one of them (prefix-filter lemma), so candidate
+    generation is Σ_prefix-token df², not |D|². A length-ratio filter
+    (τ·max ≤ min, exact for integer sizes at τ = k/2^m) prunes before
+    the exact verify, which rides :func:`ngram_jaccard`'s
+    intersection-count join. Shuffles: shingle explode+distinct, df
+    agg, per-doc prefix window, candidate join, verify join — all keyed
+    on shingle or doc id, none quadratic in |D|.
+
+    Thresholds should sit away from the 6-dp rounding boundary of the
+    verify stage (the prefix lemma bounds RAW jaccard).
+    """
+    from pyspark.sql.window import Window
+
+    sh = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("_d"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_d").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("_d").orderBy("df", "s"))
+        )
+        .join(sizes, "_d")
+        .where(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+        )
+    )
+    pa = prefix.select(F.col("_d").alias("a"), "s", F.col("n").alias("n_a"))
+    pb = prefix.select(F.col("_d").alias("b"), "s", F.col("n").alias("n_b"))
+    eps = 1e-9
+    cands = (
+        pa.join(pb, "s")
+        .where(F.col("a") < F.col("b"))
+        .where(F.lit(threshold) * F.col("n_b") - F.lit(eps) <= F.col("n_a"))
+        .where(F.lit(threshold) * F.col("n_a") - F.lit(eps) <= F.col("n_b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = ngram_jaccard(cands, docs, text_col, id_col, shingle_n)
+    return verified.where(F.col("jaccard") >= threshold).orderBy("a", "b")
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

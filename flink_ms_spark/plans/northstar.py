@@ -240,6 +240,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# exact all-pairs similarity self-join (prefix-filtered, no LSH misses)
+
+_ALLPAIRS_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+              concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS s
+       FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT a, b,
+             CAST(round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS DOUBLE)
+               AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b
+"""
+
+
+@register("allpairs_jaccard", oracle=_ALLPAIRS_ORACLE)
+def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 5-gram-Jaccard ≥ 0.5 pair in the corpus, discovered by
+    prefix filtering (exact — the oracle enumerates via the shared-
+    shingle join, which is complete because a zero-overlap pair has
+    jaccard 0)."""
+    from flink_ms_spark.operators.dedup import allpairs_jaccard
+
+    return allpairs_jaccard(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
 # brute-force cosine top-k
 
 _COSINE_ORACLE = """

@@ -228,3 +228,38 @@ def test_semantic_dedup_consistent_with_pairs(spark, sf_smoke):
         assert r.kept == (r.dup_of is None)
         if not r.kept:
             assert r.dup_of < r.vec_id
+
+
+def test_allpairs_jaccard_no_false_negatives(spark):
+    """Prefix filtering must find every qualifying pair — compare
+    against brute-force pairwise Jaccard on a crafted corpus with
+    pairs straddling the threshold."""
+    import itertools
+
+    from flink_ms_spark.operators.dedup import allpairs_jaccard
+
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "a b c d e f g h i k",   # 9/11 vs doc 1
+        3: "a b c d e f g h i j",   # identical to doc 1
+        4: "z y x w v u t s r q",   # disjoint
+        5: "a b c d e f q r s t",   # ~0.43 vs doc 1 (below 0.5)
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id LONG, text STRING")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in allpairs_jaccard(docs, threshold=0.5, shingle_n=2).collect()
+    }
+
+    def grams(s):
+        t = s.split()
+        return {" ".join(t[i : i + 2]) for i in range(len(t) - 1)}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        j = len(ga & gb) / len(ga | gb)
+        if round(j, 6) >= 0.5:
+            want[(a, b)] = round(j, 6)
+    assert want, "crafted corpus must contain qualifying pairs"
+    assert got == want
