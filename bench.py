@@ -88,6 +88,8 @@ HEADLINE = [
     "bm25_search",
     "retention_cohorts",
     "event_pagerank",
+    "allpairs_jaccard",
+    "semantic_dedup",
 ]
 
 

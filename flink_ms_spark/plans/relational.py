@@ -1221,3 +1221,48 @@ SELECT event_type, day_no, x AS day_value,
 FROM c ORDER BY event_type, day_no
 """,
 )
+
+# Per-segment spend CDF — cume_dist / percent_rank over a unique
+# (spend, custkey) ordering so every row is its own peer group and
+# both ranks are deterministic across engines. One shuffle for the
+# per-customer rollup, one window sort per segment partition.
+register_sql(
+    "order_value_cdf",
+    """
+WITH s AS (SELECT c_mktsegment, c_custkey,
+                  CAST(round(sum(o_totalprice), 6) AS DOUBLE) AS spend
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_mktsegment, c_custkey)
+SELECT c_mktsegment, c_custkey, spend,
+       CAST(round(cume_dist() OVER
+             (PARTITION BY c_mktsegment ORDER BY spend, c_custkey), 6)
+            AS DOUBLE) AS cdf,
+       CAST(round(percent_rank() OVER
+             (PARTITION BY c_mktsegment ORDER BY spend, c_custkey), 6)
+            AS DOUBLE) AS prank
+FROM s ORDER BY c_mktsegment, c_custkey
+""",
+)
+
+# PIVOT — order counts per priority pivoted to one column per status.
+# Spark's native PIVOT clause; the DuckDB twin is the equivalent
+# conditional aggregation (dialects differ on PIVOT syntax, semantics
+# identical: absent (priority, status) cells are NULL counts).
+register_sql(
+    "pivot_order_status",
+    spark_sql="""
+SELECT o_orderpriority,
+       coalesce(f, 0) AS f, coalesce(o, 0) AS o, coalesce(p, 0) AS p
+FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+PIVOT (count(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+ORDER BY o_orderpriority
+""",
+    duck_sql="""
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS f,
+       count(*) FILTER (o_orderstatus = 'O') AS o,
+       count(*) FILTER (o_orderstatus = 'P') AS p
+FROM orders GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)

@@ -110,3 +110,35 @@ def test_repetition_stats_array_math_stays_jvm(spark, sf_oracle):
     df = QUERIES["repetition_stats"](spark, sf_oracle)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q5_broadcasts_dim_chain(spark, sf_oracle):
+    # region/nation/supplier/customer are dims — the only sort-merge
+    # shuffle allowed is lineitem ⋈ orders on orderkey
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    df = QUERIES["tpch_q5"](spark, sf_oracle)
+    df.collect()  # finalize AQE so join strategies are the real ones
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, "dim chain must broadcast"
+    assert plan.count("SortMergeJoin") <= 1, "only the fact-fact join may shuffle"
+
+
+def test_allpairs_jaccard_never_goes_quadratic(spark, sf_oracle):
+    # every join is keyed (shingle or doc id): a nested-loop / cartesian
+    # anywhere means the prefix filter degenerated to |D|^2
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    df = QUERIES["allpairs_jaccard"](spark, sf_oracle)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_timeseries_stay_jvm(spark, sf_oracle):
+    # pure-SQL linearizations: no Python eval nodes anywhere
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    for q in ("retention_cohorts", "markov_transitions", "ewma_smooth"):
+        plan = _plan(QUERIES[q](spark, sf_oracle))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
