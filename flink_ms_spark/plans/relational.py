@@ -1266,3 +1266,36 @@ FROM orders GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
 )
+
+# CEP-style sequence pattern matching — the batch equivalent of Flink
+# CEP / SQL MATCH_RECOGNIZE (which Spark lacks): per user, the
+# time-ordered event-initial journey string, then non-overlapping
+# regex matches of the pattern view (click)* purchase = 'vc*p'.
+# One groupBy(user) shuffle; the sort is per-user inside array_sort
+# (journey length = user activity, bounded); regex scan is linear.
+# Both engines scan leftmost non-overlapping with greedy star —
+# identical counts. Event initials are distinct (c/e/p/s/v).
+register_sql(
+    "cep_sequence_match",
+    spark_sql="""
+WITH j AS (SELECT user_id, count(*) AS n_events,
+                  array_join(transform(array_sort(collect_list(
+                      struct(ts, event_id, substr(event_type, 1, 1) AS ch))),
+                    x -> x.ch), '') AS journey
+           FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(regexp_count(journey, 'vc*p') AS BIGINT) AS n_matches
+FROM j WHERE regexp_count(journey, 'vc*p') >= 1
+ORDER BY user_id
+""",
+    duck_sql="""
+WITH j AS (SELECT user_id, count(*) AS n_events,
+                  string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts, event_id) AS journey
+           FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT) AS n_matches
+FROM j WHERE len(regexp_extract_all(journey, 'vc*p')) >= 1
+ORDER BY user_id
+""",
+)
