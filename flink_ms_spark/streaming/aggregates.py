@@ -52,3 +52,36 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def session_windowed_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows: per-key activity bursts closed by a
+    ``gap`` of inactivity — (session_start, session_end, key, n_events,
+    total_value).
+
+    Unlike tumbling windows, session extents are data-driven: Spark
+    merges overlapping [ts, ts+gap) intervals in state and a session
+    row is emitted (append mode) once the watermark passes its end.
+    State per key is the open sessions only — the watermark bounds it
+    exactly as for fixed windows. The batch twin is the catalog's
+    `session_window_agg` query; the group alias is
+    ``session_window.start`` (not ``window.start``).
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap).alias("session_window"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -426,3 +426,67 @@ def test_streaming_curate_matches_batch_semantics(spark, tmp_path):
     run()
     # 5 duplicates checkpointed digest state; 6 is new
     assert sorted(d for d, _, _ in out) == [1, 4, 6]
+
+
+def test_session_windows_merge_and_close_on_gap(spark, tmp_path):
+    """Streaming session windows: events within the gap merge into one
+    session whose extent is data-driven; a session emits (append mode)
+    once the watermark passes its end; a later burst opens a NEW
+    session for the same key."""
+    from flink_ms_spark.streaming.aggregates import session_windowed_counts
+
+    src = tmp_path / "sess_in"
+    ckpt = tmp_path / "ckpt_sess"
+    src.mkdir()
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+
+    def run() -> list:
+        stream = spark.readStream.schema(schema).json(str(src))
+        agg = session_windowed_counts(
+            stream, gap="10 minutes", watermark_delay="5 minutes"
+        )
+        sink: list = []
+        q = (
+            agg.writeStream.foreachBatch(lambda df, _bid: sink.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sink
+
+    # one user: 10:00 / 10:05 / 10:12 chain (each within 10 min of the
+    # previous → ONE session 10:00-10:22); a 11:00 row advances the
+    # watermark past the session end so it closes and emits
+    _write(
+        str(src / "a.json"),
+        [
+            '{"ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0}',
+            '{"ts": "2024-01-01 10:05:00", "user_id": 1, "value": 2.0}',
+            '{"ts": "2024-01-01 10:12:00", "user_id": 1, "value": 3.0}',
+            '{"ts": "2024-01-01 11:00:00", "user_id": 2, "value": 9.0}',
+        ],
+    )
+    rows = run()
+    sess = {(r.user_id, str(r.session_start)): r for r in rows}
+    key = (1, "2024-01-01 10:00:00")
+    assert key in sess
+    assert sess[key].n_events == 3 and sess[key].total_value == 6.0
+    assert str(sess[key].session_end) == "2024-01-01 10:22:00"  # last ts + gap
+
+    # second batch: a new burst for user 1 well after the gap → a NEW
+    # session, closed by a later watermark-advancing row
+    _write(
+        str(src / "b.json"),
+        [
+            '{"ts": "2024-01-01 12:00:00", "user_id": 1, "value": 4.0}',
+            '{"ts": "2024-01-01 13:00:00", "user_id": 2, "value": 9.0}',
+        ],
+    )
+    rows2 = run()
+    sess2 = {(r.user_id, str(r.session_start)): r for r in rows2}
+    key2 = (1, "2024-01-01 12:00:00")
+    assert key2 in sess2
+    assert sess2[key2].n_events == 1 and sess2[key2].total_value == 4.0
+    assert (1, "2024-01-01 10:00:00") not in sess2  # closed session stays closed
