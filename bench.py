@@ -90,6 +90,11 @@ HEADLINE = [
     "event_pagerank",
     "allpairs_jaccard",
     "semantic_dedup",
+    # sketch + analytics widening
+    "heavy_hitter_terms",
+    "hll_daily_users",
+    "cusum_changepoint",
+    "column_profile",
 ]
 
 

