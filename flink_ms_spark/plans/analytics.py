@@ -190,7 +190,7 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly distinct-user estimates from merged per-day HLL
     sketches (DataSketches HLL via hll_sketch_agg/hll_union_agg)."""
     events = load_table(spark, sf_dir, "events").withColumn(
-        "t", F.timestamp_micros(F.expr("ts div 1000"))
+        "t", F.col("ts").cast("timestamp")
     )
     return hll_rollup(events, "t", "user_id", "yyyy-MM").select(
         F.col("bucket").alias("month"), F.col("est_distinct").alias("est_users")

@@ -289,7 +289,7 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("t"),
+        F.col("ts").alias("t"),
     )
     purchases = ev.filter("event_type = 'purchase'").select(
         "event_id", "user_id", "t"
@@ -814,7 +814,7 @@ def q_preceding_5min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ms_spark.operators.rangejoin import banded_range_join
 
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.expr("ts div 1000").alias("l_ts")
+        "event_id", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("l_ts")
     )
     r = ev.select(F.col("event_id").alias("r_id"), F.col("l_ts").alias("r_ts"))
     j = banded_range_join(

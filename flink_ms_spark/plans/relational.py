@@ -304,9 +304,9 @@ HAVING sum(l_quantity) > 250
 )
 
 # Sessionization — 30-minute-gap sessions per user over the event
-# stream (gaps-and-islands: lag + cumulative sum). Spark reads the
-# fixture's TIMESTAMP(NANOS) as BIGINT nanos; DuckDB as TIMESTAMP —
-# only the gap expression differs.
+# stream (gaps-and-islands: lag + cumulative sum). The fixture `ts` is
+# a micros TIMESTAMP on both engines; only the gap expression differs
+# (Spark: unix_micros delta, DuckDB: date_diff).
 _SESSIONIZE = """
 WITH g AS (
   SELECT user_id, event_id,
@@ -325,8 +325,9 @@ FROM s GROUP BY user_id
 register_sql(
     "sessionize",
     spark_sql=_SESSIONIZE.format(
-        gap_sec="(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))"
-        " / 1000000000.0"
+        gap_sec="(unix_micros(CAST(ts AS TIMESTAMP))"
+        " - unix_micros(CAST(lag(ts) OVER (PARTITION BY user_id"
+        " ORDER BY event_id) AS TIMESTAMP))) / 1000000.0"
     ),
     duck_sql=_SESSIONIZE.format(
         gap_sec="date_diff('second',"
@@ -411,7 +412,7 @@ UNPIVOT (v FOR metric IN (avg_bal, min_bal, max_bal))
 register_sql(
     "session_window_agg",
     spark_sql="""
-WITH e AS (SELECT user_id, timestamp_micros(ts DIV 1000) AS t FROM events)
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
 SELECT user_id, session_window.start AS session_start, count(*) AS n_events
 FROM e GROUP BY user_id, session_window(t, '30 minutes')
 """,
@@ -693,7 +694,7 @@ register_sql(
     "user_last_event",
     spark_sql="""
 WITH e AS (SELECT user_id, event_type, value,
-                  lpad(CAST(ts div 1000 AS STRING), 20, '0')
+                  lpad(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING), 20, '0')
                     || lpad(CAST(event_id AS STRING), 12, '0') AS ok
            FROM events)
 SELECT user_id,
@@ -738,7 +739,7 @@ register_sql(
     "daily_value_locf",
     spark_sql="""
 WITH e AS (SELECT event_type,
-                  CAST((ts div 1000) div 86400000000 AS BIGINT) AS day_no,
+                  CAST((unix_micros(CAST(ts AS TIMESTAMP))) div 86400000000 AS BIGINT) AS day_no,
                   value
            FROM events),
 bounds AS (SELECT min(day_no) AS lo, max(day_no) AS hi FROM e),
@@ -790,7 +791,7 @@ ORDER BY event_type, day_no
 register_sql(
     "funnel_conversion",
     spark_sql="""
-WITH e AS (SELECT user_id, event_type, ts div 1000 AS t FROM events),
+WITH e AS (SELECT user_id, event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS t FROM events),
 v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
 p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
 conv AS (SELECT DISTINCT v.user_id, v.t
@@ -889,7 +890,7 @@ register_sql(
     "cumulative_distinct_users",
     spark_sql="""
 WITH e AS (SELECT user_id,
-                  CAST((ts div 1000) div 86400000000 AS BIGINT) AS day_no
+                  CAST((unix_micros(CAST(ts AS TIMESTAMP))) div 86400000000 AS BIGINT) AS day_no
            FROM events),
 firsts AS (SELECT user_id, min(day_no) AS day_no FROM e GROUP BY user_id),
 days AS (SELECT DISTINCT day_no FROM e),
@@ -1027,7 +1028,7 @@ register_sql(
     "retention_cohorts",
     spark_sql="""
 WITH e AS (SELECT user_id,
-                  CAST((ts div 1000) div 604800000000 AS BIGINT) AS week_no
+                  CAST((unix_micros(CAST(ts AS TIMESTAMP))) div 604800000000 AS BIGINT) AS week_no
            FROM events),
 fw AS (SELECT user_id, min(week_no) AS cohort_week FROM e GROUP BY user_id),
 cs AS (SELECT cohort_week, count(*) AS cohort_size FROM fw GROUP BY cohort_week),
@@ -1182,7 +1183,7 @@ register_sql(
     "ewma_smooth",
     spark_sql="""
 WITH e AS (SELECT event_type,
-                  CAST((ts div 1000) div 86400000000 AS BIGINT) AS day_no,
+                  CAST((unix_micros(CAST(ts AS TIMESTAMP))) div 86400000000 AS BIGINT) AS day_no,
                   value
            FROM events),
 d AS (SELECT event_type, day_no, CAST(round(sum(value), 6) AS DOUBLE) AS x

@@ -67,7 +67,7 @@ def test_hll_rollup_accuracy(spark, sf_oracle):
     """Merged day-sketch estimates within 5% of exact monthly
     distincts (default lgConfigK=12 ⇒ ~1.6% typical rel. error)."""
     events = load_table(spark, sf_oracle, "events").withColumn(
-        "t", F.timestamp_micros(F.expr("ts div 1000"))
+        "t", F.col("ts").cast("timestamp")
     )
     est = {
         r.bucket: r.est_distinct
