@@ -95,6 +95,10 @@ HEADLINE = [
     "hll_daily_users",
     "cusum_changepoint",
     "column_profile",
+    "hopping_window_counts",
+    "peak_concurrency",
+    "mad_outliers",
+    "equidepth_histogram",
 ]
 
 

@@ -195,3 +195,151 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup(events, "t", "user_id", "yyyy-MM").select(
         F.col("bucket").alias("month"), F.col("est_distinct").alias("est_users")
     )
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) windows: 1-hour windows advancing every 15 minutes
+# — Spark's native `window(t, size, slide)` generator, the batch twin
+# of the Structured Streaming hop-window aggregation. Each event lands
+# in exactly size/slide = 4 windows; Spark explodes the window slots
+# BEFORE the shuffle, so the agg is a plain partial-aggregated groupBy
+# on (window, event_type) — at 100 TB that's one shuffle of the
+# already-combined per-partition window counts, never 4× raw rows.
+# The DuckDB oracle materializes the same epoch-aligned slots
+# explicitly: start = (floor(t/15min) - k) * 15min for k in 0..3.
+
+register_sql(
+    "hopping_window_counts",
+    spark_sql="""
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events)
+SELECT window.start AS win_start, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM e GROUP BY window(t, '1 hour', '15 minutes'), event_type
+""",
+    duck_sql="""
+WITH k AS (SELECT unnest(range(0, 4)) AS k),
+w AS (SELECT event_type, value,
+             make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+               AS win_start
+      FROM events CROSS JOIN k)
+SELECT win_start, event_type, count(*) AS n_events,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM w GROUP BY win_start, event_type
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency — classic interval sweep-line as SQL: each event is
+# "active" for 5 minutes (clipped at midnight); emit +1/-1 boundary
+# rows, running-sum them in event-time order, take the per-day maximum.
+# The RANGE frame (not ROWS) makes simultaneous boundaries order-free:
+# at instant p the sum includes every +1 AND -1 at p, so ends cancel
+# starts at the same microsecond identically on both engines. The
+# window partitions by (event_type, day) — bounded sort per partition,
+# no global ordering, so the plan scales linearly with days × types.
+
+_PEAK_CONCURRENCY = """
+WITH e AS (SELECT event_type, {epoch_us} AS t FROM events),
+b AS (
+  SELECT event_type, t {div} 86400000000 AS day_no, t AS pt, 1 AS delta FROM e
+  UNION ALL
+  SELECT event_type, t {div} 86400000000 AS day_no,
+         least(t + 300000000, (t {div} 86400000000 + 1) * 86400000000) AS pt,
+         -1 AS delta
+  FROM e
+),
+r AS (SELECT event_type, day_no, pt,
+             sum(delta) OVER (PARTITION BY event_type, day_no ORDER BY pt
+                              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS active
+      FROM b)
+SELECT event_type, day_no, max(active) AS peak_concurrency
+FROM r GROUP BY event_type, day_no
+"""
+
+register_sql(
+    "peak_concurrency",
+    spark_sql=_PEAK_CONCURRENCY.format(
+        epoch_us="unix_micros(CAST(ts AS TIMESTAMP))", div="div"
+    ),
+    duck_sql=_PEAK_CONCURRENCY.format(epoch_us="epoch_us(ts)", div="//"),
+)
+
+
+# --------------------------------------------------------------------------
+# Robust outliers via median absolute deviation (MAD) — the
+# breakdown-resistant cousin of zscore_outliers: med and MAD shrug off
+# the very outliers they're hunting. Exact interpolated medians
+# (verified bit-equal cross-engine, see value_quantiles); two grouped
+# aggs + two broadcast-sized joins on event_type. Both deviation and
+# threshold are rounded before comparing so the outlier count can't
+# flip on a last-ulp interpolation difference.
+
+_MAD_OUTLIERS = """
+WITH m AS (SELECT event_type, {median_value} AS med
+           FROM events GROUP BY event_type),
+d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN m ON e.event_type = m.event_type),
+s AS (SELECT event_type, {median_adev} AS mad FROM d GROUP BY event_type)
+SELECT d.event_type,
+       CAST(round(max(d.med), 6) AS DOUBLE) AS med,
+       CAST(round(max(s.mad), 6) AS DOUBLE) AS mad,
+       sum(CASE WHEN round(d.adev, 6) > round(3.5 * s.mad, 6)
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM d JOIN s ON d.event_type = s.event_type
+GROUP BY d.event_type
+"""
+
+register_sql(
+    "mad_outliers",
+    spark_sql=_MAD_OUTLIERS.format(
+        median_value="percentile(value, 0.5)", median_adev="percentile(adev, 0.5)"
+    ),
+    duck_sql=_MAD_OUTLIERS.format(
+        median_value="quantile_cont(value, 0.5)",
+        median_adev="quantile_cont(adev, 0.5)",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram of order totals — the complement of
+# value_histogram's equal-width bins. Two-phase plan built for scale:
+# phase 1 computes the 9 interior decile boundaries in ONE exact
+# percentile agg (sorted partial aggregation, no full collect); phase 2
+# broadcasts that 1-row boundary array and bins every row with a pure
+# per-row lambda fold — no shuffle beyond the final 10-group agg.
+# Boundaries are rounded to 6 dp on both engines BEFORE binning so a
+# value sitting on a boundary falls the same way in Spark and DuckDB.
+
+register_sql(
+    "equidepth_histogram",
+    spark_sql="""
+WITH b AS (SELECT transform(
+             percentile(o_totalprice,
+                        array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),
+             x -> round(x, 6)) AS bs
+           FROM orders)
+SELECT aggregate(bs, 0, (acc, x) -> acc + IF(o_totalprice >= x, 1, 0)) AS bin,
+       count(*) AS n_rows,
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+FROM orders CROSS JOIN b
+GROUP BY 1
+""",
+    duck_sql="""
+WITH b AS (SELECT list_transform(
+             quantile_cont(o_totalprice,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             x -> round(x, 6)) AS bs
+           FROM orders)
+SELECT CAST(len(list_filter(bs, x -> o_totalprice >= x)) AS INT) AS bin,
+       count(*) AS n_rows,
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+FROM orders CROSS JOIN b
+GROUP BY 1
+""",
+)

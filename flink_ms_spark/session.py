@@ -47,8 +47,6 @@ def get_spark(
         # runtime with actual sizes).
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # fixture parquet carries TIMESTAMP(NANOS); read as NTZ (see sources/tables.py)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

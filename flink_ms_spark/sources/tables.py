@@ -17,13 +17,9 @@ from flink_ms_spark.schemas import FIXTURE_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The fixture files carry TIMESTAMP(NANOS) columns, which Spark's
-    # parquet reader rejects unless this (runtime-settable) conf is on;
-    # with it, nanos read as TIMESTAMP_NTZ truncated to micros — the
-    # same naive-timestamp semantics DuckDB gives, so oracle results
-    # agree. Set here, not only in the session factory, because the
-    # driver may hand us its own SparkSession.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixture timestamps are TIMESTAMP(MICROS); no reader conf needed.
+    # (A NANOS fixture would fail loudly at scan time — deliberately no
+    # nanosAsLong fallback, which would silently hand queries a BIGINT.)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

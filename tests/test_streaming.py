@@ -134,6 +134,51 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     assert emitted2[key13].n_events == 1 and emitted2[key13].total_value == 5.0
 
 
+def test_hopping_windowed_counts_multi_assign(spark, tmp_path):
+    """Sliding (hop) windows: with 1h windows advancing every 15 min,
+    one event belongs to exactly 4 windows; a watermark-advancing later
+    row closes and emits all 4 (batch twin: q:hopping_window_counts)."""
+    from flink_ms_spark.streaming.aggregates import windowed_event_counts
+
+    src = tmp_path / "hop_in"
+    ckpt = tmp_path / "ckpt_hop"
+    src.mkdir()
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    _write(
+        str(src / "a.json"),
+        [
+            '{"ts": "2024-01-01 10:05:00", "event_type": "click", "value": 1.0}',
+            '{"ts": "2024-01-01 14:00:00", "event_type": "view", "value": 5.0}',
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = windowed_event_counts(
+        stream,
+        window_duration="1 hour",
+        slide="15 minutes",
+        watermark_delay="30 minutes",
+    )
+    sink: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, _bid: sink.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    click = sorted(
+        str(r.window_start) for r in sink if r.event_type == "click"
+    )
+    assert click == [
+        "2024-01-01 09:15:00",
+        "2024-01-01 09:30:00",
+        "2024-01-01 09:45:00",
+        "2024-01-01 10:00:00",
+    ]
+    assert all(r.n_events == 1 for r in sink if r.event_type == "click")
+
+
 def test_transform_with_state_latest_per_key(spark, tmp_path):
     """X1 via transformWithStateInPandas: engine-managed ValueState
     keeps the latest payload per key across micro-batch runs (state
