@@ -99,6 +99,10 @@ HEADLINE = [
     "peak_concurrency",
     "mad_outliers",
     "equidepth_histogram",
+    "item_item_cosine",
+    "attribution_linear",
+    "rolling_7d_distinct_users",
+    "behavior_entropy",
 ]
 
 

@@ -343,3 +343,124 @@ FROM orders CROSS JOIN b
 GROUP BY 1
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# Item-item neighborhood CF — the memory-based complement of the
+# reference's ALS factor model (same domain: FIXTURES.md rating
+# mapping, items = event_id % 200): cosine similarity between item
+# co-purchase user sets, top-5 neighbors per item. The pair generation
+# self-joins the DISTINCT (user, item) incidence on user_id — at
+# 100 TB the quadratic blowup is bounded per user (heavy users are the
+# skew risk; cap or salt them), and the item<item ordering halves the
+# pairs. Ranking uses the ROUNDED cosine with the neighbor id as
+# tiebreak, so top-5 is identical across engines.
+
+_ITEM_NEIGHBORS = """
+WITH ui AS (SELECT DISTINCT user_id, event_id % 200 AS item_id
+            FROM events WHERE event_type = 'purchase'),
+n AS (SELECT item_id, count(*) AS cnt FROM ui GROUP BY item_id),
+p AS (SELECT a.item_id AS i, b.item_id AS j, count(*) AS co
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY a.item_id, b.item_id),
+c AS (SELECT i, j, CAST(round(co / sqrt(ni.cnt * nj.cnt), 6) AS DOUBLE) AS cosine
+      FROM p JOIN n ni ON p.i = ni.item_id JOIN n nj ON p.j = nj.item_id),
+sym AS (SELECT i, j, cosine FROM c UNION ALL SELECT j AS i, i AS j, cosine FROM c),
+r AS (SELECT i AS item_id, j AS neighbor, cosine,
+             row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rk
+      FROM sym)
+SELECT item_id, neighbor, cosine, rk FROM r WHERE rk <= 5
+"""
+
+register_sql("item_item_cosine", _ITEM_NEIGHBORS)
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution — every view in the 7 days before a
+# purchase shares the credit equally (1/n per touch); purchases with
+# no preceding views stay with n_touches = 0. The join is EQUI on
+# user_id with the time band as a residual predicate — a hash/sort
+# join whose per-key fan-out is bounded by one user's history, so no
+# global non-equi blowup (contrast preceding_5min_count, which has no
+# equi key and needs the banded-bucket rewrite).
+
+_ATTRIBUTION = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, {epoch_us} AS t
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, {epoch_us} AS t
+      FROM events WHERE event_type = 'view'),
+j AS (SELECT p.purchase_id, p.user_id, count(v.t) AS n_touches
+      FROM p LEFT JOIN v
+        ON p.user_id = v.user_id
+       AND v.t < p.t AND v.t >= p.t - 604800000000
+      GROUP BY p.purchase_id, p.user_id)
+SELECT purchase_id, user_id, n_touches,
+       CASE WHEN n_touches > 0
+            THEN CAST(round(1.0 / n_touches, 6) AS DOUBLE)
+            ELSE CAST(NULL AS DOUBLE) END AS credit_per_touch
+FROM j
+"""
+
+register_sql(
+    "attribution_linear",
+    spark_sql=_ATTRIBUTION.format(epoch_us="unix_micros(CAST(ts AS TIMESTAMP))"),
+    duck_sql=_ATTRIBUTION.format(epoch_us="epoch_us(ts)"),
+)
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct active users — exact windowed distinct, which
+# no sliding-window agg gives directly (distinct doesn't decompose).
+# Scale plan: dedup to (day, user) pairs first (the big shuffle, but
+# on already-partial-aggregated data), then explode each pair into the
+# 7 trailing days it keeps alive — a fixed 7× fan-out BEFORE the final
+# count-distinct shuffle. No day×pair range join, no nested loop; at
+# 100 TB the fan-out constant beats a non-equi join by construction.
+# The HLL path (hll_daily_users) is the sketch alternative when exact
+# isn't required.
+
+_ROLLING_DAU = """
+WITH du AS (SELECT DISTINCT
+              CAST({epoch_us} {div} 86400000000 AS BIGINT) AS day_no,
+              user_id
+            FROM events),
+days AS (SELECT DISTINCT day_no FROM du),
+x AS (SELECT du.day_no + k.k AS day_no, du.user_id
+      FROM du CROSS JOIN ({offsets}) k)
+SELECT x.day_no, count(DISTINCT x.user_id) AS active_users_7d
+FROM x JOIN days d ON x.day_no = d.day_no
+GROUP BY x.day_no
+"""
+
+register_sql(
+    "rolling_7d_distinct_users",
+    spark_sql=_ROLLING_DAU.format(
+        epoch_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        div="div",
+        offsets="SELECT explode(sequence(0, 6)) AS k",
+    ),
+    duck_sql=_ROLLING_DAU.format(
+        epoch_us="epoch_us(ts)", div="//", offsets="SELECT unnest(range(0, 7)) AS k"
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# Per-user behavioral entropy — Shannon entropy (bits) of each user's
+# event-type mix: 0 for single-minded users, log2(5) for uniform ones.
+# Two partial-aggregated groupBys + a user-keyed join; the per-term
+# p·log2(p) math is pure JVM column arithmetic.
+
+_BEHAVIOR_ENTROPY = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id,
+       max(t.tot) AS n_events,
+       CAST(round(-sum((c.n / t.tot) * log2(c.n / t.tot)), 6) AS DOUBLE)
+         AS entropy_bits
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+"""
+
+register_sql("behavior_entropy", _BEHAVIOR_ENTROPY)

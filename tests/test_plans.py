@@ -142,3 +142,15 @@ def test_graph_timeseries_stay_jvm(spark, sf_oracle):
     for q in ("retention_cohorts", "markov_transitions", "ewma_smooth"):
         plan = _plan(QUERIES[q](spark, sf_oracle))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+
+
+def test_attribution_and_item_cf_joins_are_keyed(spark, sf_oracle):
+    # attribution_linear's time band must ride a user_id EQUI join as a
+    # residual predicate (hash/sort-merge), never a nested loop; the
+    # item-item pair self-join is keyed on user_id likewise
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    for q in ("attribution_linear", "item_item_cosine"):
+        plan = _plan(QUERIES[q](spark, sf_oracle))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
