@@ -1,0 +1,177 @@
+"""Custom Python DataSource for the reference's model text formats.
+
+``spark.read.format("flinkms_model")`` packages the reference's
+file-format surface (SURVEY.md §1.2) as a first-class Spark source —
+the DataSource V2 Python API (Spark 4.x) instead of read-text-then-
+parse. Formats:
+
+- ``kind=als`` (default): ``id,{U|I},f1;f2;...;fk`` rows
+  (reference ALSImpl.scala:83-85 writer, ALSKafkaConsumer.java:77-81
+  parser) → ``key STRING, id STRING, kind STRING, factors
+  ARRAY<DOUBLE>`` — the same shape as functions/codecs.py
+  parse_model_line (T2), composite state key included; id stays STRING
+  because real model streams carry the ``MEAN`` sentinel rows
+  (ALSMeanVector.scala:35).
+- ``kind=svm``: ``featureId,weight`` rows (SVMImpl.scala:45,
+  SVMKafkaConsumer.java:76-82) → ``feature_id INT, weight DOUBLE``.
+
+Scale model: one InputPartition per file (a directory of N model
+shards scans with N-way parallelism; the reference writes one shard
+per Flink subtask, so real model dirs ARE multi-file). Malformed
+numeric fields become NULL, mirroring the try_cast quarantine
+semantics of functions/codecs.py — one bad record must not kill a
+100 TB restore. The writer emits the same text format (K1 overwrite
+semantics handled by Spark's mode), one file per input partition.
+
+This is plumbing parity, not the hot path — bulk reads of *our* model
+tables stay parquet; this source exists so a user can point the engine
+at the reference's existing model dumps without a conversion step.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+_SCHEMAS = {
+    "als": "key STRING, id STRING, kind STRING, factors ARRAY<DOUBLE>",
+    "svm": "feature_id INT, weight DOUBLE",
+}
+
+
+def _try_float(s: str) -> float | None:
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _try_int(s: str) -> int | None:
+    try:
+        return int(s)
+    except ValueError:
+        return None
+
+
+def _list_files(root: str) -> list[str]:
+    """Recursive enumeration (the reference's nested-file source, S4:
+    ALSKafkaProducer.java:24-26 setNestedFileEnumeration)."""
+    if os.path.isfile(root):
+        return [root]
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if not f.startswith(("_", ".")):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ModelFileReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flinkms_model: .load(path) is required")
+        self.kind = options.get("kind", "als")
+
+    def partitions(self):
+        files = _list_files(self.path)
+        # empty dir still needs one partition (yields nothing)
+        return [_FilePartition(p) for p in files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                if self.kind == "svm":
+                    tok = line.split(",")
+                    if len(tok) < 2:
+                        yield None, None
+                    else:
+                        yield _try_int(tok[0]), _try_float(tok[1])
+                else:
+                    tok = line.split(",", 2)
+                    rid = tok[0] if tok else None
+                    kind = tok[1] if len(tok) > 1 else None
+                    facs = (
+                        [_try_float(x) for x in tok[2].split(";")]
+                        if len(tok) > 2
+                        else None
+                    )
+                    key = f"{rid}-{kind}" if rid is not None and kind else None
+                    yield key, rid, kind, facs
+
+
+class ModelFileWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flinkms_model: .save(path) is required")
+        self.kind = options.get("kind", "als")
+        self.overwrite = overwrite
+
+    def write(self, rows: Iterator[Row]) -> WriterCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for r in rows:
+                if self.kind == "svm":
+                    fh.write(f"{r['feature_id']},{r['weight']}\n")
+                else:
+                    # repr(1.0) == "1.0" — same shape as Java's
+                    # Double.toString in the reference's OutputFactor
+                    facs = ";".join(repr(f) for f in r["factors"])
+                    fh.write(f"{r['id']},{r['kind']},{facs}\n")
+                n += 1
+        if n == 0:
+            os.remove(out)
+        return WriterCommitMessage()
+
+
+class ModelFileDataSource(DataSource):
+    """``spark.read.format("flinkms_model").option("kind", "als"|"svm")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flinkms_model"
+
+    def schema(self) -> str:
+        return _SCHEMAS[self.options.get("kind", "als")]
+
+    def reader(self, schema: StructType) -> ModelFileReader:
+        return ModelFileReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ModelFileWriter:
+        if overwrite:
+            # K1 WriteMode.OVERWRITE parity: clear prior shards on the
+            # driver before tasks fan out (same non-transactional window
+            # the reference's file sink has).
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for f in _list_files(path):
+                    os.remove(f)
+        return ModelFileWriter(self.options, overwrite)
+
+
+def register_model_datasource(spark) -> None:
+    """Idempotent registration on a (possibly driver-owned) session."""
+    spark.dataSource.register(ModelFileDataSource)
