@@ -535,3 +535,38 @@ def test_session_windows_merge_and_close_on_gap(spark, tmp_path):
     assert key2 in sess2
     assert sess2[key2].n_events == 1 and sess2[key2].total_value == 4.0
     assert (1, "2024-01-01 10:00:00") not in sess2  # closed session stays closed
+
+
+def test_streaming_heavy_hitters_no_false_negatives(spark, tmp_path):
+    """Mergeable Misra-Gries across micro-batches: every term whose
+    TOTAL count across all batches exceeds N/(sketch_k+1) must be in
+    the final summary, and counters never overcount."""
+    from flink_ms_spark.streaming.sketches import StreamingHeavyHitters
+
+    src = tmp_path / "hh_in"
+    src.mkdir()
+    # batch files with a skewed distribution: 'alpha' dominates, a
+    # mid-frequency 'beta' spans batches, plus singleton noise
+    rows_a = ["alpha"] * 50 + ["beta"] * 8 + [f"noise{i}" for i in range(30)]
+    rows_b = ["alpha"] * 40 + ["beta"] * 9 + [f"zz{i}" for i in range(30)]
+    _write(str(src / "a.json"), [f'{{"term": "{t}"}}' for t in rows_a])
+    _write(str(src / "b.json"), [f'{{"term": "{t}"}}' for t in rows_b])
+
+    hh = StreamingHeavyHitters(col="term", sketch_k=10)
+    stream = spark.readStream.schema("term STRING").json(str(src))
+    q = hh.run(stream, str(tmp_path / "ckpt_hh"))
+    q.awaitTermination(120)
+
+    total = len(rows_a) + len(rows_b)
+    assert hh.n_seen == total
+    got = dict(hh.candidates())
+    true = {"alpha": 90, "beta": 17}
+    # no false negatives above N/(k+1)
+    for term, cnt in true.items():
+        if cnt > total / (hh.sketch_k + 1):
+            assert term in got, term
+            # MG counters are lower bounds within N/(k+1)
+            assert got[term] <= cnt
+            assert cnt - got[term] <= total / (hh.sketch_k + 1)
+    # bounded state
+    assert len(got) <= hh.sketch_k
