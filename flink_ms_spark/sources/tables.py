@@ -16,11 +16,42 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_ms_spark.schemas import FIXTURE_TABLES
 
 
+# Physical types the catalog's SQL depends on. The driver regenerates
+# the fixtures and has changed types before (events.ts was
+# TIMESTAMP(NANOS)-as-BIGINT, then became TIMESTAMP(MICROS)) — a wrong
+# type here silently poisons epoch arithmetic in dozens of queries, so
+# drift fails fast with a named error instead. Only load-bearing
+# columns are pinned; added columns are fine.
+_CRITICAL_TYPES: dict[str, dict[str, tuple[str, ...]]] = {
+    "events": {
+        "ts": ("timestamp", "timestamp_ntz"),
+        "value": ("double",),
+        "props": ("string",),
+    },
+    "documents": {"text": ("string",), "lang": ("string",)},
+    "embeddings": {"embedding": ("array<float>", "array<double>")},
+    "orders": {"o_totalprice": ("double",), "o_orderdate": ("timestamp", "timestamp_ntz")},
+    "lineitem": {"l_shipdate": ("timestamp", "timestamp_ntz")},
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Fixture timestamps are TIMESTAMP(MICROS); no reader conf needed.
     # (A NANOS fixture would fail loudly at scan time — deliberately no
     # nanosAsLong fallback, which would silently hand queries a BIGINT.)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = _CRITICAL_TYPES.get(name)
+    if expected:
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for col, allowed in expected.items():
+            got = actual.get(col)
+            if got is not None and got not in allowed:
+                raise TypeError(
+                    f"fixture drift: {name}.{col} is {got}, catalog assumes "
+                    f"{'/'.join(allowed)} — regenerated testdata changed "
+                    f"physical types; fix plans/ before trusting results"
+                )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

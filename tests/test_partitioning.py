@@ -138,3 +138,27 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     got = spark.read.parquet(zdir).agg(F.sum("x"), F.sum("y")).collect()[0]
     want = df.agg(F.sum("x"), F.sum("y")).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_fixture_drift_guard(spark, sf_smoke, tmp_path):
+    """load_table fails fast with a named error when a load-bearing
+    fixture column changes physical type (the nanos->micros ts drift
+    silently broke epoch math once; never again silently)."""
+    import os
+
+    import pytest
+
+    from flink_ms_spark.sources.tables import load_table
+
+    # current fixtures pass the guard
+    assert load_table(spark, sf_smoke, "events").schema
+
+    # simulate a drifted regeneration: ts as BIGINT
+    drifted = str(tmp_path / "drift")
+    os.makedirs(drifted)
+    load_table(spark, sf_smoke, "events").selectExpr(
+        "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.parquet(os.path.join(drifted, "events.parquet"))
+    with pytest.raises(TypeError, match="fixture drift: events.ts"):
+        load_table(spark, drifted, "events")

@@ -570,3 +570,40 @@ def test_streaming_heavy_hitters_no_false_negatives(spark, tmp_path):
             assert cnt - got[term] <= total / (hh.sketch_k + 1)
     # bounded state
     assert len(got) <= hh.sketch_k
+
+
+def test_incremental_rollup_matches_batch_agg(spark, tmp_path):
+    """IVM additive fold: after streaming two files, the materialized
+    (day -> sum,count,mean) view equals the batch GROUP BY over the
+    union; a restarted query does not double-apply batches."""
+    from flink_ms_spark.streaming.ivm import IncrementalRollup
+
+    src = tmp_path / "ivm_in"
+    src.mkdir()
+    _write(
+        str(src / "a.json"),
+        [
+            '{"day": "2024-01-01", "v": 10.0}',
+            '{"day": "2024-01-01", "v": 2.0}',
+            '{"day": "2024-01-02", "v": 7.0}',
+        ],
+    )
+    _write(
+        str(src / "b.json"),
+        ['{"day": "2024-01-02", "v": 3.0}', '{"day": "2024-01-03", "v": 1.5}'],
+    )
+    roll = IncrementalRollup(key_expr="day", value_col="v")
+    schema = "day STRING, v DOUBLE"
+    stream = spark.readStream.schema(schema).json(str(src))
+    roll.run(stream, str(tmp_path / "ckpt_ivm")).awaitTermination(120)
+
+    snap = roll.snapshot()
+    assert snap["2024-01-01"] == (12.0, 2, 6.0)
+    assert snap["2024-01-02"] == (10.0, 2, 5.0)
+    assert snap["2024-01-03"] == (1.5, 1, 1.5)
+
+    # restart over the same checkpoint: no new data -> no change,
+    # and a replayed batch id would be skipped by the idempotent fold
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    roll.run(stream2, str(tmp_path / "ckpt_ivm")).awaitTermination(120)
+    assert roll.snapshot() == snap
