@@ -103,6 +103,10 @@ HEADLINE = [
     "attribution_linear",
     "rolling_7d_distinct_users",
     "behavior_entropy",
+    "ship_delay_stats",
+    "readability",
+    "session_duration_stats",
+    "new_vs_returning",
 ]
 
 

@@ -321,9 +321,38 @@ def cmd_curate(args: argparse.Namespace) -> None:
     print(f"curated {sum(m['n_docs'] for m in manifest.values())} docs -> {args.output}")
 
 
+def cmd_explain(args: argparse.Namespace) -> None:
+    """Print the formatted physical plan of a catalog query — the
+    scale-review surface (check PushedFilters / ReadSchema /
+    WholeStageCodegen / join strategies before shipping a query)."""
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    if args.query not in QUERIES:
+        raise SystemExit(
+            f"unknown query {args.query!r}; valid: {', '.join(sorted(QUERIES))}"
+        )
+    spark = _spark("[EXPLAIN]")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    print(
+        df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), args.mode
+        )
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_ms_spark")
     sub = p.add_subparsers(dest="command", required=True)
+
+    e = sub.add_parser("explain")
+    e.add_argument("query")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument(
+        "--mode",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+        default="formatted",
+    )
+    e.set_defaults(func=cmd_explain)
 
     t = sub.add_parser("train-als")
     t.add_argument("--input", required=True)

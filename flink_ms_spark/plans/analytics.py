@@ -464,3 +464,151 @@ GROUP BY c.user_id
 """
 
 register_sql("behavior_entropy", _BEHAVIOR_ENTROPY)
+
+
+# --------------------------------------------------------------------------
+# Shipping-delay distribution — order date to line-item ship date in
+# days, summarized per order priority: the TPC-H-flavored latency SLA
+# query. One fact-fact equi join (orders broadcast-eligible at small
+# SF, sort-merge at scale) + one partial-aggregated groupBy; datediff
+# truncates both sides to dates identically on both engines.
+
+_SHIP_DELAY = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       CAST(round(avg({delay}), 6) AS DOUBLE) AS avg_delay_days,
+       CAST(round({median_delay}, 6) AS DOUBLE) AS p50_delay_days,
+       max({delay}) AS max_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+register_sql(
+    "ship_delay_stats",
+    spark_sql=_SHIP_DELAY.format(
+        delay="datediff(l_shipdate, o_orderdate)",
+        median_delay="percentile(datediff(l_shipdate, o_orderdate), 0.5)",
+    ),
+    duck_sql=_SHIP_DELAY.format(
+        delay="date_diff('day', o_orderdate, l_shipdate)",
+        median_delay="quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5)",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# Readability profile — per-language corpus readability: sentences per
+# doc (terminator runs), words per sentence, chars per word — the
+# quality-gating signals a curation pipeline thresholds on (long
+# run-on sentences and very long "words" both flag extraction junk).
+# Pure per-row regex + one aggregation; the regexes are shared RE2/Java
+# syntax (no lookaround).
+
+_READABILITY = """
+WITH d AS (
+  SELECT lang,
+         greatest({n_sents}, 1) AS n_sents,
+         {n_words} AS n_words,
+         {n_word_chars} AS n_word_chars
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(round(avg(CAST(n_words AS DOUBLE) / n_sents), 6) AS DOUBLE)
+         AS words_per_sentence,
+       CAST(round(avg(CAST(n_word_chars AS DOUBLE) / greatest(n_words, 1)), 6)
+            AS DOUBLE) AS chars_per_word
+FROM d GROUP BY lang
+"""
+
+register_sql(
+    "readability",
+    spark_sql=_READABILITY.format(
+        n_sents="regexp_count(text, '[.!?]+')",
+        n_words="size(split(trim(text), '\\\\s+'))",
+        n_word_chars="length(regexp_replace(text, '\\\\s+', ''))",
+    ),
+    duck_sql=_READABILITY.format(
+        n_sents="len(regexp_extract_all(text, '[.!?]+'))",
+        n_words="len(string_split_regex(trim(text), '\\s+'))",
+        n_word_chars="length(regexp_replace(text, '\\s+', '', 'g'))",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# Session duration profile — corpus-level session statistics on top of
+# the 30-minute-gap sessionization (same islands construction as
+# q:sessionize): session count, duration quantiles, events/session.
+# The per-(user, session) agg is partial-combined; only the final
+# single-row summary crosses the last shuffle.
+
+_SESSION_DURATION = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN {gap_sec} IS NULL OR {gap_sec} > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (SELECT user_id, event_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS sess_id
+      FROM g),
+d AS (SELECT user_id, sess_id, count(*) AS n_events,
+             ({max_us} - {min_us}) / 1000000.0 AS dur_sec
+      FROM s GROUP BY user_id, sess_id)
+SELECT count(*) AS n_sessions,
+       CAST(round(avg(dur_sec), 6) AS DOUBLE) AS avg_duration_sec,
+       CAST(round({p50}, 6) AS DOUBLE) AS p50_duration_sec,
+       CAST(round(avg(CAST(n_events AS DOUBLE)), 6) AS DOUBLE)
+         AS avg_events_per_session
+FROM d
+"""
+
+register_sql(
+    "session_duration_stats",
+    spark_sql=_SESSION_DURATION.format(
+        gap_sec="(unix_micros(CAST(ts AS TIMESTAMP))"
+        " - unix_micros(CAST(lag(ts) OVER (PARTITION BY user_id"
+        " ORDER BY event_id) AS TIMESTAMP))) / 1000000.0",
+        max_us="unix_micros(CAST(max(ts) AS TIMESTAMP))",
+        min_us="unix_micros(CAST(min(ts) AS TIMESTAMP))",
+        p50="percentile(dur_sec, 0.5)",
+    ),
+    duck_sql=_SESSION_DURATION.format(
+        gap_sec="date_diff('second',"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY event_id), ts)",
+        max_us="epoch_us(max(ts))",
+        min_us="epoch_us(min(ts))",
+        p50="quantile_cont(dur_sec, 0.5)",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# New vs returning — per day, activity split by whether it's each
+# user's first-ever day: the top-of-dashboard growth metric. One
+# first-day agg + one user-keyed join; the conditional distinct counts
+# share the same shuffle.
+
+_NEW_VS_RETURNING = """
+WITH e AS (SELECT user_id, CAST({epoch_us} {div} 86400000000 AS BIGINT) AS day_no
+           FROM events),
+f AS (SELECT user_id, min(day_no) AS first_day FROM e GROUP BY user_id)
+SELECT e.day_no,
+       sum(CASE WHEN e.day_no = f.first_day THEN 1 ELSE 0 END) AS new_events,
+       sum(CASE WHEN e.day_no > f.first_day THEN 1 ELSE 0 END)
+         AS returning_events,
+       count(DISTINCT CASE WHEN e.day_no = f.first_day THEN e.user_id END)
+         AS new_users,
+       count(DISTINCT CASE WHEN e.day_no > f.first_day THEN e.user_id END)
+         AS returning_users
+FROM e JOIN f ON e.user_id = f.user_id
+GROUP BY e.day_no
+"""
+
+register_sql(
+    "new_vs_returning",
+    spark_sql=_NEW_VS_RETURNING.format(
+        epoch_us="unix_micros(CAST(ts AS TIMESTAMP))", div="div"
+    ),
+    duck_sql=_NEW_VS_RETURNING.format(epoch_us="epoch_us(ts)", div="//"),
+)

@@ -197,3 +197,19 @@ def test_source_sink_format_roundtrips(tmp_path):
     docs.write.mode("overwrite").json(js)
     got = sorted(tuple(r) for r in spark.read.schema(docs.schema).json(js).collect())
     assert got == want
+
+
+def test_explain_prints_formatted_plan(capsys):
+    cli.main(["explain", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    # scale-review markers the command exists to surface
+    assert "Scan parquet" in out or "FileScan" in out
+    assert "HashAggregate" in out
+
+
+def test_explain_unknown_query_exits(capsys):
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown query"):
+        cli.main(["explain", "nope_not_real"])
