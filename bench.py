@@ -107,6 +107,8 @@ HEADLINE = [
     "readability",
     "session_duration_stats",
     "new_vs_returning",
+    "funnel_3step",
+    "transition_dwell",
 ]
 
 

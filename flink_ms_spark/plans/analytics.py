@@ -612,3 +612,73 @@ register_sql(
     ),
     duck_sql=_NEW_VS_RETURNING.format(epoch_us="epoch_us(ts)", div="//"),
 )
+
+
+# --------------------------------------------------------------------------
+# Strict 3-step funnel — view → click → purchase, each step within 30
+# minutes of the previous, earliest-completion semantics: for every
+# view, the FIRST click after it, then the FIRST purchase after that
+# click. Two as-of-style joins expressed as min-over-candidates; both
+# ride the user_id equi key with the time band as residual, so the
+# plan stays a keyed hash/sort-merge chain (no nested loop) and
+# per-key fan-out is one user's history.
+
+_FUNNEL3 = """
+WITH e AS (SELECT user_id, event_type, {epoch_us} AS t FROM events),
+v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+vc AS (SELECT v.user_id, v.t AS v_t, min(c.t) AS c_t
+       FROM v JOIN c ON v.user_id = c.user_id
+                     AND c.t > v.t AND c.t <= v.t + 1800000000
+       GROUP BY v.user_id, v.t),
+vcp AS (SELECT vc.user_id, vc.v_t, vc.c_t, min(p.t) AS p_t
+        FROM vc JOIN p ON vc.user_id = p.user_id
+                       AND p.t > vc.c_t AND p.t <= vc.c_t + 1800000000
+        GROUP BY vc.user_id, vc.v_t, vc.c_t)
+SELECT (SELECT count(*) FROM v) AS n_views,
+       (SELECT count(*) FROM vc) AS n_view_click,
+       (SELECT count(*) FROM vcp) AS n_view_click_purchase,
+       (SELECT count(DISTINCT user_id) FROM vcp) AS n_converted_users
+"""
+
+register_sql(
+    "funnel_3step",
+    spark_sql=_FUNNEL3.format(epoch_us="unix_micros(CAST(ts AS TIMESTAMP))"),
+    duck_sql=_FUNNEL3.format(epoch_us="epoch_us(ts)"),
+)
+
+
+# --------------------------------------------------------------------------
+# Transition dwell times — how long users linger between consecutive
+# event types (the edge-weighted companion of markov_transitions):
+# per (prev_type, next_type), transition count and mean/median dwell
+# seconds. One per-user window pass (lag), one grouped agg.
+
+_TRANSITION_DWELL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_type,
+         ({t} - lag({t}) OVER (PARTITION BY user_id ORDER BY event_id))
+           / 1000000.0 AS dwell_sec
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       count(*) AS n_transitions,
+       CAST(round(avg(dwell_sec), 6) AS DOUBLE) AS avg_dwell_sec,
+       CAST(round({p50}, 6) AS DOUBLE) AS p50_dwell_sec
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+register_sql(
+    "transition_dwell",
+    spark_sql=_TRANSITION_DWELL.format(
+        t="unix_micros(CAST(ts AS TIMESTAMP))",
+        p50="percentile(dwell_sec, 0.5)",
+    ),
+    duck_sql=_TRANSITION_DWELL.format(
+        t="epoch_us(ts)", p50="quantile_cont(dwell_sec, 0.5)"
+    ),
+)
