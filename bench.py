@@ -109,6 +109,8 @@ HEADLINE = [
     "new_vs_returning",
     "funnel_3step",
     "transition_dwell",
+    "power_user_share",
+    "dow_seasonality",
 ]
 
 

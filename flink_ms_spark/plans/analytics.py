@@ -682,3 +682,48 @@ register_sql(
         t="epoch_us(ts)", p50="quantile_cont(dwell_sec, 0.5)"
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# Power-user concentration — decile shares of activity by per-user
+# total value (the Pareto/"whale" curve). The ntile window runs over
+# USER-level aggregates (already one row per user — orders of
+# magnitude below event volume), not raw events, so the global sort is
+# model-scale; ordering ties are broken on (rounded value, user_id)
+# for cross-engine determinism.
+
+_POWER_USER = """
+WITH u AS (SELECT user_id, count(*) AS n_events,
+                  CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(round(sum(total_value), 6) AS DOUBLE) AS grand FROM u),
+d AS (SELECT user_id, n_events, total_value,
+             ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile
+      FROM u)
+SELECT decile, count(*) AS n_users, sum(n_events) AS n_events,
+       CAST(round(sum(total_value), 6) AS DOUBLE) AS value_sum,
+       CAST(round(sum(total_value) / max(t.grand), 6) AS DOUBLE) AS value_share
+FROM d CROSS JOIN t
+GROUP BY decile
+"""
+
+register_sql("power_user_share", _POWER_USER)
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality — the weekly activity heatmap per event
+# type. ISO day numbering on both engines (Spark weekday() is
+# 0=Monday, DuckDB isodow() is 1=Monday — offset aligned here).
+
+_DOW = """
+SELECT event_type, {dow} AS iso_dow, count(*) AS n_events,
+       CAST(round(avg(value), 6) AS DOUBLE) AS avg_value,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type, {dow}
+"""
+
+register_sql(
+    "dow_seasonality",
+    spark_sql=_DOW.format(dow="weekday(CAST(ts AS TIMESTAMP)) + 1"),
+    duck_sql=_DOW.format(dow="isodow(ts)"),
+)
