@@ -111,6 +111,8 @@ HEADLINE = [
     "transition_dwell",
     "power_user_share",
     "dow_seasonality",
+    "order_backlog",
+    "mom_growth",
 ]
 
 

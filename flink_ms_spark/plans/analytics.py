@@ -727,3 +727,52 @@ register_sql(
     spark_sql=_DOW.format(dow="weekday(CAST(ts AS TIMESTAMP)) + 1"),
     duck_sql=_DOW.format(dow="isodow(ts)"),
 )
+
+
+# --------------------------------------------------------------------------
+# Order backlog — the running-balance pattern: orders placed minus
+# orders fully shipped (every lineitem shipped), cumulated over a day
+# spine. Two partial-aggregated daily streams diffed by a cumulative
+# window over the DAY series — the global sort touches one row per
+# day, never fact rows.
+
+_BACKLOG = """
+WITH placed AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_placed
+                FROM orders GROUP BY 1),
+done AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS done_day
+         FROM lineitem GROUP BY l_orderkey),
+shipped AS (SELECT done_day AS day, count(*) AS n_done FROM done GROUP BY 1),
+days AS (SELECT day FROM placed UNION SELECT day FROM shipped),
+j AS (SELECT d.day,
+             coalesce(p.n_placed, 0) AS n_placed,
+             coalesce(s.n_done, 0) AS n_done
+      FROM days d
+      LEFT JOIN placed p ON d.day = p.day
+      LEFT JOIN shipped s ON d.day = s.day)
+SELECT day, n_placed, n_done,
+       sum(n_placed - n_done)
+         OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS open_backlog
+FROM j
+"""
+
+register_sql("order_backlog", _BACKLOG)
+
+
+# --------------------------------------------------------------------------
+# Month-over-month growth — revenue deltas as percentages via lag over
+# the month series (rounded revenue on both sides BEFORE the ratio so
+# the percentage can't diverge cross-engine).
+
+_MOM = """
+WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+           FROM orders GROUP BY 1)
+SELECT month, revenue,
+       CAST(round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                  / lag(revenue) OVER (ORDER BY month), 6) AS DOUBLE)
+         AS mom_pct
+FROM m
+"""
+
+register_sql("mom_growth", _MOM)
