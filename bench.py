@@ -113,6 +113,8 @@ HEADLINE = [
     "dow_seasonality",
     "order_backlog",
     "mom_growth",
+    "brand_return_rate",
+    "zipf_slope",
 ]
 
 

@@ -776,3 +776,59 @@ FROM m
 """
 
 register_sql("mom_growth", _MOM)
+
+
+# --------------------------------------------------------------------------
+# Brand return rates — lineitem returnflag share per part brand: the
+# product-quality slice. One fact-dim equi join (part broadcasts) +
+# one partial-aggregated groupBy; the rate is computed sum/count to
+# keep every literal DOUBLE (bare 1.0 would be DECIMAL — oracle
+# poison).
+
+_BRAND_RETURNS = """
+SELECT p_brand,
+       count(*) AS n_lines,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       CAST(round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*), 6) AS DOUBLE) AS return_rate,
+       CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+                           ELSE CAST(0 AS DOUBLE) END), 2) AS DOUBLE)
+         AS returned_value
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+register_sql("brand_return_rate", _BRAND_RETURNS)
+
+
+# --------------------------------------------------------------------------
+# Zipf slope — rank-frequency log-log regression over the top-1000
+# vocabulary terms (natural corpora fit slope ≈ -1; a far-off slope
+# flags synthetic or degenerate text). regr_slope/regr_r2 are shared
+# SQL aggregates; the rank window's `rnk <= 1000` filter triggers
+# Spark's WindowGroupLimit pushdown, so the sort is top-k over the
+# vocabulary, not a full-vocab materialization.
+
+_ZIPF = """
+WITH toks AS (SELECT {tokens} AS term FROM documents),
+f AS (SELECT term, count(*) AS freq FROM toks WHERE term <> ''
+      GROUP BY term),
+r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM f),
+t AS (SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(freq AS DOUBLE)) AS ly
+      FROM r WHERE rnk <= 1000)
+SELECT count(*) AS n_terms,
+       CAST(round(regr_slope(ly, lx), 6) AS DOUBLE) AS zipf_slope,
+       CAST(round(regr_r2(ly, lx), 6) AS DOUBLE) AS r2
+FROM t
+"""
+
+register_sql(
+    "zipf_slope",
+    spark_sql=_ZIPF.format(
+        tokens="explode(split(lower(text), '[^a-z]+'))"
+    ),
+    duck_sql=_ZIPF.format(
+        tokens="unnest(string_split_regex(lower(text), '[^a-z]+'))"
+    ),
+)
