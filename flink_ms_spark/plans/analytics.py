@@ -255,9 +255,13 @@ r AS (SELECT event_type, day_no, pt,
                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS active
       FROM b)
-SELECT event_type, day_no, max(active) AS peak_concurrency
+SELECT event_type, day_no, CAST(max(active) AS BIGINT) AS peak_concurrency
 FROM r GROUP BY event_type, day_no
 """
+# CAST AS BIGINT on the windowed-sum output: DuckDB's integer sum()
+# yields HUGEINT, which the driver's pandas fetch renders as float64
+# ("3.0" vs Spark's "3") — a hash mismatch with rows/schema green.
+# Same rule applied to every integer-sum output column in this module.
 
 register_sql(
     "peak_concurrency",
@@ -286,8 +290,8 @@ s AS (SELECT event_type, {median_adev} AS mad FROM d GROUP BY event_type)
 SELECT d.event_type,
        CAST(round(max(d.med), 6) AS DOUBLE) AS med,
        CAST(round(max(s.mad), 6) AS DOUBLE) AS mad,
-       sum(CASE WHEN round(d.adev, 6) > round(3.5 * s.mad, 6)
-                THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN round(d.adev, 6) > round(3.5 * s.mad, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM d JOIN s ON d.event_type = s.event_type
 GROUP BY d.event_type
 """
@@ -456,7 +460,7 @@ WITH c AS (SELECT user_id, event_type, count(*) AS n
            FROM events GROUP BY user_id, event_type),
 t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
 SELECT c.user_id,
-       max(t.tot) AS n_events,
+       CAST(max(t.tot) AS BIGINT) AS n_events,
        CAST(round(-sum((c.n / t.tot) * log2(c.n / t.tot)), 6) AS DOUBLE)
          AS entropy_bits
 FROM c JOIN t ON c.user_id = t.user_id
@@ -594,8 +598,9 @@ WITH e AS (SELECT user_id, CAST({epoch_us} {div} 86400000000 AS BIGINT) AS day_n
            FROM events),
 f AS (SELECT user_id, min(day_no) AS first_day FROM e GROUP BY user_id)
 SELECT e.day_no,
-       sum(CASE WHEN e.day_no = f.first_day THEN 1 ELSE 0 END) AS new_events,
-       sum(CASE WHEN e.day_no > f.first_day THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN e.day_no = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_events,
+       CAST(sum(CASE WHEN e.day_no > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
          AS returning_events,
        count(DISTINCT CASE WHEN e.day_no = f.first_day THEN e.user_id END)
          AS new_users,
@@ -700,7 +705,8 @@ t AS (SELECT CAST(round(sum(total_value), 6) AS DOUBLE) AS grand FROM u),
 d AS (SELECT user_id, n_events, total_value,
              ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile
       FROM u)
-SELECT decile, count(*) AS n_users, sum(n_events) AS n_events,
+SELECT decile, count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        CAST(round(sum(total_value), 6) AS DOUBLE) AS value_sum,
        CAST(round(sum(total_value) / max(t.grand), 6) AS DOUBLE) AS value_share
 FROM d CROSS JOIN t
@@ -750,9 +756,9 @@ j AS (SELECT d.day,
       LEFT JOIN placed p ON d.day = p.day
       LEFT JOIN shipped s ON d.day = s.day)
 SELECT day, n_placed, n_done,
-       sum(n_placed - n_done)
-         OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS open_backlog
+       CAST(sum(n_placed - n_done)
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_backlog
 FROM j
 """
 
@@ -788,7 +794,8 @@ register_sql("mom_growth", _MOM)
 _BRAND_RETURNS = """
 SELECT p_brand,
        count(*) AS n_lines,
-       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
        CAST(round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                        AS DOUBLE) / count(*), 6) AS DOUBLE) AS return_rate,
        CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice

@@ -490,19 +490,28 @@ g AS (SELECT doc_id, list_transform(
         i -> substr(t, i, 8)) AS grams
       FROM n)
 SELECT doc_id,
-  list_sort(list_distinct(list_filter(
-    list_transform(grams,
-      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647),
-    h -> h % 16 = 0))) AS fps
+  coalesce(array_to_string(list_transform(
+    list_sort(list_distinct(list_filter(
+      list_transform(grams,
+        s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647),
+      h -> h % 16 = 0))),
+    h -> CAST(h AS VARCHAR)), ';'), '') AS fps
 FROM g
 """
 
 
 @register("rolling_fingerprints", oracle=_ROLLING_FP_ORACLE)
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fps is joined to a ';'-string (sorted numerically first): ARRAY
+    # output crashes the driver's pandas canonicalizer (unhashable
+    # list in sort_values); the operator itself still returns arrays.
     docs = load_table(spark, sf_dir, "documents")
+    fps = rolling_fingerprints("text", k=8, mod=16)
     return docs.select(
-        "doc_id", rolling_fingerprints("text", k=8, mod=16).alias("fps")
+        "doc_id",
+        F.array_join(F.transform(fps, lambda h: h.cast("string")), ";").alias(
+            "fps"
+        ),
     )
 
 

@@ -322,10 +322,12 @@ c AS (SELECT doc_id, lang, n_tokens,
         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
       FROM t)
-SELECT lang, cum_before // 2048 AS pack_id,
-       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id
 """
+# CAST AS BIGINT: DuckDB integer sum() is HUGEINT → float64 in the
+# driver's pandas fetch ("3.0" vs Spark's "3") — hash poison.
 
 
 @register("sequence_packing", oracle=_PACKING_ORACLE)

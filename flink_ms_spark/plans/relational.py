@@ -716,16 +716,19 @@ FROM e GROUP BY user_id ORDER BY user_id
 """,
 )
 
-# ARRAY-typed output — per-language sorted distinct source list (set
-# semantics made deterministic by sorting; collect_set order is not)
+# Per-language sorted distinct source list (set semantics made
+# deterministic by sorting; collect_set order is not). Joined to a
+# ';'-string: ARRAY output crashes the driver's pandas canonicalizer.
 register_sql(
     "sources_per_lang",
     spark_sql="""
-SELECT lang, array_sort(collect_set(source)) AS sources, count(*) AS n_docs
+SELECT lang, array_join(array_sort(collect_set(source)), ';') AS sources,
+       count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """,
     duck_sql="""
-SELECT lang, list_sort(list(DISTINCT source)) AS sources, count(*) AS n_docs
+SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ';') AS sources,
+       count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """,
 )
