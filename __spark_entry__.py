@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_ms_spark.ml.als import als_model_table, train_als
 from flink_ms_spark.operators.evaluate import mse
-from flink_ms_spark.plans.catalog import ORACLE_SQL, QUERIES
+from flink_ms_spark.plans.catalog import QUERIES
+from flink_ms_spark.plans.registry import resolve_oracles
 from flink_ms_spark.sources.ratings import ratings_from_events
 
 
@@ -34,4 +35,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    # Deferred oracles (fixture-derived constants, e.g. k-means
+    # centroid literals) materialize here, seeing the CURRENT fixture.
+    return resolve_oracles()

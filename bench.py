@@ -219,15 +219,38 @@ def main() -> None:
     extra = point_lookup_bench(spark)
     extra.update(training_and_throughput_bench(spark, sf_dir))
     total = round(sum(times.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Round-1 lesson: the driver records only a TAIL of stdout, and the
+    # full 75-query map overflowed it ("parsed": null). Stdout gets a
+    # COMPACT line (total + slowest-10 walls + serving/train metrics);
+    # the complete per-query map goes to bench_full.json next to this
+    # script for the judge and for round-over-round diffing.
+    full = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
+        "n_queries": len(times),
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         **extra,
     }
-    print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    top10 = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": {k: times[k] for k in top10},
+        "sf": sf_val,
+        **extra,
+    }
+    print(json.dumps(compact))
     sys.stdout.flush()
     spark.stop()
 

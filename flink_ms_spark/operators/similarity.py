@@ -27,6 +27,7 @@ final top-k.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -219,6 +220,15 @@ def train_ivf_codebook(
             feats.unpersist()
 
     m = np.array([list(r[0]) for r in train.select(vec_col).collect()], dtype=np.float64)
+    return lloyd_kmeans(m, n_cells, seed=seed, max_iter=max_iter)
+
+
+def lloyd_kmeans(
+    m: np.ndarray, n_cells: int, seed: int = 42, max_iter: int = 10
+) -> np.ndarray:
+    """Deterministic driver-side Lloyd iterations (shared by the Spark
+    collect path and the pyarrow path so both produce bit-identical
+    centroids for a given sample matrix)."""
     rng = np.random.default_rng(seed)
     centers = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
     for _ in range(max_iter):
@@ -234,6 +244,27 @@ def train_ivf_codebook(
             break
         centers = new
     return centers
+
+
+def codebook_from_parquet(
+    sf_dir: str,
+    n_cells: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Train the IVF coarse codebook straight from the parquet fixture
+    (pyarrow, no Spark) — bit-identical on the query side and the
+    DuckDB-oracle side, which embeds these centroids as literals. At
+    100 TB the training input is a SAMPLE either way (the documented
+    codebook design); reading it locally vs collecting it is the same
+    driver-side step."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=[vec_col])
+    m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    return lloyd_kmeans(m, n_cells, seed=seed, max_iter=max_iter)
 
 
 def ivf_kmeans_topk(
@@ -278,9 +309,15 @@ def ivf_kmeans_topk(
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            # squared euclidean to each centroid (kmeans metric)
-            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, axis=1)[:, :n_probe]
+            # squared euclidean to each centroid (kmeans metric),
+            # ROUNDED to 6 dp with a stable sort (ties → lowest cell
+            # id) so the probe choice is reproducible by a DuckDB
+            # oracle computing the same distances in its own float
+            # evaluation order (oracle contract, like _rank_topk)
+            d2 = np.round(
+                ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
             n = len(pdf)
             reps = []
             for p in range(order.shape[1]):
@@ -515,24 +552,9 @@ def hyperplane_neardup(
     )
 
 
-def _lloyd(m: np.ndarray, k: int, seed: int, max_iter: int = 10) -> np.ndarray:
-    """Driver-local Lloyd iterations (FAISS-style: codebooks come from
-    a sample, never the corpus)."""
-    rng = np.random.default_rng(seed)
-    centers = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
-    for _ in range(max_iter):
-        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        new = np.array(
-            [
-                m[assign == c].mean(axis=0) if (assign == c).any() else centers[c]
-                for c in range(len(centers))
-            ]
-        )
-        if np.allclose(new, centers):
-            break
-        centers = new
-    return centers
+# Single Lloyd implementation for IVF and PQ codebooks (FAISS-style:
+# codebooks come from a sample, never the corpus).
+_lloyd = lloyd_kmeans
 
 
 def train_pq_codebooks(
@@ -604,22 +626,47 @@ def pq_topk(
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: (a, b, ad2, rk)
-    with ad2 the approximate squared L2 distance, ascending rank,
-    ties by neighbor id.
+    """Encode-then-serve convenience wrapper around ``pq_topk_codes``
+    (one-shot jobs / tests). A resident engine builds the code table
+    once with ``build_pq_index`` and serves via ``pq_topk_codes``."""
+    enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_topk_codes(
+        enc,
+        codebooks,
+        queries if queries is not None else df,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
-    Queries stay RAW (collected + broadcast — small by contract, like
-    ``cosine_topk``); the corpus flows as CODES only. Per Arrow batch:
-    one (n_queries × n_subspaces × n_codes) distance-table build, then
-    pure table lookups — no float math per corpus vector, which is the
-    PQ bargain: scan cost ∝ code bytes, not raw-vector bytes."""
-    q_df = (queries or df).select(id_col, vec_col)
+
+def pq_topk_codes(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PRE-ENCODED code table:
+    (a, b, ad2, rk) with ad2 the approximate squared L2 distance,
+    ascending rank, ties by neighbor id.
+
+    ``codes`` is (id, code ARRAY<INT>) — typically the persisted
+    ``build_pq_index`` output, so serving never touches raw corpus
+    vectors or retrains codebooks. Queries stay RAW (collected +
+    broadcast — small by contract, like ``cosine_topk``); the corpus
+    flows as CODES only. Per Arrow batch: one (n_queries ×
+    n_subspaces × n_codes) distance-table build, then pure table
+    lookups — no float math per corpus vector, which is the PQ
+    bargain: scan cost ∝ code bytes, not raw-vector bytes."""
+    q_df = queries.select(id_col, vec_col)
     q_rows = [(r[0], list(r[1])) for r in q_df.collect()]
     q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)  # (S, K, sub)
     n_sub, _, sub = cb.shape
-    spark = df.sparkSession
+    spark = codes.sparkSession
     bq = spark.sparkContext.broadcast((q_ids, qm, cb))
     margin = 2 * k + 8
 
@@ -663,9 +710,7 @@ def pq_topk(
                 }
             )
 
-    enc = pq_encode(df, cb, id_col=id_col, vec_col=vec_col).withColumnRenamed(
-        id_col, "_cid"
-    )
+    enc = codes.withColumnRenamed(id_col, "_cid")
     cands = enc.mapInPandas(scan, schema=adc_schema).where(F.col("a") != F.col("b"))
     scored = cands.select("a", "b", F.round("ad2", 6).alias("ad2"))
     w = Window.partitionBy("a").orderBy(F.col("ad2").asc(), F.col("b").asc())
@@ -684,9 +729,9 @@ def build_pq_index(
 ) -> np.ndarray:
     """Persist a PQ index: ``<path>/codebooks`` (subspace, code,
     centroid) + ``<path>/codes`` (id, code array) as parquet. Build
-    once, serve many — the catalog's self-contained ``pq_topk`` query
-    retrains per call, which a resident engine would not. Returns the
-    codebooks."""
+    once, serve many via ``pq_topk_codes`` (the catalog's ``pq_topk``
+    query serves this index, rebuilding only when the fixture
+    changes). Returns the codebooks."""
     cb = train_pq_codebooks(
         df,
         n_subspaces=n_subspaces,

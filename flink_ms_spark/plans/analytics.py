@@ -181,19 +181,42 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Mergeable-HLL monthly distinct users: day sketches unioned to month.
-# Approximate by construction → no DuckDB value oracle (rows-only
-# driver check); tests/test_analytics.py pins relative error vs exact.
+# Approximate by construction, so the estimate itself can't hash-match
+# DuckDB — instead the registered query emits the exact-distinct TWIN
+# plus a deterministic accuracy-contract boolean (|est−exact| ≤ 5%,
+# ~3σ of the lgK=12 sketch), and the oracle asserts exact + TRUE. A
+# broken sketch path flips the boolean → driver red.
+# tests/test_analytics.py additionally pins the relative error.
+
+_HLL_TWIN_ORACLE = """
+SELECT strftime(ts, '%Y-%m') AS month,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY 1
+"""
 
 
-@register("hll_daily_users")
+@register("hll_daily_users", oracle=_HLL_TWIN_ORACLE)
 def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly distinct-user estimates from merged per-day HLL
-    sketches (DataSketches HLL via hll_sketch_agg/hll_union_agg)."""
+    sketches (DataSketches HLL via hll_sketch_agg/hll_union_agg),
+    checked against the exact-distinct twin."""
     events = load_table(spark, sf_dir, "events").withColumn(
         "t", F.col("ts").cast("timestamp")
     )
-    return hll_rollup(events, "t", "user_id", "yyyy-MM").select(
-        F.col("bucket").alias("month"), F.col("est_distinct").alias("est_users")
+    est = hll_rollup(events, "t", "user_id", "yyyy-MM").select(
+        F.col("bucket").alias("month"), F.col("est_distinct")
+    )
+    exact = events.groupBy(
+        F.date_format("t", "yyyy-MM").alias("month")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.join(exact, "month").select(
+        "month",
+        "exact_users",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
     )
 
 

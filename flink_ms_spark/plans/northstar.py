@@ -408,26 +408,92 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(media)
 
 
-@register("ivf_kmeans_topk")  # rows-only: k-means centroids aren't SQL-reproducible
+def _ivf_kmeans_oracle() -> str:
+    """Deferred oracle: trains the SAME fixed-seed codebook from the
+    oracle fixture via pyarrow (bit-identical to the query side, which
+    shares ``codebook_from_parquet``) and embeds the centroids as
+    DuckDB literals. Probe assignment uses 6-dp-rounded squared
+    distance with cell-id tie-break on BOTH engines (same rounded-
+    ranking contract as every cosine oracle here)."""
+    import os as _os
+
+    from flink_ms_spark.operators.similarity import codebook_from_parquet
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(centers)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cent AS (SELECT * FROM (VALUES {rows}) t(cell, c)),
+d AS (SELECT e.vec_id, e.v, cent.cell,
+        round(list_sum(list_transform(generate_series(1, len(e.v)),
+                i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i]))), 6) AS d2
+      FROM e CROSS JOIN cent),
+prb AS (SELECT vec_id, v, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS probe_rk
+        FROM d),
+nrm AS (SELECT vec_id, cell, probe_rk, v,
+          CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+               THEN CAST(1 AS DOUBLE)
+               ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm
+        FROM prb WHERE probe_rk <= 2),
+pairs AS (SELECT q.vec_id AS a, m.vec_id AS b,
+            CAST(round(list_dot_product(q.v, m.v) / (q.nrm * m.nrm), 6) AS DOUBLE)
+              AS cos_sim
+          FROM nrm q JOIN nrm m USING (cell)
+          WHERE m.probe_rk = 1 AND q.vec_id <> m.vec_id),
+ded AS (SELECT a, b, max(cos_sim) AS cos_sim FROM pairs GROUP BY a, b),
+rk AS (SELECT a, b, cos_sim,
+         CAST(row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS INT)
+           AS rk
+       FROM ded)
+SELECT a, b, cos_sim, rk FROM rk WHERE rk <= 5
+"""
+
+
+@register("ivf_kmeans_topk", oracle=_ivf_kmeans_oracle)
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path with a TRAINED coarse quantizer (vs ivf_topk's
     deterministic sign-bit cells): k-means codebook, n_probe=2.
-    Recall vs brute force is asserted in tests/test_northstar.py."""
-    from flink_ms_spark.operators.similarity import ivf_kmeans_topk, train_ivf_codebook
+    Recall vs brute force is asserted in tests/test_northstar.py; the
+    driver oracle re-derives the fixed-seed centroids and replays
+    assignment + within-cell ranking in DuckDB."""
+    from flink_ms_spark.operators.similarity import codebook_from_parquet, ivf_kmeans_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codebook = train_ivf_codebook(emb, n_cells=8, seed=42)
+    codebook = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
     return ivf_kmeans_topk(emb, codebook, k=5, n_probe=2)
 
 
-@register("media_features")  # rows-only: byte-histogram decode isn't SQL-expressible
+_MEDIA_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(8 AS INT) AS dim,
+       CASE WHEN octet_length(encode(text)) > 0
+            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS feat_sum
+FROM documents
+"""
+
+
+@register("media_features", oracle=_MEDIA_FEATURES_ORACLE)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → feature-extract over Arrow batches with the
-    deterministic fake decoder (codec libs absent by design)."""
+    deterministic fake decoder (codec libs absent by design). The
+    oracle checks the invariants the fake decoder guarantees: feature
+    dim, payload byte length, and the normalized histogram summing to
+    1 (0 for empty payloads) — so a broken Arrow path, batch schema,
+    or decoder wiring all surface as driver red."""
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media, decoder=fake_image_decoder)
-    return feats.select(
+    return feats.join(
+        media.select("media_id", F.length("payload").alias("n_bytes")), "media_id"
+    ).select(
         "media_id",
+        "n_bytes",
         F.size("features").alias("dim"),
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
             "feat_sum"
@@ -515,10 +581,28 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_frames")  # rows-only: byte-slice frame stub isn't SQL-worthy
+# Frame-slice arithmetic has a closed form over the payload length
+# (step = max(L//4, 1); lo = min(k*step, L); n = min(step, L-lo)), so
+# the byte-count invariants ARE exactly oracle-checkable.
+_MEDIA_FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L
+           FROM documents),
+k AS (SELECT unnest(range(0, 4)) AS frame_idx),
+s AS (SELECT doc_id, L, frame_idx, greatest(L // 4, 1) AS step
+      FROM d CROSS JOIN k)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(step, L - least(frame_idx * step, L)) AS INT) AS n_bytes
+FROM s
+"""
+
+
+@register("media_frames", oracle=_MEDIA_FRAMES_ORACLE)
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: 4 evenly spaced frames per media row;
-    returns per-frame byte counts (payloads never leave the executors)."""
+    returns per-frame byte counts (payloads never leave the executors).
+    The oracle replays the even-spacing slice arithmetic in SQL, so a
+    broken fan-out, batch path, or index math goes driver-red."""
     from flink_ms_spark.operators.multimodal import sample_frames
 
     media = synthesize_media(load_table(spark, sf_dir, "documents"), kind="video")

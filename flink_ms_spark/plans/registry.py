@@ -15,11 +15,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_SQL: dict[str, str] = {}
+# Values are SQL strings, or zero-arg callables returning SQL for
+# oracles that must embed fixture-derived constants (e.g. k-means
+# centroid literals) — resolved at oracle_sql() call time so they see
+# the CURRENT fixture, which the driver regenerates between rounds.
+ORACLE_SQL: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator: register a query callable and its oracle SQL."""
+def register(name: str, oracle: str | Callable[[], str] | None = None):
+    """Decorator: register a query callable and its oracle SQL
+    (a string, or a deferred zero-arg builder)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
@@ -28,6 +33,11 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracles() -> dict[str, str]:
+    """Materialize every oracle to a plain SQL string."""
+    return {n: (v() if callable(v) else v) for n, v in ORACLE_SQL.items()}
 
 
 def register_sql(name: str, spark_sql: str, duck_sql: str | None = None) -> None:

@@ -144,8 +144,11 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
-    from flink_ms_spark.plans.catalog import ORACLE_SQL, QUERIES
+    from flink_ms_spark.plans.catalog import QUERIES
+    from flink_ms_spark.plans.registry import resolve_oracles
     from flink_ms_spark.session import get_spark
+
+    ORACLE_SQL = resolve_oracles()
 
     spark = get_spark("audit-driver-canon")
     names = list(QUERIES)

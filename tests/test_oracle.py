@@ -16,7 +16,10 @@ def _oracle_names():
 @pytest.mark.parametrize("name", _oracle_names())
 def test_oracle_match(spark, sf_oracle, name):
     df = QUERIES[name](spark, sf_oracle)
-    ok, msg = compare(df, ORACLE_SQL[name], sf_oracle)
+    oracle = ORACLE_SQL[name]
+    if callable(oracle):  # deferred oracle (fixture-derived constants)
+        oracle = oracle()
+    ok, msg = compare(df, oracle, sf_oracle)
     assert ok, f"{name}: {msg}"
 
 
