@@ -601,8 +601,11 @@ register_sql(
         p50="percentile(dur_sec, 0.5)",
     ),
     duck_sql=_SESSION_DURATION.format(
-        gap_sec="date_diff('second',"
-        " lag(ts) OVER (PARTITION BY user_id ORDER BY event_id), ts)",
+        # fractional seconds, matching Spark's unix_micros delta exactly
+        # — date_diff('second') counts integer boundary crossings and
+        # can classify a (1800s, 1801s) gap differently (ADVICE r1)
+        gap_sec="(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id"
+        " ORDER BY event_id))) / 1000000.0",
         max_us="epoch_us(max(ts))",
         min_us="epoch_us(min(ts))",
         p50="quantile_cont(dur_sec, 0.5)",

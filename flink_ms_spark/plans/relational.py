@@ -330,8 +330,10 @@ register_sql(
         " ORDER BY event_id) AS TIMESTAMP))) / 1000000.0"
     ),
     duck_sql=_SESSIONIZE.format(
-        gap_sec="date_diff('second',"
-        " lag(ts) OVER (PARTITION BY user_id ORDER BY event_id), ts)"
+        # fractional seconds, matching Spark's unix_micros delta exactly
+        # (integer date_diff can flip on sub-second alignment, ADVICE r1)
+        gap_sec="(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id"
+        " ORDER BY event_id))) / 1000000.0"
     ),
 )
 
@@ -419,8 +421,12 @@ FROM e GROUP BY user_id, session_window(t, '30 minutes')
     duck_sql="""
 WITH e AS (SELECT user_id, ts AS t, event_id FROM events),
 g AS (SELECT user_id, t,
-        CASE WHEN date_diff('second',
-               lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id), t) > 1800
+        -- fractional gap, >= : Spark merges events only while the next
+        -- start is strictly inside [prev, prev+gap), so a gap of
+        -- exactly 1800s (or 1800.5s — integer date_diff would say
+        -- 1800) starts a NEW session
+        CASE WHEN (epoch_us(t) - epoch_us(lag(t) OVER (PARTITION BY user_id
+                     ORDER BY t, event_id))) / 1000000.0 >= 1800
              THEN 1 ELSE 0 END AS brk
       FROM e),
 s AS (SELECT user_id, t,

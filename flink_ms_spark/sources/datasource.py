@@ -137,8 +137,11 @@ class ModelFileWriter(DataSourceWriter):
                 if self.kind == "svm":
                     fh.write(f"{r['feature_id']},{r['weight']}\n")
                 else:
-                    # repr(1.0) == "1.0" — same shape as Java's
-                    # Double.toString in the reference's OutputFactor
+                    # repr() output is parseable by the reference's
+                    # consumers (InputFactor-style split on ';').
+                    # NOT byte-identical to Java Double.toString for
+                    # exponent forms (repr(1e-07)='1e-07' vs '1.0E-7');
+                    # round-trip parity is what the tests pin.
                     facs = ";".join(repr(f) for f in r["factors"])
                     fh.write(f"{r['id']},{r['kind']},{facs}\n")
                 n += 1

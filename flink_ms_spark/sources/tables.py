@@ -36,6 +36,11 @@ _CRITICAL_TYPES: dict[str, dict[str, tuple[str, ...]]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us its OWN SparkSession: all epoch math
+    # (unix_micros, window(), datediff) assumes UTC, and the DuckDB
+    # oracles compare against naive-UTC epochs — pin it here, not only
+    # in the session factory. (Runtime-settable conf, cheap to re-set.)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Fixture timestamps are TIMESTAMP(MICROS); no reader conf needed.
     # (A NANOS fixture would fail loudly at scan time — deliberately no
     # nanosAsLong fallback, which would silently hand queries a BIGINT.)

@@ -607,3 +607,36 @@ def test_incremental_rollup_matches_batch_agg(spark, tmp_path):
     stream2 = spark.readStream.schema(schema).json(str(src))
     roll.run(stream2, str(tmp_path / "ckpt_ivm")).awaitTermination(120)
     assert roll.snapshot() == snap
+
+
+def test_incremental_rollup_journal_restart(spark, tmp_path):
+    """Journaled IVM survives a PROCESS restart without double-apply:
+    a fresh instance rebuilds the view from the journal, and replaying
+    the same batches (fresh checkpoint, same data) is a no-op because
+    batch ids come back identical and dedupe against the journal."""
+    from flink_ms_spark.streaming.ivm import IncrementalRollup
+
+    src = tmp_path / "ivm_j_in"
+    src.mkdir()
+    _write(
+        str(src / "a.json"),
+        ['{"day": "2024-01-01", "v": 4.0}', '{"day": "2024-01-02", "v": 6.0}'],
+    )
+    journal = str(tmp_path / "ivm_journal")
+    schema = "day STRING, v DOUBLE"
+
+    roll = IncrementalRollup("day", "v", journal_dir=journal)
+    stream = spark.readStream.schema(schema).json(str(src))
+    roll.run(stream, str(tmp_path / "ckpt_ivm_j")).awaitTermination(120)
+    snap = roll.snapshot()
+    assert snap["2024-01-01"] == (4.0, 1, 4.0)
+
+    # simulate crash + restart: new object, same journal — view restored
+    roll2 = IncrementalRollup("day", "v", journal_dir=journal)
+    assert roll2.snapshot() == snap
+
+    # checkpoint lost (fresh ckpt dir) -> Structured Streaming replays
+    # batch 0; the journal dedupes it, so no double-apply
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    roll2.run(stream2, str(tmp_path / "ckpt_ivm_j2")).awaitTermination(120)
+    assert roll2.snapshot() == snap
