@@ -121,6 +121,43 @@ def fake_image_decoder(payload: bytes, dim: int = 8) -> list[float]:
     return [b / total for b in buckets]
 
 
+def pillow_image_decoder(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL image decode kernel behind the optional Pillow dependency:
+    decode → grayscale → pixel-value histogram folded to ``dim``
+    buckets, normalized — the same output contract as
+    ``fake_image_decoder``, so the two are drop-in interchangeable in
+    ``extract_features``. Raises ImportError when Pillow is absent
+    (this container) — use ``best_image_decoder()`` to auto-select."""
+    import io
+
+    from PIL import Image
+
+    if not payload:
+        return [0.0] * dim
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    hist = img.histogram()  # 256 luminance buckets
+    buckets = [0] * dim
+    for value, n in enumerate(hist):
+        buckets[value % dim] += n
+    total = float(sum(buckets))
+    if total == 0:
+        return [0.0] * dim
+    return [b / total for b in buckets]
+
+
+def best_image_decoder() -> Callable[[bytes], list[float]]:
+    """Pillow-backed kernel when installed, otherwise the deterministic
+    fake — the honest stub this container documents. Callers that must
+    NOT silently fall back should import ``pillow_image_decoder``
+    directly and let the ImportError surface."""
+    try:
+        import PIL  # noqa: F401
+
+        return pillow_image_decoder
+    except ImportError:
+        return fake_image_decoder
+
+
 def extract_features(
     df: DataFrame,
     decoder: Callable[[bytes], list[float]] | None = None,

@@ -9,13 +9,23 @@ restart (ALSKafkaConsumer.java:43-70).
 Spark-first: the Structured Streaming kafka sink is at-least-once by
 construction when a checkpointLocation is set (offsets commit after the
 sink write), so K2's flush-on-checkpoint contract is the default, not a
-flag. There is no broker in this container — these builders are
-covered by plan-construction tests only (``.isStreaming``, options),
-marked clearly; the pipeline from the parse stage down is the same
-code the file-source tests execute end-to-end.
+flag.
+
+There is no broker in this container, so the module ALSO provides a
+file-backed bus stand-in behind the same (value, kafka_offset)
+contract: ``read_bus_lines`` / ``write_bus_lines`` dispatch on the URI
+scheme — ``kafka://host:port`` routes to the real connector,
+``file:///dir`` to an append-only JSON topic directory whose producer
+assigns broker-style monotone offsets. Tests run the FULL
+produce → consume → parse → keyBy → upsert chain through the stand-in
+(at-least-once semantics match: a replayed producer batch appends
+duplicates, which last-write-wins upserts absorb — the same contract
+the reference gets from flush-on-checkpoint Kafka).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +76,73 @@ def write_kafka_lines(
     )
     if trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def _parse_bus_uri(uri: str) -> tuple[str, str]:
+    for scheme in ("kafka://", "file://"):
+        if uri.startswith(scheme):
+            return scheme[:-3], uri[len(scheme) :]
+    raise ValueError(f"unsupported bus uri (kafka:// or file://): {uri}")
+
+
+def read_bus_lines(
+    spark: SparkSession,
+    uri: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S7 behind a transport-dispatching URI: ``kafka://host:port`` →
+    real Kafka connector; ``file:///dir`` → file-backed topic stand-in
+    (always earliest — the stand-in keeps the log, like a compacted
+    topic). Same (value STRING, kafka_offset LONG) contract either
+    way, so everything downstream is transport-agnostic."""
+    scheme, rest = _parse_bus_uri(uri)
+    if scheme == "kafka":
+        return read_kafka_lines(spark, rest, topic, starting_offsets)
+    return spark.readStream.schema("value STRING, kafka_offset LONG").json(
+        os.path.join(rest, topic)
+    )
+
+
+def write_bus_lines(
+    lines: DataFrame,
+    uri: str,
+    topic: str,
+    checkpoint_dir: str,
+    trigger_interval: str | None = None,
+):
+    """K2 behind the same URI dispatch. The file stand-in appends each
+    micro-batch as JSON into the topic dir with broker-style offsets
+    (batch_id * 2^48 + monotonically_increasing_id — monotone across
+    batches, unique within one; a test double, not a scale claim).
+    At-least-once matches Kafka: a replayed batch appends duplicate
+    records with fresh offsets, and last-write-wins consumers absorb
+    them. Returns the started StreamingQuery."""
+    scheme, rest = _parse_bus_uri(uri)
+    if scheme == "kafka":
+        return write_kafka_lines(lines, rest, topic, checkpoint_dir, trigger_interval)
+    topic_dir = os.path.join(rest, topic)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.selectExpr("CAST(value AS STRING) AS value")
+            .withColumn(
+                "kafka_offset",
+                F.lit(batch_id).cast("long") * F.lit(1 << 48).cast("long")
+                + F.monotonically_increasing_id(),
+            )
+            .write.mode("append")
+            .json(topic_dir)
+        )
+
+    writer = lines.writeStream.foreachBatch(emit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    else:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
 
 

@@ -142,6 +142,48 @@ def test_png_header_real_parse(spark):
     assert (row.width, row.height) == (64, 32)
 
 
+def test_decoder_selection_and_optional_pillow():
+    """best_image_decoder: real Pillow kernel when installed, the
+    deterministic fake otherwise — asserted in BOTH environments (no
+    skip): with Pillow a generated 2x2 PNG decodes to a normalized
+    dim-8 histogram; without, selection falls back to the fake and the
+    direct kernel import raises."""
+    from flink_ms_spark.operators.multimodal import (
+        best_image_decoder,
+        fake_image_decoder,
+        pillow_image_decoder,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pillow = True
+    except ImportError:
+        have_pillow = False
+
+    dec = best_image_decoder()
+    if not have_pillow:
+        assert dec is fake_image_decoder
+        try:
+            pillow_image_decoder(b"\x89PNG")
+            raise AssertionError("expected ImportError without Pillow")
+        except ImportError:
+            pass
+        return
+
+    import io
+
+    from PIL import Image
+
+    assert dec is pillow_image_decoder
+    buf = io.BytesIO()
+    Image.new("L", (2, 2), color=7).save(buf, format="PNG")
+    feats = pillow_image_decoder(buf.getvalue())
+    assert len(feats) == 8
+    assert abs(sum(feats) - 1.0) < 1e-9
+    assert feats[7 % 8] == 1.0  # all 4 pixels have value 7 -> bucket 7
+
+
 def test_ivf_kmeans_topk_recall(spark, sf_smoke):
     """Trained-codebook IVF: mechanics (k rows per query, no self
     pairs, probe dedup) + recall@5 against brute-force ground truth.
