@@ -23,7 +23,7 @@ shrinks the pre-agg shuffle rows from 32-char strings to BIGINTs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_ms_spark.operators.text import normalize_text, tokens
@@ -294,4 +294,78 @@ def simhash(
                 lambda s: F.when(s.getField("v") > 0, F.lit("1")).otherwise(F.lit("0")),
             ),
         ).alias("simhash")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup at n-token granularity (the removal step
+    of Lee et al. 2022): every n-token span occurring more than once
+    in the corpus keeps only its first occurrence — global order
+    (doc_id, position) — and all later occurrences are cut from their
+    documents.
+
+    Returns (doc_id, n_tokens INT, n_removed INT, clean_text) where
+    clean_text is the surviving tokens rejoined with single spaces
+    (documents shorter than n tokens pass through whitespace-normalized).
+
+    Scale shape: span construction is a narrow map (transform over
+    sequence + slice — no shuffle); the one corpus-scale shuffle is
+    row_number() over gram groups (key cardinality ~ corpus token
+    count, well spread; boilerplate grams are the known hot keys —
+    AQE skew handling applies, and template-grade grams belong in
+    exact doc-level dedup first). Reassembly shuffles by doc only.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    spans = (
+        toks.where(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}),"
+                    f" i -> struct(i AS idx, concat_ws(' ', slice(t, i, {n})) AS gram))"
+                )
+            ).alias("sp"),
+        )
+        .select("doc_id", F.col("sp.idx").alias("idx"), F.col("sp.gram").alias("gram"))
+    )
+    w = Window.partitionBy("gram").orderBy("doc_id", "idx")
+    dups = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "idx")
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("idx"), F.col("idx") + F.lit(n - 1))).alias("pos"),
+    ).distinct()
+    tokpos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    return base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

@@ -189,3 +189,43 @@ def compression_ratio_udf():
 
     _ratio.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
     return pandas_udf(_ratio, "double")
+
+
+def char_trigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality score under a corpus conditional char-trigram
+    LM: fit P(c3 | c1 c2) = count(c1c2c3) / count(c1c2·) over the
+    normalized corpus, then score each doc by mean -log2 P over its
+    trigrams (≈ bits per char under the model).
+
+    Returns (doc_id, n_trigrams, avg_bits). The model is bounded by
+    |alphabet|³ rows, so both model-side joins broadcast; the corpus
+    pays two narrow maps plus two map-side-combined aggregations —
+    no corpus-scale shuffle beyond the per-doc score agg.
+    """
+    norm = normalize_text(F.col(text_col))
+    docs = df.select(F.col(id_col).alias("doc_id"), norm.alias("s"))
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(s) - 2, 1)),"
+                " i -> substring(s, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    model = tris.groupBy("tri").agg(F.count("*").alias("c"))
+    ctx = model.groupBy(F.substring("tri", 1, 2).alias("cx")).agg(
+        F.sum("c").cast("double").alias("cc")
+    )
+    probs = model.withColumn("cx", F.substring("tri", 1, 2)).join(
+        F.broadcast(ctx), "cx"
+    )
+    scored = tris.join(F.broadcast(probs.select("tri", "c", "cc")), "tri")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.round(
+            F.avg(-F.log2(F.col("c").cast("double") / F.col("cc"))), 6
+        ).alias("avg_bits"),
+    )

@@ -14,6 +14,7 @@ in tests/test_oracle.py covers all of them every run regardless).
 from __future__ import annotations
 
 import flink_ms_spark.plans.analytics  # noqa: F401
+import flink_ms_spark.plans.curation  # noqa: F401
 import flink_ms_spark.plans.northstar  # noqa: F401
 import flink_ms_spark.plans.pipeline  # noqa: F401
 import flink_ms_spark.plans.reference  # noqa: F401

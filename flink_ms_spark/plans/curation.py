@@ -1,0 +1,295 @@
+"""Round-2 corpus-curation queries: exact substring dedup (removal,
+not just detection), a conditional char-trigram LM quality score,
+hybrid lexical+vector retrieval fusion, and token-balanced output
+sharding.
+
+Same contract as every other plans module: the Spark side goes through
+package operators / pure Column expressions, and the DuckDB oracle
+spells identical semantics so the driver's hash gate covers the op.
+All hashing is md5-based and all float outputs are rounded to 6 dp on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_ms_spark.operators.dedup import exact_substring_dedup
+from flink_ms_spark.operators.text import char_trigram_lm_score
+from flink_ms_spark.plans.registry import register
+from flink_ms_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Exact substring dedup — the REMOVAL step of Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better"):
+# every 10-token span that occurs more than once in the corpus keeps
+# only its first occurrence (global order = (doc_id, position)); all
+# later occurrences are cut from their documents and the cleaned text
+# is reassembled. `duplicated_ngrams` is the detection half of this;
+# this query is the half that actually edits the corpus.
+#
+# Scale: span construction is a narrow map; the one heavy shuffle is
+# row_number over gram groups (key space ~ corpus size, well spread;
+# boilerplate grams are the hot keys — AQE skew splitting applies, and
+# a bucket-size cap like lsh_candidate_pairs' would drop
+# template-grams into exact-dedup instead). Reassembly shuffles by
+# doc_id only.
+
+_SUBSTR_DEDUP_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+spanidx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 9)) AS idx
+            FROM toks WHERE len(t) >= 10),
+spans AS (SELECT doc_id, idx, array_to_string(t[idx:idx+9], ' ') AS gram
+          FROM spanidx),
+ranked AS (SELECT doc_id, idx,
+                  row_number() OVER (PARTITION BY gram ORDER BY doc_id, idx) AS rn
+           FROM spans),
+coveredx AS (SELECT doc_id, unnest(generate_series(idx, idx + 9)) AS pos
+             FROM ranked WHERE rn > 1),
+covered AS (SELECT DISTINCT doc_id, pos FROM coveredx),
+tokposx AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks),
+tokpos AS (SELECT doc_id, pos, t[pos] AS tok FROM tokposx),
+kept AS (SELECT k.doc_id, k.pos, k.tok
+         FROM tokpos k LEFT JOIN covered c
+           ON k.doc_id = c.doc_id AND k.pos = c.pos
+         WHERE c.doc_id IS NULL),
+cleaned AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(len(t.t) - coalesce(c.n_kept, 0) AS INT) AS n_removed,
+       coalesce(c.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
+@register("substring_dedup", oracle=_SUBSTR_DEDUP_ORACLE)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut all-but-first occurrences of every duplicated 10-token span
+    and return the cleaned corpus with removal counts."""
+    return exact_substring_dedup(load_table(spark, sf_dir, "documents"), n=10)
+
+
+# --------------------------------------------------------------------------
+# Conditional char-trigram LM (CCNet-flavored, Wenzek et al. 2020):
+# fit P(c3 | c1 c2) = count(c1c2c3) / count(c1c2·) on the corpus, then
+# score each doc by its mean -log2 P over trigrams (≈ bits/char under
+# the model). Complements `lm_score` (unigram, word-level): the
+# conditional char model catches garbled byte soup and wrong-script
+# text that word unigrams miss. The model is alphabet³-bounded (tiny),
+# so both model joins broadcast; the corpus sees two narrow maps and
+# two map-side-combined aggregations.
+
+_TRIGRAM_LM_ORACLE = """
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+           FROM documents),
+trix AS (SELECT doc_id,
+                unnest(list_transform(
+                  generate_series(1, greatest(length(s) - 2, 1)),
+                  i -> substr(s, i, 3))) AS tri
+         FROM d),
+m AS (SELECT tri, count(*) AS c FROM trix GROUP BY tri),
+ctx AS (SELECT substr(tri, 1, 2) AS cx, CAST(sum(c) AS DOUBLE) AS cc
+        FROM m GROUP BY 1),
+p AS (SELECT m.tri, CAST(m.c AS DOUBLE) AS c, ctx.cc
+      FROM m JOIN ctx ON substr(m.tri, 1, 2) = ctx.cx),
+s AS (SELECT t.doc_id, -log2(p.c / p.cc) AS bits FROM trix t JOIN p USING (tri))
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(round(avg(bits), 6) AS DOUBLE) AS avg_bits
+FROM s GROUP BY doc_id
+"""
+
+
+@register("char_trigram_lm", oracle=_TRIGRAM_LM_ORACLE)
+def q_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean -log2 P(c3|c1c2) under a corpus char-trigram LM."""
+    return char_trigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009) of
+# the BM25 lexical top-20 (same fixed query terms as `bm25_search`)
+# and the embedding-cosine top-20 against a fixed query vector
+# (vec_id 0; vec_id aligns with doc_id in the fixture). RRF score =
+# Σ 1/(60 + rank) over the rankers that retrieved the doc. Ranks are
+# assigned on the 6dp-rounded scores with doc-id tie-break on BOTH
+# engines, so the fusion is bit-deterministic. Scale: both rankers end
+# in a global top-k (partial TakeOrdered per partition); the fusion
+# itself is a 40-row outer join.
+
+_RRF_K = 60
+
+_RRF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents),
+tfd AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+        GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dlen FROM tfd GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl),
+q AS (SELECT unnest(['join', 'vector', 'spark']) AS term),
+dfq AS (SELECT q.term, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+        FROM q JOIN tfd t ON t.term = q.term GROUP BY q.term),
+bm_scored AS (
+  SELECT t.doc_id,
+         sum(((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+             * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(t.tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * l.dlen / s.avgdl))) AS score
+  FROM tfd t JOIN dfq d ON t.term = d.term
+       JOIN dl l ON t.doc_id = l.doc_id
+       CROSS JOIN stats s
+  GROUP BY t.doc_id),
+bm AS (SELECT doc_id,
+              CAST(row_number() OVER (
+                ORDER BY round(score, 6) DESC, doc_id) AS INT) AS bm25_rk
+       FROM bm_scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+norms AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+qv AS (SELECT v, nrm FROM norms WHERE vec_id = 0),
+cos_scored AS (SELECT n.vec_id AS doc_id,
+                      round(list_dot_product(n.v, qv.v) / (n.nrm * qv.nrm), 6) AS cs
+               FROM norms n CROSS JOIN qv WHERE n.vec_id <> 0),
+cos AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INT) AS cos_rk
+        FROM cos_scored ORDER BY cs DESC, doc_id LIMIT 20),
+fused AS (
+  SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id,
+         coalesce(bm.bm25_rk, 0) AS bm25_rk,
+         coalesce(cos.cos_rk, 0) AS cos_rk
+  FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id)
+SELECT doc_id, bm25_rk, cos_rk,
+       CAST(round(
+         (CASE WHEN bm25_rk > 0 THEN CAST(1.0 AS DOUBLE) / ({_RRF_K} + bm25_rk)
+               ELSE CAST(0.0 AS DOUBLE) END)
+         + (CASE WHEN cos_rk > 0 THEN CAST(1.0 AS DOUBLE) / ({_RRF_K} + cos_rk)
+                 ELSE CAST(0.0 AS DOUBLE) END), 6) AS DOUBLE) AS rrf
+FROM fused
+"""
+
+
+@register("rrf_fusion", oracle=_RRF_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 top-20 and cosine top-20."""
+    from flink_ms_spark.plans.pipeline import q_bm25_search
+
+    bm = q_bm25_search(spark, sf_dir)
+    w_bm = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
+    bm = bm.select("doc_id", F.row_number().over(w_bm).cast("int").alias("bm25_rk"))
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norms = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    qv = F.broadcast(
+        norms.where(F.col("vec_id") == 0).select(
+            F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos_scored = (
+        norms.where(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("cs"),
+        )
+    )
+    # top-20 via sort+limit (TakeOrdered — partial per partition, no
+    # corpus-wide single-partition window); the row_number window then
+    # ranks only the 20 surviving rows.
+    w_cos = Window.orderBy(F.desc("cs"), F.col("doc_id"))
+    cos = (
+        cos_scored.orderBy(F.desc("cs"), F.col("doc_id"))
+        .limit(20)
+        .select("doc_id", F.row_number().over(w_cos).cast("int").alias("cos_rk"))
+    )
+    fused = bm.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rk", F.lit(0)).cast("int").alias("bm25_rk"),
+        F.coalesce("cos_rk", F.lit(0)).cast("int").alias("cos_rk"),
+    )
+    rrf = F.round(
+        F.when(F.col("bm25_rk") > 0, F.lit(1.0) / (F.lit(_RRF_K) + F.col("bm25_rk")))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("cos_rk") > 0, F.lit(1.0) / (F.lit(_RRF_K) + F.col("cos_rk")))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return fused.select("doc_id", "bm25_rk", "cos_rk", rrf.alias("rrf"))
+
+
+# --------------------------------------------------------------------------
+# Token-balanced shard manifest: hash-mod assignment of docs to 16
+# output shards plus the per-shard doc/token ledger and its imbalance
+# vs the mean. Hash-mod (not cumulative-sum packing) is the form that
+# scales: one shuffle, no global ordering, and the law of large
+# numbers bounds skew at real corpus sizes — the manifest's `skew`
+# column is exactly the check that it did. (Greedy token-packed shards
+# need a global prefix sum — a sequential bottleneck at 100 TB.)
+
+_N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_N_SHARDS} AS shard,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+cells AS (SELECT shard, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM g GROUP BY shard)
+SELECT CAST(shard AS INT) AS shard, n_docs, total_tokens,
+       CAST(round(CAST(total_tokens AS DOUBLE)
+                  / avg(total_tokens) OVER () - 1.0, 6) AS DOUBLE) AS skew
+FROM cells
+"""
+
+
+@register("shard_manifest", oracle=_SHARD_ORACLE)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-mod shard assignment with per-shard token ledger + skew."""
+    from flink_ms_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % _N_SHARDS
+        ).alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    cells = g.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.avg("total_tokens").over(w)
+            - F.lit(1.0),
+            6,
+        ).alias("skew"),
+    )

@@ -212,3 +212,89 @@ def test_pq_index_roundtrip(spark, sf_smoke, tmp_path):
     assert got == want
     codes = spark.read.parquet(f"{idx}/codes")
     assert codes.count() == emb.count()
+
+
+# ---------------------------------------------------------------- round 2 ops
+
+
+def test_substring_dedup_removes_later_occurrences(spark):
+    from flink_ms_spark.operators.dedup import exact_substring_dedup
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} alpha beta"),         # first occurrence — kept
+            (2, f"head {span} gamma delta"),   # later occurrence — cut
+            (3, "completely unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exact_substring_dedup(docs, n=10).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text.startswith("w1 ")
+    assert out[2].n_removed == 10
+    assert "w1" not in out[2].clean_text.split()
+    assert out[2].clean_text == "head gamma delta"
+    assert out[3].n_removed == 0
+    for r in out.values():
+        n_clean = len(r.clean_text.split()) if r.clean_text else 0
+        assert n_clean == r.n_tokens - r.n_removed
+
+
+def test_substring_dedup_overlapping_spans_union(spark):
+    from flink_ms_spark.operators.dedup import exact_substring_dedup
+
+    # 11 shared tokens → two overlapping duplicated 10-spans in doc 2;
+    # the union of their positions (11 tokens) is removed once.
+    shared = " ".join(f"s{i}" for i in range(11))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, f"x {shared} y")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in exact_substring_dedup(docs, n=10).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 11
+    assert out[2].clean_text == "x y"
+
+
+def test_char_trigram_lm_flags_garble(spark):
+    from flink_ms_spark.operators.text import char_trigram_lm_score
+
+    # Conditional model: a doc taking a RARE continuation of a common
+    # context ("ab" → 'd' once vs 'c' many times) scores high; docs on
+    # the common continuation score near 0. (Corpus-unique contexts
+    # score exactly 0 — P=1 — which is why this model is paired with
+    # the unigram `lm_score`, not a replacement for it.)
+    docs = spark.createDataFrame(
+        [(i, "abcabcabcabcabc") for i in range(20)] + [(99, "abd")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_trigram_lm_score(docs).collect()}
+    assert out[99].avg_bits > out[0].avg_bits, (out[99], out[0])
+    assert all(r.avg_bits >= 0 for r in out.values())
+
+
+def test_rrf_fusion_ranks_and_bounds(spark, sf_smoke):
+    rows = QUERIES["rrf_fusion"](spark, sf_smoke).collect()
+    assert 0 < len(rows) <= 40
+    for r in rows:
+        assert 0 <= r.bm25_rk <= 20 and 0 <= r.cos_rk <= 20
+        assert r.bm25_rk > 0 or r.cos_rk > 0
+        expected = (1.0 / (60 + r.bm25_rk) if r.bm25_rk else 0.0) + (
+            1.0 / (60 + r.cos_rk) if r.cos_rk else 0.0
+        )
+        assert abs(r.rrf - expected) < 1e-5
+    # ranks are dense and unique within each ranker
+    bm_rks = sorted(r.bm25_rk for r in rows if r.bm25_rk)
+    assert bm_rks == list(range(1, len(bm_rks) + 1))
+
+
+def test_shard_manifest_partitions_corpus(spark, sf_smoke):
+    from flink_ms_spark.sources.tables import load_table
+
+    rows = QUERIES["shard_manifest"](spark, sf_smoke).collect()
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.shard < 16 for r in rows)
+    # hash-mod balance: token-weighted skews average out to ~0
+    total = sum(r.total_tokens for r in rows)
+    mean = total / len(rows)
+    assert abs(sum(r.total_tokens - mean for r in rows)) < 1e-6 * total
