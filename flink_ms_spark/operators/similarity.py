@@ -726,19 +726,27 @@ def build_pq_index(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> np.ndarray:
     """Persist a PQ index: ``<path>/codebooks`` (subspace, code,
     centroid) + ``<path>/codes`` (id, code array) as parquet. Build
     once, serve many via ``pq_topk_codes`` (the catalog's ``pq_topk``
     query serves this index, rebuilding only when the fixture
-    changes). Returns the codebooks."""
-    cb = train_pq_codebooks(
-        df,
-        n_subspaces=n_subspaces,
-        n_codes=n_codes,
-        vec_col=vec_col,
-        seed=seed,
-        sample_fraction=sample_fraction,
+    changes). Returns the codebooks. Pass precomputed ``codebooks``
+    (e.g. from ``pq_codebooks_from_parquet``) to skip training — how
+    the catalog query keeps its codebooks bit-identical to the DuckDB
+    oracle builder's."""
+    cb = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else train_pq_codebooks(
+            df,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            vec_col=vec_col,
+            seed=seed,
+            sample_fraction=sample_fraction,
+        )
     )
     spark = df.sparkSession
     rows = [
@@ -763,3 +771,31 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     for r in rows:
         cb[r.subspace, r.code] = r.centroid
     return cb
+
+
+def pq_codebooks_from_parquet(
+    sf_dir: str,
+    n_subspaces: int = 16,
+    n_codes: int = 32,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Train PQ codebooks straight from the fixture parquet (pyarrow,
+    no Spark) — same trick as ``codebook_from_parquet``: the serve-side
+    index build and the DuckDB oracle builder call THIS function, so
+    both sides hold bit-identical codebooks and the whole PQ pipeline
+    becomes hash-checkable."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"))
+    m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    sub = m.shape[1] // n_subspaces
+    return np.stack(
+        [
+            _lloyd(m[:, s * sub : (s + 1) * sub], n_codes, seed + s, max_iter)
+            for s in range(n_subspaces)
+        ]
+    )

@@ -788,30 +788,90 @@ def _pq_index_dir(sf_dir: str) -> str:
     fixture transparently triggers a rebuild."""
     f = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(f)
-    key = hashlib.md5(f"{f}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    # v2: codebooks from the shared pyarrow trainer (oracle parity) —
+    # the version tag busts indexes persisted by older trainer code.
+    key = hashlib.md5(f"v2:{f}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"flink_ms_pq_{key}")
 
 
-@register("pq_topk")  # rows-only: k-means codebooks aren't SQL-reproducible
+def _pq_oracle() -> str:
+    """Deferred oracle for pq_topk: replicate the full PQ pipeline in
+    numpy — codebooks via the SAME pyarrow trainer the serve path
+    uses (bit-identical), encode by per-subspace argmin, ADC
+    accumulation in the same subspace order (identical float64 add
+    sequence), 6-dp rounding, ascending (ad2, b) rank — and embed the
+    expected top-k as VALUES. An independent single-node recomputation
+    of the distributed mapInPandas scan, same pattern as
+    _ivf_kmeans_oracle's embedded centroids."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from flink_ms_spark.operators.similarity import pq_codebooks_from_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n_sub, _, sub = cb.shape
+    codes = np.empty((len(m), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        x = m[:, s * sub : (s + 1) * sub]
+        d2 = ((x[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    tables = np.stack(
+        [
+            ((m[:, s * sub : (s + 1) * sub][:, None, :] - cb[s][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for s in range(n_sub)
+        ],
+        axis=1,
+    )
+    ad2 = np.zeros((len(ids), len(ids)))
+    for s in range(n_sub):
+        ad2 += tables[:, s, codes[:, s]]
+    ad2 = np.round(ad2, 6)
+    out = []
+    for qi in range(len(ids)):
+        order = sorted(
+            (j for j in range(len(ids)) if ids[j] != ids[qi]),
+            key=lambda j: (ad2[qi, j], ids[j]),
+        )[:5]
+        out.extend(
+            (int(ids[qi]), int(ids[j]), float(ad2[qi, j]), rk + 1)
+            for rk, j in enumerate(order)
+        )
+    rows = ", ".join(f"({a}, {b}, {d!r}, {rk})" for a, b, d, rk in out)
+    return (
+        "SELECT a, b, CAST(ad2 AS DOUBLE) AS ad2, CAST(rk AS INT) AS rk "
+        f"FROM (VALUES {rows}) t(a, b, ad2, rk)"
+    )
+
+
+@register("pq_topk", oracle=_pq_oracle)
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): 16 subspaces × 32
     codes (16 bytes/vector — 16× compression of 64×float32), ADC
     table-lookup scan SERVING the persisted index (built once per
     fixture by build_pq_index, like a resident engine's indexing job —
     the serve plan reads the codes parquet and never retrains).
-    Recall@5 vs exact L2 asserted in tests/test_curation_ops.py (0.44
-    measured at sf0.01 on RANDOM vectors — the distance-concentration
-    worst case)."""
+    Codebooks come from the shared pyarrow trainer so the DuckDB
+    oracle's numpy replay is bit-identical. Recall@5 vs exact L2
+    asserted in tests/test_curation_ops.py (random-vector
+    distance-concentration worst case)."""
     from flink_ms_spark.operators.similarity import (
         build_pq_index,
         load_pq_codebooks,
+        pq_codebooks_from_parquet,
         pq_topk_codes,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _pq_index_dir(sf_dir)
     if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
-        build_pq_index(emb, idx, n_subspaces=16, n_codes=32, seed=42)
+        cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
+        build_pq_index(emb, idx, n_subspaces=16, n_codes=32, seed=42, codebooks=cb)
     cb = load_pq_codebooks(spark, idx)
     codes = spark.read.parquet(os.path.join(idx, "codes"))
     return pq_topk_codes(codes, cb, emb, k=5)
@@ -984,7 +1044,43 @@ def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("compression_ratio")  # rows-only: no zlib in ANSI SQL/DuckDB
+def _compression_oracle() -> str:
+    """Deferred oracle for compression_ratio: DuckDB has no zlib, so
+    the builder recomputes every ratio in single-node Python (same
+    zlib level 6 / utf-8 / 6-dp contract as the UDF) over the current
+    fixture and embeds the expectation as VALUES — an independent
+    recomputation of the distributed Arrow-batched scan, same pattern
+    as _pq_oracle."""
+    import zlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id",
+        [os.path.join(sf_dir, "documents.parquet")],
+    ).fetchall()
+    rows = []
+    for doc_id, text in docs:
+        b = (text or "").encode("utf-8")
+        raw = len(zlib.compress(b, 6)) / len(b) if b else 1.0
+        # Spark's round() on DOUBLE is HALF_UP on the exact binary
+        # expansion (dyadic ratios like 89/128 DO hit the .xxxxxx5
+        # boundary); Python's round() is HALF_EVEN — match Spark.
+        ratio = float(
+            Decimal(raw).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        rows.append(f"({doc_id}, {ratio!r}, {len(text or '')})")
+    return (
+        "SELECT doc_id, CAST(zlib_ratio AS DOUBLE) AS zlib_ratio, "
+        "CAST(n_chars AS INT) AS n_chars "
+        f"FROM (VALUES {', '.join(rows)}) t(doc_id, zlib_ratio, n_chars)"
+    )
+
+
+@register("compression_ratio", oracle=_compression_oracle)
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-redundancy quality signal per doc (pandas-UDF path — the
     sanctioned Arrow-batched exception; bounds + monotonicity pinned
