@@ -115,6 +115,14 @@ HEADLINE = [
     "mom_growth",
     "brand_return_rate",
     "zipf_slope",
+    # round-2 widening: substring-dedup removal, char-trigram LM,
+    # hybrid retrieval fusion, shard balance
+    "substring_dedup",
+    "char_trigram_lm",
+    "rrf_fusion",
+    "shard_manifest",
+    "bpe_merges",
+    "perplexity_buckets",
 ]
 
 

@@ -161,6 +161,7 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for given (a, b)
     pairs — the LSH verification stage.
@@ -168,8 +169,10 @@ def ngram_jaccard(
     Implementation: explode distinct shingles per doc once, then two
     semi-structured joins; |A∩B| by join-count, |A∪B| = |A|+|B|−|∩|.
     The doc-side explode is reused across pairs (shuffle on doc id).
+    Pass ``shingles_df`` (a distinct (_d, s) set, e.g. already persisted
+    by a candidate-generation stage) to skip re-exploding the corpus.
     """
-    sh = fan_out(docs).select(
+    sh = shingles_df if shingles_df is not None else fan_out(docs).select(
         F.col(id_col).alias("_d"), F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s")
     ).distinct()
     sizes = sh.groupBy("_d").agg(F.count("*").alias("n"))
@@ -223,6 +226,9 @@ def allpairs_jaccard(
     """
     from pyspark.sql.window import Window
 
+    # The shingle set feeds FOUR consumers (sizes, dfreq, prefix rows,
+    # and the verify stage's intersection join) — persist it so the
+    # corpus is exploded and deduped once, not once per consumer.
     sh = (
         fan_out(docs)
         .select(
@@ -230,6 +236,7 @@ def allpairs_jaccard(
             F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
         )
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("_d").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
@@ -255,7 +262,7 @@ def allpairs_jaccard(
         .select("a", "b")
         .distinct()
     )
-    verified = ngram_jaccard(cands, docs, text_col, id_col, shingle_n)
+    verified = ngram_jaccard(cands, docs, text_col, id_col, shingle_n, shingles_df=sh)
     return verified.where(F.col("jaccard") >= threshold).orderBy("a", "b")
 
 

@@ -229,3 +229,103 @@ def char_trigram_lm_score(
             F.avg(-F.log2(F.col("c").cast("double") / F.col("cc"))), 6
         ).alias("avg_bits"),
     )
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", pattern: str = "[^a-z]+"
+) -> DataFrame:
+    """(word, wc): corpus word frequencies over lowercase alpha runs —
+    the ONE corpus-scale shuffle a tokenizer-training job pays; every
+    BPE iteration after it runs on this vocabulary-sized table."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), pattern)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges
+    (Sennrich et al. 2016) over the corpus word frequencies.
+
+    Returns the merge table (step, left, right, merged, pair_count) —
+    the artifact a tokenizer trainer ships. Per round: adjacent-pair
+    counts weighted by word frequency (overlapping pairs counted, the
+    classic formulation), argmax with (count desc, left, right)
+    tie-break, then a greedy left-to-right fold applies the merge to
+    every word's symbol array.
+
+    Scale shape: the corpus is touched exactly once (word_counts);
+    each merge round is vocabulary-sized — explode pairs → one
+    map-side-combined agg → a 1-row collect (the argmax is inherently
+    sequential in BPE) → a narrow fold-map over the vocab. Per-round
+    results are persisted and the previous round unpersisted so
+    lineage stays flat over many merges.
+    """
+    # char split: Spark's split keeps a trailing '' — filter it out
+    vocab = word_counts(df, text_col).select(
+        F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("syms"), "wc"
+    )
+    vocab = vocab.persist()
+    out: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        # size filter first: sequence(1, 0) DESCENDS in Spark, so a
+        # 1-symbol word would index out of bounds
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merged = a + b
+        out.append((step, a, b, merged, n))
+
+        def make_fold(_a: str, _b: str, _m: str):
+            def fold_step(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_a))
+                    & (x == F.lit(_b))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return fold_step
+
+        fold_step = make_fold(a, b, merged)
+
+        nxt = vocab.select(
+            F.aggregate(
+                "syms", F.expr("cast(array() as array<string>)"), fold_step
+            ).alias("syms"),
+            "wc",
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )

@@ -293,3 +293,142 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016): the first 8 merges over
+# corpus word frequencies — the artifact a tokenizer trainer ships.
+# The corpus is touched exactly once (word_counts); every round after
+# is vocabulary-sized. The argmax collect per round is the inherently
+# sequential part of BPE (1 row/round — bounded driver work). Oracle:
+# deferred single-node Python replay of the identical integer-count
+# algorithm over the same parquet (independent recomputation, same
+# pattern as the PQ/zlib oracles — exact, integers only).
+
+_N_BPE_MERGES = 8
+
+
+def _bpe_oracle() -> str:
+    import os as _os
+    import re as _re
+    from collections import Counter
+
+    import duckdb as _duckdb
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    con = _duckdb.connect()
+    texts = con.execute(
+        "SELECT text FROM read_parquet(?)",
+        [_os.path.join(sf_dir, "documents.parquet")],
+    ).fetchall()
+    wc: Counter[str] = Counter()
+    for (text,) in texts:
+        for w in _re.split("[^a-z]+", (text or "").lower()):
+            if w:
+                wc[w] += 1
+    vocab = {tuple(w): n for w, n in wc.items()}
+    out = []
+    for step in range(1, _N_BPE_MERGES + 1):
+        pc: Counter[tuple[str, str]] = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merged = a + b
+        out.append((step, a, b, merged, n))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(s)
+            k = tuple(acc)
+            nxt[k] = nxt.get(k, 0) + cnt
+        vocab = nxt
+    rows = ", ".join(
+        f"({s}, '{a}', '{b}', '{m}', {n})" for s, a, b, m, n in out
+    )
+    return (
+        "SELECT CAST(step AS INT) AS step, left_, right_, merged, "
+        "CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM (VALUES {rows}) t(step, left_, right_, merged, pair_count)"
+    )
+
+
+@register("bpe_merges", oracle=_bpe_oracle)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges over the corpus word frequencies."""
+    from flink_ms_spark.operators.text import bpe_merges
+
+    out = bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=_N_BPE_MERGES)
+    # `left`/`right` are reserved-ish in DuckDB VALUES aliases — align
+    # on left_/right_ on both engines
+    return out.select(
+        "step",
+        F.col("left").alias("left_"),
+        F.col("right").alias("right_"),
+        "merged",
+        "pair_count",
+    )
+
+
+# --------------------------------------------------------------------------
+# Perplexity-bucketed mixing (CCNet, Wenzek et al. 2020): rank every
+# doc by its unigram-LM mean NLL within its language and cut into
+# head/middle/tail terciles — the bucket column CCNet uses to weight
+# clean vs noisy text in the training mix. Reuses lm_score's model;
+# the tercile is an ntile over (avg_nll, doc_id) per language — a
+# per-language sort of doc-level SCORES (not corpus text), the same
+# model-scale sort power_user_share already budgets for.
+
+_PPL_BUCKETS_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents),
+v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v),
+s AS (SELECT t.doc_id, -ln(v.c / tot.n) AS nll
+      FROM toks t JOIN v USING (tok) CROSS JOIN tot),
+scored AS (SELECT doc_id, CAST(round(avg(nll), 6) AS DOUBLE) AS avg_nll
+           FROM s GROUP BY doc_id),
+ranked AS (SELECT d.lang, sc.doc_id, sc.avg_nll,
+                  ntile(3) OVER (PARTITION BY d.lang
+                                 ORDER BY sc.avg_nll, sc.doc_id) AS tier
+           FROM scored sc JOIN documents d USING (doc_id))
+SELECT lang,
+       CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(round(avg(avg_nll), 6) AS DOUBLE) AS mean_nll
+FROM ranked GROUP BY lang, tier
+"""
+
+
+@register("perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail LM-score terciles per language (CCNet mix)."""
+    from flink_ms_spark.plans.pipeline import q_lm_score
+
+    scored = q_lm_score(spark, sf_dir).select("doc_id", "avg_nll")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = scored.join(docs, "doc_id").withColumn(
+        "tier",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+        ),
+    )
+    return (
+        ranked.withColumn(
+            "bucket",
+            F.when(F.col("tier") == 1, "head")
+            .when(F.col("tier") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
+        )
+    )

@@ -298,3 +298,72 @@ def test_shard_manifest_partitions_corpus(spark, sf_smoke):
     total = sum(r.total_tokens for r in rows)
     mean = total / len(rows)
     assert abs(sum(r.total_tokens - mean for r in rows)) < 1e-6 * total
+
+
+def test_bpe_merges_classic_example(spark):
+    from flink_ms_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest new newer")], "doc_id long, text string"
+    )
+    rows = bpe_merges(docs, n_merges=3).collect()
+    assert [(r.left, r.right, r.merged) for r in rows] == [
+        ("l", "o", "lo"),
+        ("lo", "w", "low"),
+        ("e", "r", "er"),  # tie with (e,w) broken lexicographically
+    ]
+    assert rows[0].pair_count == 5
+
+
+def test_bpe_merges_handles_single_char_words(spark):
+    from flink_ms_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a a a bb bb")], "doc_id long, text string"
+    )
+    rows = bpe_merges(docs, n_merges=2).collect()
+    # only 'bb' has an adjacent pair; after merging it nothing remains
+    assert [(r.left, r.right) for r in rows] == [("b", "b")]
+
+
+def test_perplexity_buckets_cover_corpus(spark, sf_smoke):
+    from flink_ms_spark.sources.tables import load_table
+
+    rows = QUERIES["perplexity_buckets"](spark, sf_smoke).collect()
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r.mean_nll
+    for lang, buckets in by_lang.items():
+        if {"head", "tail"} <= buckets.keys():
+            assert buckets["head"] <= buckets["tail"], (lang, buckets)
+
+
+def test_round2_plan_shapes(spark, sf_smoke):
+    # char_trigram_lm: the alphabet³ model must ride broadcasts, and
+    # the corpus-side scoring join must not sort-merge
+    plan = (
+        QUERIES["char_trigram_lm"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # rrf_fusion: both rankers end in partial top-k, never a
+    # corpus-wide single-partition window
+    plan = (
+        QUERIES["rrf_fusion"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # substring_dedup: nothing pairwise
+    plan = (
+        QUERIES["substring_dedup"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
