@@ -123,6 +123,14 @@ HEADLINE = [
     "shard_manifest",
     "bpe_merges",
     "perplexity_buckets",
+    # round-2 mixing/clustering family
+    "dsir_weights",
+    "unimax_alloc",
+    "seeded_shuffle",
+    "quality_curriculum",
+    "kmeans_doc_clusters",
+    "knn_classify",
+    "ivf_pq_topk",
 ]
 
 

@@ -799,3 +799,258 @@ def pq_codebooks_from_parquet(
             for s in range(n_subspaces)
         ]
     )
+
+
+def assign_cells(
+    df: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, *extra, cell, d2) — the
+    k-means E-step as a vectorized mapInPandas (one matmul-shaped
+    broadcast-difference per Arrow batch, centroids ride a broadcast).
+    d2 is rounded to 6 dp and ties go to the lowest cell id (the
+    oracle-reproducible ranking contract shared with ivf_kmeans_topk).
+    """
+    centers = np.asarray(codebook, dtype=np.float64)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centers)
+    fields = [T.StructField(id_col, T.LongType(), False)]
+    in_schema = {f.name: f.dataType for f in df.schema.fields}
+    fields += [T.StructField(c, in_schema[c], True) for c in extra_cols]
+    fields += [
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("d2", T.DoubleType(), False),
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = np.round(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 6)
+            order = np.argsort(d2, axis=1, kind="stable")
+            cell = order[:, 0]
+            out = {id_col: pdf[id_col].to_numpy()}
+            for col in extra_cols:
+                out[col] = pdf[col].to_numpy()
+            out["cell"] = cell.astype(np.int32)
+            out["d2"] = d2[np.arange(len(m)), cell]
+            yield pd.DataFrame(out)
+
+    cols = [id_col, *extra_cols, vec_col]
+    return fan_out(df.select(*cols)).mapInPandas(run, schema=T.StructType(fields))
+
+
+def kmeans_cluster_profile(
+    df: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster profile of a fixed-seed k-means clustering over the
+    embedding corpus: (cell, n, sse, top_label, label_share) — size,
+    within-cluster sum of squared (rounded) distances, the majority
+    class label (tie → smallest label), and its share of the cluster.
+    The topic-clustering readout a curation pipeline uses to inspect /
+    rebalance semantic regions (ClusterClip-style sampling starts
+    exactly from this table).
+
+    Scale: assignment is map-only (broadcast centroids); both aggs key
+    on cell — one shuffle of (cell, label) partials. The cluster table
+    is model-scale. SSE sums 6-dp-rounded d2 values, so the float
+    summation-order slack is ~1e-12 per 1e6 rows — the 4-dp output
+    round absorbs it.
+    """
+    a = assign_cells(df, codebook, id_col=id_col, vec_col=vec_col, extra_cols=(label_col,))
+    per_label = a.groupBy("cell", label_col).agg(
+        F.count("*").alias("n_lab"), F.sum("d2").alias("sse_lab")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("n_lab").desc(), F.col(label_col).asc()
+    )
+    return (
+        per_label.withColumn("rk", F.row_number().over(w))
+        .groupBy("cell")
+        .agg(
+            F.sum("n_lab").cast("long").alias("n"),
+            F.round(F.sum("sse_lab"), 4).alias("sse"),
+            F.max(F.when(F.col("rk") == 1, F.col(label_col))).alias("top_label"),
+            F.round(
+                F.max(F.when(F.col("rk") == 1, F.col("n_lab"))) / F.sum("n_lab"), 6
+            ).alias("label_share"),
+        )
+    )
+
+
+def knn_classify(
+    df: DataFrame,
+    k: int = 5,
+    every: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification of a deterministic held-out slice
+    (``id % every == 0``) against the rest of the corpus: top-k cosine
+    neighbors vote; majority label wins, ties to the smaller label.
+    Returns (vec_id, true_label, pred_label, correct).
+
+    The eval slice is small by construction, so it rides
+    ``cosine_topk``'s broadcast-queries contract; the corpus side
+    streams. One candidate shuffle + one (a, label) vote agg.
+    """
+    queries = df.where((F.col(id_col) % every) == 0)
+    corpus = df.where((F.col(id_col) % every) != 0)
+    nn = cosine_topk(corpus, k=k, id_col=id_col, vec_col=vec_col, queries=queries)
+    votes = (
+        nn.join(
+            df.select(F.col(id_col).alias("b"), F.col(label_col).alias("nb_label")),
+            "b",
+        )
+        .groupBy("a", "nb_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("a").orderBy(F.col("n_votes").desc(), F.col("nb_label").asc())
+    pred = votes.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        pred.join(
+            df.select(F.col(id_col).alias("a"), F.col(label_col).alias("true_label")),
+            "a",
+        )
+        .select(
+            F.col("a").alias(id_col),
+            "true_label",
+            F.col("nb_label").alias("pred_label"),
+            (F.col("nb_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    codebook: np.ndarray,
+    pq_codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS staple, Jégou et al. 2011 §V): coarse
+    k-means cells restrict the candidate set (IVF), and within a cell
+    distances are asymmetric-distance computations over PQ codes —
+    the query's raw vector builds one (n_subspaces × n_codes) lookup
+    table, each member costs n_subspaces table lookups instead of a
+    d-dim float scan. Returns (a, b, ad2, rk): top-k by rounded ADC
+    distance, ascending, ties to the lower id.
+
+    Scale: this is THE architecture for corpus-scale ANN — memory per
+    vector is n_subspaces bytes (codes), the only shuffle keys on
+    cell, probes multiply query-side rows only (n_probe ×), and the
+    scan inside a cell is an O(n_sub) gather per member. Codebooks
+    (coarse + PQ) are a few KB of broadcast. Skewed cells are the
+    known hot spot, same mitigation as ivf_kmeans_topk.
+
+    Accumulation order over subspaces is fixed (s = 0..S-1) so the
+    float64 ADC sums are bit-reproducible by the oracle's numpy
+    replay.
+    """
+    centers = np.asarray(codebook, dtype=np.float64)
+    pq = np.asarray(pq_codebooks, dtype=np.float64)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centers)
+    bpq = spark.sparkContext.broadcast(pq)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType()), False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("is_member", T.BooleanType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = np.round(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 6)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            for p in range(order.shape[1]):
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: pdf[vec_col],
+                        "cell": order[:, p].astype(np.int32),
+                        "is_member": np.full(n, p == 0),
+                    }
+                )
+
+    assigned = fan_out(df.select(id_col, vec_col)).mapInPandas(
+        assign, schema=assign_schema
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("ad2", T.DoubleType(), False),
+        ]
+    )
+    margin = 2 * k + 8
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cb = bpq.value  # (S, K, sub)
+        n_sub, _, sub = cb.shape
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        member = pdf["is_member"].to_numpy(dtype=bool)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mem = m[member]
+        mem_ids = ids[member]
+        if not len(mem):
+            return pd.DataFrame({"a": [], "b": [], "ad2": []}).astype(
+                {"a": np.int64, "b": np.int64, "ad2": np.float64}
+            )
+        # encode members (the index's codes; build-once in a real
+        # deployment — see build_pq_index for the persisted form)
+        codes = np.empty((len(mem), n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            x = mem[:, s * sub : (s + 1) * sub]
+            codes[:, s] = (
+                ((x[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            )
+        # ADC: per-query subspace tables, accumulate in subspace order
+        ad2 = np.zeros((len(m), len(mem)))
+        for s in range(n_sub):
+            tbl = ((m[:, s * sub : (s + 1) * sub][:, None, :] - cb[s][None, :, :]) ** 2).sum(
+                axis=2
+            )  # (q, K)
+            ad2 += tbl[:, codes[:, s]]
+        ad2 = np.round(ad2, 6)
+        same = ids[:, None] == mem_ids[None, :]
+        ad2[same] = np.inf
+        n_keep = min(margin, ad2.shape[1])
+        idx = np.argpartition(ad2, n_keep - 1, axis=1)[:, :n_keep] if ad2.shape[1] > n_keep else np.tile(np.arange(ad2.shape[1]), (len(m), 1))
+        rows = np.arange(len(m))[:, None]
+        vals = ad2[rows, idx]
+        keep = np.isfinite(vals)
+        return pd.DataFrame(
+            {
+                "a": np.repeat(ids, idx.shape[1]).reshape(len(ids), idx.shape[1])[keep],
+                "b": mem_ids[idx][keep],
+                "ad2": vals[keep],
+            }
+        )
+
+    cands = assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
+    cands = cands.groupBy("a", "b").agg(F.min("ad2").alias("ad2"))
+    w = Window.partitionBy("a").orderBy(F.col("ad2").asc(), F.col("b").asc())
+    return cands.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= k
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import flink_ms_spark.plans.analytics  # noqa: F401
 import flink_ms_spark.plans.curation  # noqa: F401
+import flink_ms_spark.plans.mixing  # noqa: F401
 import flink_ms_spark.plans.northstar  # noqa: F401
 import flink_ms_spark.plans.pipeline  # noqa: F401
 import flink_ms_spark.plans.reference  # noqa: F401

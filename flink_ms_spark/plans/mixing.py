@@ -1,0 +1,344 @@
+"""Round-2 data-mixing / sampling / clustering queries: DSIR
+importance weights, UniMax water-filling, temperature sampling,
+deterministic epoch ordering, curriculum phases, k-means cluster
+profiles, k-NN classification, and IVF-PQ ANN.
+
+Same contract as every plans module: Spark goes through package
+operators, the DuckDB oracle spells identical semantics (md5 hashing,
+rational math, explicit rounding on both engines).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_ms_spark.operators.mixing import (
+    dsir_weights,
+    interleave_sources,
+    quality_curriculum,
+    seeded_shuffle,
+    temperature_mix,
+    unimax_alloc,
+)
+from flink_ms_spark.plans.registry import register
+from flink_ms_spark.sources.tables import load_table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_NTOK = f"len({_TOKS})"
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): hashed-unigram
+# log-likelihood ratio of target domain (source = 'src0') vs raw.
+
+_DSIR_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents),
+b AS (SELECT doc_id, source,
+        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS bkt
+      FROM tok),
+pdb AS (SELECT doc_id, source, bkt, count(*) AS n FROM b GROUP BY ALL),
+raw AS (SELECT bkt, sum(n) AS n_raw FROM pdb GROUP BY bkt),
+tgt AS (SELECT bkt, sum(n) AS n_tgt FROM pdb WHERE source = 'src0' GROUP BY bkt),
+spine AS (SELECT raw.bkt, n_raw, coalesce(n_tgt, 0) AS n_tgt
+          FROM raw LEFT JOIN tgt USING (bkt)),
+ratio AS (SELECT bkt,
+            CAST(round((ln((n_tgt + 1) / (sum(n_tgt) OVER () + 64))
+                - ln((n_raw + 1) / (sum(n_raw) OVER () + 64))) * 1000000.0, 0)
+              AS BIGINT) AS lr6
+          FROM spine)
+SELECT doc_id, CAST(sum(n) AS INT) AS n_tokens,
+       round(sum(n * lr6) / 1000000.0, 6) AS logw
+FROM pdb JOIN ratio USING (bkt)
+GROUP BY doc_id
+"""
+
+
+@register("dsir_weights", oracle=_DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance log-weight vs the src0 target domain."""
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# UniMax language allocation (Chung et al. 2023): water-fill half the
+# corpus token budget, ≤ 2 epochs per language.
+
+_UNIMAX_ORACLE = f"""
+WITH per AS (SELECT lang, CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY lang),
+t AS (SELECT lang, n_tokens, n_tokens * 2 AS cap,
+        round(sum(n_tokens) OVER () * 0.5, 0) AS budget,
+        row_number() OVER (ORDER BY n_tokens * 2 ASC, lang ASC) AS rk,
+        count(*) OVER () AS k,
+        coalesce(sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2 ASC, lang ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM per),
+t2 AS (SELECT *, (budget - prev) / (k - rk + 1) AS theta FROM t),
+tc AS (SELECT *, min(CASE WHEN cap >= theta THEN rk END) OVER () AS cross_rk
+       FROM t2),
+t3 AS (SELECT *, max(CASE WHEN rk = cross_rk THEN theta END) OVER () AS theta_star
+       FROM tc)
+SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+  round(least(CAST(cap AS DOUBLE), coalesce(theta_star, CAST(cap AS DOUBLE))), 4)
+    AS alloc_tokens,
+  round(least(CAST(cap AS DOUBLE), coalesce(theta_star, CAST(cap AS DOUBLE)))
+        / n_tokens, 6) AS epochs
+FROM t3
+"""
+
+
+@register("unimax_alloc", oracle=_UNIMAX_ORACLE)
+def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped token-budget waterfill across languages."""
+    return unimax_alloc(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled sampling shares (T = 3).
+
+_TEMP_ORACLE = f"""
+WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY lang),
+t AS (SELECT *, n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS rs,
+        pow(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE),
+            1.0 / 3.0) AS pw
+      FROM per)
+SELECT lang, n_docs, n_tokens,
+  round(rs, 6) AS raw_share,
+  round(pw / sum(pw) OVER (), 6) AS temp_share,
+  round(pw / sum(pw) OVER () / rs, 6) AS boost
+FROM t
+"""
+
+
+@register("temperature_mix", oracle=_TEMP_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p_l ∝ share^(1/3) language sampling weights + boost factors."""
+    return temperature_mix(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch orders: round-robin interleave + seeded shuffle.
+
+_INTERLEAVE_ORACLE = """
+WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos
+FROM r
+"""
+
+
+@register("interleave_sources", oracle=_INTERLEAVE_ORACLE)
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin source interleave as a global training order."""
+    return interleave_sources(load_table(spark, sf_dir, "documents"))
+
+
+_SHUFFLE_ORACLE = """
+WITH h AS (SELECT doc_id,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hh
+           FROM documents)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY hh, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register("seeded_shuffle", oracle=_SHUFFLE_ORACLE)
+def q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded md5 permutation — reproducible epoch shuffle."""
+    return seeded_shuffle(load_table(spark, sf_dir, "documents"), seed="epoch0")
+
+
+# --------------------------------------------------------------------------
+# Quality curriculum: 3 token-budget phases over an easy→hard ranking.
+
+_CURRICULUM_ORACLE = f"""
+WITH s AS (SELECT doc_id,
+             CAST({_NTOK} AS INT) AS n_tokens,
+             round(len(regexp_replace(text, '\\s+', '', 'g'))
+                   / CAST({_NTOK} AS DOUBLE), 6) AS score
+           FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(n_tokens) OVER () AS total
+      FROM s)
+SELECT doc_id, n_tokens, score,
+  CAST(least(3, CAST(ceil(cum * 3 / CAST(total AS DOUBLE)) AS INT)) AS INT)
+    AS phase
+FROM c
+"""
+
+
+@register("quality_curriculum", oracle=_CURRICULUM_ORACLE)
+def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-token curriculum phases over a quality ordering."""
+    return quality_curriculum(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# k-means cluster profile — fixed-seed centroids (shared pyarrow
+# trainer) embedded in the oracle as literals, like _ivf_kmeans_oracle.
+
+
+def _kmeans_profile_oracle() -> str:
+    from flink_ms_spark.operators.similarity import codebook_from_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(centers)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cent AS (SELECT * FROM (VALUES {rows}) t(cell, c)),
+d AS (SELECT e.vec_id, e.label, cent.cell,
+        round(list_sum(list_transform(generate_series(1, len(e.v)),
+                i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i]))), 6) AS d2
+      FROM e CROSS JOIN cent),
+a AS (SELECT vec_id, label, cell, d2,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prk
+      FROM d),
+asg AS (SELECT * FROM a WHERE prk = 1),
+pl AS (SELECT cell, label, count(*) AS n_lab, sum(d2) AS sse_lab
+       FROM asg GROUP BY cell, label),
+plr AS (SELECT *, row_number() OVER (PARTITION BY cell
+              ORDER BY n_lab DESC, label ASC) AS rk
+        FROM pl)
+SELECT CAST(cell AS INT) AS cell, CAST(sum(n_lab) AS BIGINT) AS n,
+  round(sum(sse_lab), 4) AS sse,
+  max(CASE WHEN rk = 1 THEN label END) AS top_label,
+  round(max(CASE WHEN rk = 1 THEN n_lab END) / CAST(sum(n_lab) AS DOUBLE), 6)
+    AS label_share
+FROM plr GROUP BY cell
+"""
+
+
+@register("kmeans_doc_clusters", oracle=_kmeans_profile_oracle)
+def q_kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size / SSE / majority-label profile of the 8-cell
+    fixed-seed k-means over the embedding corpus."""
+    from flink_ms_spark.operators.similarity import (
+        codebook_from_parquet,
+        kmeans_cluster_profile,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    return kmeans_cluster_profile(emb, cb)
+
+
+# --------------------------------------------------------------------------
+# k-NN classification of the id%10 held-out slice.
+
+_KNN_ORACLE = """
+WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, label, v,
+        CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+             THEN CAST(1 AS DOUBLE)
+             ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm
+      FROM e),
+q AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+c AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+p AS (SELECT q.vec_id AS a, c.vec_id AS b, c.label AS nb_label,
+        round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM q CROSS JOIN c),
+rkd AS (SELECT a, b, nb_label,
+          row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
+        FROM p),
+topk AS (SELECT a, nb_label FROM rkd WHERE rk <= 5),
+votes AS (SELECT a, nb_label, count(*) AS n_votes FROM topk GROUP BY a, nb_label),
+vr AS (SELECT a, nb_label,
+         row_number() OVER (PARTITION BY a ORDER BY n_votes DESC, nb_label ASC)
+           AS rk
+       FROM votes),
+pred AS (SELECT a, nb_label FROM vr WHERE rk = 1)
+SELECT pred.a AS vec_id, e2.label AS true_label, pred.nb_label AS pred_label,
+  CAST(CASE WHEN pred.nb_label = e2.label THEN 1 ELSE 0 END AS INT) AS correct
+FROM pred JOIN e e2 ON e2.vec_id = pred.a
+"""
+
+
+@register("knn_classify", oracle=_KNN_ORACLE)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification of the held-out slice."""
+    from flink_ms_spark.operators.similarity import knn_classify
+
+    return knn_classify(load_table(spark, sf_dir, "embeddings"), k=5, every=10)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ ANN — oracle is a bit-identical numpy replay (same pyarrow
+# trainers, same rounded-probe assignment, same subspace-order ADC
+# accumulation), embedded as VALUES like _pq_oracle.
+
+
+def _ivf_pq_oracle() -> str:
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from flink_ms_spark.operators.similarity import (
+        codebook_from_parquet,
+        pq_codebooks_from_parquet,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n_sub, _, sub = cb.shape
+    d2c = np.round(((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), 6)
+    probes = np.argsort(d2c, axis=1, kind="stable")[:, :2]
+    member_cell = probes[:, 0]
+    codes = np.empty((len(m), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        x = m[:, s * sub : (s + 1) * sub]
+        codes[:, s] = (
+            ((x[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        )
+    out = []
+    for qi in range(len(ids)):
+        # candidates: members of the two probed cells, excluding self
+        cand = np.where(np.isin(member_cell, probes[qi]) & (ids != ids[qi]))[0]
+        if not len(cand):
+            continue
+        ad2 = np.zeros(len(cand))
+        for s in range(n_sub):
+            tbl = ((m[qi, s * sub : (s + 1) * sub][None, :] - cb[s]) ** 2).sum(axis=1)
+            ad2 += tbl[codes[cand, s]]
+        ad2 = np.round(ad2, 6)
+        order = sorted(range(len(cand)), key=lambda j: (ad2[j], ids[cand[j]]))[:5]
+        out.extend(
+            (int(ids[qi]), int(ids[cand[j]]), float(ad2[j]), rk + 1)
+            for rk, j in enumerate(order)
+        )
+    rows = ", ".join(f"({a}, {b}, {d!r}, {rk})" for a, b, d, rk in out)
+    return (
+        "SELECT a, b, CAST(ad2 AS DOUBLE) AS ad2, CAST(rk AS INT) AS rk "
+        f"FROM (VALUES {rows}) t(a, b, ad2, rk)"
+    )
+
+
+@register("ivf_pq_topk", oracle=_ivf_pq_oracle)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse cells (8, n_probe 2) + 16×32 ADC scan."""
+    from flink_ms_spark.operators.similarity import (
+        codebook_from_parquet,
+        ivf_pq_topk,
+        pq_codebooks_from_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
+    return ivf_pq_topk(emb, centers, cb, k=5, n_probe=2)
