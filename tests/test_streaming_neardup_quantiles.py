@@ -1,0 +1,128 @@
+"""Streaming incremental LSH near-dup + log-histogram quantiles."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_ms_spark.streaming.neardup import StreamingNearDup, band_signatures
+from flink_ms_spark.streaming.quantiles import StreamingQuantiles, bin_counts
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _write_docs(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    f = path / f"part{len(list(path.iterdir()))}.json"
+    f.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_streaming_neardup_drops_cross_batch_duplicates(spark, tmp_path):
+    src = tmp_path / "docs_in"
+    reg = tmp_path / "registry"
+    ckpt = tmp_path / "ckpt_nd"
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content about spark partition shuffles here"
+    _write_docs(src, [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},          # within-batch dup of 1
+        {"doc_id": 3, "text": uniq},
+    ])
+
+    nd = StreamingNearDup(str(reg))
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    q = nd.run(stream, str(ckpt))
+    q.awaitTermination(120)
+
+    kept1 = sorted(r.doc_id for r in nd.kept)
+    assert kept1 == [1, 3]  # min-id keeper survives, dup dropped
+
+    # second batch: near-dup of batch-1 content + one new doc
+    _write_docs(src, [
+        {"doc_id": 10, "text": base},          # dup of registered doc 1
+        {"doc_id": 11, "text": "fresh novel text with no earlier overlap at all"},
+    ])
+    nd.kept.clear()
+    q = nd.run(stream, str(ckpt))
+    q.awaitTermination(120)
+    kept2 = sorted(r.doc_id for r in nd.kept)
+    assert kept2 == [11]  # cross-batch dup suppressed by the registry
+
+
+def test_streaming_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    reg = tmp_path / "registry2"
+    nd = StreamingNearDup(str(reg))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], DOC_SCHEMA
+    )
+    first = {r.doc_id for r in nd.process_batch(docs, batch_id=0).collect()}
+    # replay of the SAME batch id must not self-collide with its own
+    # registry rows (exactly-once under foreachBatch replay)
+    again = {r.doc_id for r in nd.process_batch(docs, batch_id=0).collect()}
+    assert first == again == {1}
+
+
+def test_band_signatures_match_batch_minhash_math(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        DOC_SCHEMA,
+    )
+    b = band_signatures(docs).collect()
+    by_doc = {}
+    for r in b:
+        by_doc.setdefault(r.doc_id, {})[r.band] = r.band_sig
+    assert by_doc[1] == by_doc[2]  # identical text ⇒ identical bands
+    assert by_doc[1] != by_doc[3]
+
+
+def test_quantile_sketch_relative_error_bound(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    vals = np.abs(rng.lognormal(mean=2.0, sigma=1.0, size=20_000)) + 0.001
+    df = spark.createDataFrame([(float(v),) for v in vals], ["value"])
+
+    sk = StreamingQuantiles(growth=1.2)
+    # fold as three "micro-batches" + one merged shard
+    parts = np.array_split(vals, 3)
+    for i, p in enumerate(parts[:2]):
+        sk.update(spark.createDataFrame([(float(v),) for v in p], ["value"]), i)
+    shard = StreamingQuantiles(growth=1.2)
+    shard.update(spark.createDataFrame([(float(v),) for v in parts[2]], ["value"]))
+    sk.merge(shard)
+
+    assert sk.count == len(vals)
+    for q in (0.5, 0.95, 0.99):
+        est = sk.quantile(q)
+        exact = float(np.quantile(vals, q))
+        assert abs(est - exact) / exact <= 0.2 + 1e-9  # growth − 1 bound
+
+
+def test_quantile_sketch_streaming_run(spark, tmp_path):
+    src = tmp_path / "vals_in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"value": float(v)}) for v in range(1, 101))
+    )
+    schema = T.StructType([T.StructField("value", T.DoubleType())])
+    sk = StreamingQuantiles(growth=1.1)
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = sk.run(stream, str(tmp_path / "ckpt_q"))
+    q.awaitTermination(120)
+    assert sk.count == 100
+    est = sk.quantile(0.5)
+    assert abs(est - 50.0) / 50.0 <= 0.1 + 1e-9
+
+
+def test_bin_counts_is_single_keyed_agg(spark):
+    df = spark.range(1000).select((F.col("id") + 1).cast("double").alias("value"))
+    plan = bin_counts(df, "value")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one shuffle, keyed on bin
