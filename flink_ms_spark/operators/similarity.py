@@ -246,6 +246,18 @@ def lloyd_kmeans(
     return centers
 
 
+_TRAINER_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _fixture_key(sf_dir: str, table: str) -> tuple:
+    """Identity of a fixture file (path + mtime + size) — a
+    regenerated fixture transparently invalidates cached codebooks,
+    same scheme as the persisted-PQ-index dir key."""
+    f = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(f)
+    return (f, st.st_mtime_ns, st.st_size)
+
+
 def codebook_from_parquet(
     sf_dir: str,
     n_cells: int = 8,
@@ -259,12 +271,16 @@ def codebook_from_parquet(
     DuckDB-oracle side, which embeds these centroids as literals. At
     100 TB the training input is a SAMPLE either way (the documented
     codebook design); reading it locally vs collecting it is the same
-    driver-side step."""
+    driver-side step. Memoized per fixture identity: a resident
+    engine trains an index once, not once per query."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=[vec_col])
-    m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
-    return lloyd_kmeans(m, n_cells, seed=seed, max_iter=max_iter)
+    key = ("ivf", _fixture_key(sf_dir, table), n_cells, seed, vec_col, max_iter)
+    if key not in _TRAINER_CACHE:
+        t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=[vec_col])
+        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        _TRAINER_CACHE[key] = lloyd_kmeans(m, n_cells, seed=seed, max_iter=max_iter)
+    return _TRAINER_CACHE[key]
 
 
 def ivf_kmeans_topk(
@@ -785,20 +801,24 @@ def pq_codebooks_from_parquet(
     no Spark) — same trick as ``codebook_from_parquet``: the serve-side
     index build and the DuckDB oracle builder call THIS function, so
     both sides hold bit-identical codebooks and the whole PQ pipeline
-    becomes hash-checkable."""
+    becomes hash-checkable. Memoized per fixture identity (train-once,
+    serve-many)."""
     import os as _os
 
     import pyarrow.parquet as _pq
 
-    t = _pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"))
-    m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
-    sub = m.shape[1] // n_subspaces
-    return np.stack(
-        [
-            _lloyd(m[:, s * sub : (s + 1) * sub], n_codes, seed + s, max_iter)
-            for s in range(n_subspaces)
-        ]
-    )
+    key = ("pq", _fixture_key(sf_dir, "embeddings"), n_subspaces, n_codes, seed, vec_col, max_iter)
+    if key not in _TRAINER_CACHE:
+        t = _pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"))
+        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        sub = m.shape[1] // n_subspaces
+        _TRAINER_CACHE[key] = np.stack(
+            [
+                _lloyd(m[:, s * sub : (s + 1) * sub], n_codes, seed + s, max_iter)
+                for s in range(n_subspaces)
+            ]
+        )
+    return _TRAINER_CACHE[key]
 
 
 def assign_cells(

@@ -1,0 +1,122 @@
+"""Engine-managed keyed state via ``applyInPandasWithState`` — the
+Flink ValueState analogue that RUNS in this container (unlike
+``transformWithStateInPandas``, which needs protobuf; see
+streaming/value_state.py for that gated variant).
+
+Spark's ``groupBy(key).applyInPandasWithState`` gives each key a
+GroupState object persisted in the engine's checkpointed state store —
+exactly the construct behind the reference's queryable model state
+(``keyBy(0).asQueryableState(...)``, als-ms ALSKafkaConsumer.java:84-92)
+and its SGD factor state (SGD.java:160-234 keeps per-key factors in
+open()/ValueState). Two operators:
+
+- :func:`latest_per_key_changelog` — ValueState latest-wins upsert;
+  each batch emits the changelog of touched keys (key, payload), which
+  a foreachBatch mirror turns into the point-lookup view. State size:
+  one row per key — the model table itself, sharded by the engine.
+- :func:`running_stats_state` — per-key running count/sum/mean (online
+  feature aggregation); state is three numbers per key, emission is
+  the updated rows per batch. The additive state is what makes restart
+  recovery exact: the checkpoint holds (n, s), not raw history.
+
+Scale: state is partitioned by the groupBy key across executors and
+checkpointed incrementally; nothing driver-side. The changelog
+emission pattern (emit only touched keys) keeps per-batch output
+O(batch), not O(state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CHANGELOG_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("payload", StringType(), True),
+    ]
+)
+_LATEST_STATE = StructType([StructField("payload", StringType(), True)])
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("n", LongType(), True),
+        StructField("total", DoubleType(), True),
+        StructField("mean", DoubleType(), True),
+    ]
+)
+_STATS_STATE = StructType(
+    [StructField("n", LongType(), True), StructField("total", DoubleType(), True)]
+)
+
+
+def latest_per_key_changelog(
+    stream: DataFrame, key_col: str = "key", payload_col: str = "payload"
+) -> DataFrame:
+    """Latest-wins ValueState upsert: state holds the newest payload
+    per key; each micro-batch emits (key, payload) for keys it
+    touched. Within a batch the LAST row (input order) wins, matching
+    the reference consumer's overwrite semantics."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        latest = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf):
+                latest = pdf[payload_col].iloc[-1]
+        state.update((latest,))
+        yield pd.DataFrame({"key": [key[0]], "payload": [latest]})
+
+    return (
+        stream.selectExpr(f"{key_col} AS key", f"{payload_col} AS payload")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn, CHANGELOG_SCHEMA, _LATEST_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def running_stats_state(
+    stream: DataFrame, key_col: str = "key", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running (n, total, mean) with engine-managed state —
+    the online-feature-aggregation primitive. Emits the updated stats
+    row for every key a batch touches."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n": [n],
+                "total": [total],
+                "mean": [total / n if n else None],
+            }
+        )
+
+    return (
+        stream.selectExpr(f"{key_col} AS key", f"{value_col} AS value")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn, STATS_SCHEMA, _STATS_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )

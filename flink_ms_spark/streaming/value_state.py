@@ -18,9 +18,12 @@ restored on restart) exactly like the reference's
 Runtime requirements: the RocksDB state store provider
 (``spark.sql.streaming.stateStore.providerClass``) and a working
 ``google.protobuf`` install (the TWS driver worker speaks protobuf to
-the JVM). In environments without protobuf the ``foreachBatch``
-ModelStore path (streaming/loader.py) provides the same semantics —
-that path has no extra dependencies and is the default.
+the JVM). In environments without protobuf there are TWO working
+substitutes: the engine-managed ``applyInPandasWithState`` operators
+in streaming/group_state.py (keyed GroupState, checkpointed and
+restart-recovered — the tested ValueState parity path), and the
+``foreachBatch`` ModelStore (streaming/loader.py) for the
+application-side point-lookup view.
 """
 
 from __future__ import annotations
