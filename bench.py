@@ -131,6 +131,7 @@ HEADLINE = [
     "kmeans_doc_clusters",
     "knn_classify",
     "ivf_pq_topk",
+    "bpe_encode",
 ]
 
 

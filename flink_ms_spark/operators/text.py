@@ -329,3 +329,127 @@ def bpe_merges(
     return spark.createDataFrame(
         out, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     )
+
+
+_BPE_CACHE: dict[tuple, list[tuple[str, str]]] = {}
+
+
+def learn_bpe_merges_local(
+    sf_dir: str, n_merges: int = 8, table: str = "documents"
+) -> list[tuple[str, str]]:
+    """Driver-side BPE merge learning from the fixture parquet —
+    bit-identical to the distributed :func:`bpe_merges` (pinned in
+    tests), shared by the ``bpe_encode`` query and its DuckDB-oracle
+    replay so both consume the same artifact (the codebook pattern:
+    learning is the registered distributed job, serving consumes the
+    learned model). Memoized per fixture identity."""
+    import os as _os
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    f = _os.path.join(sf_dir, f"{table}.parquet")
+    st = _os.stat(f)
+    key = (f, st.st_mtime_ns, st.st_size, n_merges)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
+    texts = _pq.read_table(f, columns=["text"]).column("text").to_pylist()
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in _re.split("[^a-z]+", t.lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    vocab: dict[tuple[str, ...], int] = {tuple(w): n for w, n in wc.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        (a, b), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        m = a + b
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            k = tuple(out)
+            nxt[k] = nxt.get(k, 0) + n
+        vocab = nxt
+    _BPE_CACHE[key] = merges
+    return merges
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus and return per-doc
+    tokenization stats: (doc_id, n_words, n_bpe, bpe_per_word).
+
+    Scale design — the merges are applied to the VOCABULARY, not the
+    corpus: unique words are bounded (≈1M at web scale) regardless of
+    corpus size, so the 8 fold-apply rounds are narrow maps over a
+    model-scale table. The corpus pays exactly two shuffles: the
+    (doc, word) count agg and the per-doc rollup; the word→n_bpe
+    table joins back broadcast (vocabulary outgrowing broadcast ⇒
+    same plan with a shuffle join, still vocab-sized). The fold is
+    Spark ``aggregate`` (codegen, no Python in the corpus path).
+    """
+    vtab = word_counts(df, text_col).select(
+        "word",
+        F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("syms"),
+    )
+    for a, b in merges:
+
+        def make_fold(_a: str, _b: str, _m: str):
+            def fold_step(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_a))
+                    & (x == F.lit(_b))
+                )
+                return F.when(
+                    hit,
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return fold_step
+
+        vtab = vtab.select(
+            "word",
+            F.aggregate(
+                "syms", F.expr("cast(array() as array<string>)"), make_fold(a, b, a + b)
+            ).alias("syms"),
+        )
+    vtab = vtab.select("word", F.size("syms").alias("n_bpe_word"))
+
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda s: s != ""
+            )
+        ).alias("word"),
+    )
+    per = doc_words.groupBy(id_col, "word").agg(F.count("*").alias("n"))
+    return (
+        per.join(F.broadcast(vtab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("int").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_bpe_word")).cast("int").alias("n_bpe"),
+            F.round(
+                F.sum(F.col("n") * F.col("n_bpe_word")) / F.sum("n"), 6
+            ).alias("bpe_per_word"),
+        )
+    )

@@ -342,3 +342,74 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
     cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
     return ivf_pq_topk(emb, centers, cb, k=5, n_probe=2)
+
+
+# --------------------------------------------------------------------------
+# BPE encode — apply the learned merges to the corpus (the serve half
+# of the bpe_merges trainer). Oracle = exact Python replay of the
+# vocab-side fold apply with the SAME learned merges (shared
+# learn_bpe_merges_local artifact), HALF_UP rounding to match Spark.
+
+
+def _bpe_encode_oracle() -> str:
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as papq
+
+    from flink_ms_spark.operators.text import learn_bpe_merges_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    merges = learn_bpe_merges_local(sf_dir, n_merges=8)
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            m = a + b
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    cache: dict[str, int] = {}
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        words = [w for w in re.split("[^a-z]+", text.lower()) if w]
+        if not words:
+            continue
+        n_bpe = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = encode_len(w)
+            n_bpe += cache[w]
+        bw = float(
+            Decimal(n_bpe / len(words)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        rows.append((doc_id, len(words), n_bpe, bw))
+    vals = ", ".join(f"({d}, {w}, {n}, {b!r})" for d, w, n, b in rows)
+    return (
+        "SELECT doc_id, CAST(n_words AS INT) AS n_words, "
+        "CAST(n_bpe AS INT) AS n_bpe, CAST(bpe_per_word AS DOUBLE) AS bpe_per_word "
+        f"FROM (VALUES {vals}) t(doc_id, n_words, n_bpe, bpe_per_word)"
+    )
+
+
+@register("bpe_encode", oracle=_bpe_encode_oracle)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE tokenization stats under the 8 learned merges."""
+    from flink_ms_spark.operators.text import (
+        bpe_encode_stats,
+        learn_bpe_merges_local,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, learn_bpe_merges_local(sf_dir, n_merges=8))

@@ -163,3 +163,29 @@ def test_kmeans_profile_partitions_corpus(emb):
     for r in rows:
         assert 0.0 < r.label_share <= 1.0
         assert r.sse >= 0.0
+
+
+def test_bpe_local_learner_matches_distributed(spark, docs):
+    """The driver-side merge learner (serving artifact) must be
+    bit-identical to the distributed bpe_merges trainer."""
+    from flink_ms_spark.operators.text import bpe_merges, learn_bpe_merges_local
+
+    dist = [(r.left, r.right) for r in bpe_merges(docs, n_merges=6).collect()]
+    local = learn_bpe_merges_local(SF, n_merges=6)
+    assert dist == local
+
+
+def test_bpe_encode_stats_invariants(spark, docs):
+    from flink_ms_spark.operators.text import (
+        bpe_encode_stats,
+        learn_bpe_merges_local,
+    )
+
+    merges = learn_bpe_merges_local(SF, n_merges=8)
+    rows = bpe_encode_stats(docs, merges).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        # merges only ever shrink a word's symbol count, and a word
+        # has ≥ 1 symbol
+        assert r.n_words <= r.n_bpe
+        assert r.bpe_per_word >= 1.0
