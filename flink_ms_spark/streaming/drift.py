@@ -1,0 +1,100 @@
+"""Streaming corpus-drift monitoring — distribution QA for a
+training-data ingestion pipeline.
+
+A corpus pipeline needs to notice when arriving data stops looking
+like the corpus it was tuned on (new boilerplate source, encoding
+breakage, language shift) BEFORE the batch lands in training shards.
+The monitor compares each micro-batch's hashed-token distribution
+against a baseline profile:
+
+- profile: token → md5 bucket (the DSIR feature space,
+  operators/mixing.py:md5_bucket) → ``n_buckets`` counts. Model-scale
+  by construction regardless of vocabulary (the same reason DSIR
+  hashes its features).
+- score: add-1-smoothed KL(batch ‖ baseline) in bits. KL is the
+  right asymmetry — it spikes when the batch concentrates mass where
+  the baseline has little (novel content), not when the batch merely
+  undersamples the baseline.
+
+Scale: the per-batch work is one groupBy(bucket) count (map-side
+combined, ``n_buckets`` result rows); the baseline is a broadcast-
+sized vector; the fold state is one counter vector. Flink would make
+this a keyed ProcessFunction with a metrics sink; Spark-first it is
+the foreachBatch fold every other monitor in streaming/ uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_ms_spark.operators.mixing import md5_bucket
+from flink_ms_spark.operators.text import tokens
+
+
+def bucket_profile(
+    df: DataFrame, text_col: str = "text", n_buckets: int = 64
+) -> dict[int, int]:
+    """Hashed-token bucket counts of a corpus — the baseline profile
+    (one aggregate, ``n_buckets`` rows collected)."""
+    rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .select(md5_bucket("t", n_buckets).alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return {int(r.bkt): int(r.n) for r in rows}
+
+
+def kl_bits(
+    batch: dict[int, int], baseline: dict[int, int], n_buckets: int = 64
+) -> float:
+    """Add-1-smoothed KL(batch ‖ baseline) in bits."""
+    nb = sum(batch.values()) + n_buckets
+    nb0 = sum(baseline.values()) + n_buckets
+    kl = 0.0
+    for b in range(n_buckets):
+        p = (batch.get(b, 0) + 1) / nb
+        q = (baseline.get(b, 0) + 1) / nb0
+        kl += p * math.log2(p / q)
+    return kl
+
+
+class StreamingDriftMonitor:
+    """foreachBatch drift scores vs a fixed baseline profile.
+
+    ``scores`` collects (batch_id, n_tokens, kl_bits, drifted); a
+    production job would push them to its metrics sink and gate the
+    batch on ``drifted`` before shard writes.
+    """
+
+    def __init__(
+        self,
+        baseline: dict[int, int],
+        text_col: str = "text",
+        n_buckets: int = 64,
+        threshold_bits: float = 0.1,
+    ):
+        self.baseline = baseline
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        self.threshold_bits = threshold_bits
+        self.scores: list[tuple[int, int, float, bool]] = []
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        prof = bucket_profile(batch_df, self.text_col, self.n_buckets)
+        n = sum(prof.values())
+        kl = kl_bits(prof, self.baseline, self.n_buckets)
+        self.scores.append((batch_id, n, kl, kl > self.threshold_bits))
+
+    def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self.update)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -126,3 +126,35 @@ def test_bin_counts_is_single_keyed_agg(spark):
     df = spark.range(1000).select((F.col("id") + 1).cast("double").alias("value"))
     plan = bin_counts(df, "value")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # one shuffle, keyed on bin
+
+
+def test_drift_monitor_flags_distribution_shift(spark, tmp_path):
+    from flink_ms_spark.sources.tables import load_table
+    from flink_ms_spark.streaming.drift import (
+        StreamingDriftMonitor,
+        bucket_profile,
+        kl_bits,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    baseline = bucket_profile(docs)
+
+    # in-distribution batch: a slice of the same corpus → tiny KL
+    in_dist = docs.limit(20).select("text")
+    # drifted batch: a single repeated alien token → concentrated mass
+    drifted = spark.createDataFrame(
+        [("zzgarbledtoken " * 50,)] * 20, ["text"]
+    )
+    kl_in = kl_bits(bucket_profile(in_dist), baseline)
+    kl_out = kl_bits(bucket_profile(drifted), baseline)
+    assert kl_out > kl_in
+    assert kl_out > 1.0  # concentrated alien mass is unambiguous
+
+    # streaming form
+    src = tmp_path / "drift_in"
+    _write_docs(src, [{"doc_id": 1, "text": "zzgarbledtoken " * 50}])
+    mon = StreamingDriftMonitor(baseline, threshold_bits=0.5)
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    q = mon.run(stream, str(tmp_path / "ckpt_drift"))
+    q.awaitTermination(120)
+    assert len(mon.scores) == 1 and mon.scores[0][3] is True
