@@ -132,6 +132,8 @@ HEADLINE = [
     "knn_classify",
     "ivf_pq_topk",
     "bpe_encode",
+    "dsir_sample",
+    "cluster_balanced_sample",
 ]
 
 

@@ -413,3 +413,128 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_stats(docs, learn_bpe_merges_local(sf_dir, n_merges=8))
+
+
+# --------------------------------------------------------------------------
+# DSIR top-weight selection under a token budget — the resampling step
+# that turns the importance weights into an actual corpus subset.
+
+_DSIR_SAMPLE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents),
+b AS (SELECT doc_id, source,
+        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS bkt
+      FROM tok),
+pdb AS (SELECT doc_id, source, bkt, count(*) AS n FROM b GROUP BY ALL),
+raw AS (SELECT bkt, sum(n) AS n_raw FROM pdb GROUP BY bkt),
+tgt AS (SELECT bkt, sum(n) AS n_tgt FROM pdb WHERE source = 'src0' GROUP BY bkt),
+spine AS (SELECT raw.bkt, n_raw, coalesce(n_tgt, 0) AS n_tgt
+          FROM raw LEFT JOIN tgt USING (bkt)),
+ratio AS (SELECT bkt,
+            CAST(round((ln((n_tgt + 1) / (sum(n_tgt) OVER () + 64))
+                - ln((n_raw + 1) / (sum(n_raw) OVER () + 64))) * 1000000.0, 0)
+              AS BIGINT) AS lr6
+          FROM spine),
+w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        round(sum(n * lr6) / 1000000.0, 6) AS logw
+      FROM pdb JOIN ratio USING (bkt) GROUP BY doc_id),
+c AS (SELECT *, sum(n_tokens) OVER (ORDER BY logw DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           round(sum(n_tokens) OVER () * 0.3, 0) AS budget
+      FROM w)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, logw,
+       CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS INT) AS keep
+FROM c
+"""
+
+
+@register("dsir_sample", oracle=_DSIR_SAMPLE_ORACLE)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy top-DSIR-weight selection filling 30% of corpus tokens.
+
+    Scale: rides the bucketed two-phase running total
+    (operators/mixing.py:_bucketed_ranks — score-binned ordered
+    buckets, broadcast offsets, keyed windows), so the selection has
+    no single-partition stage; the weight table is the dsir_weights
+    plan (one corpus shuffle, broadcast ratio join)."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.mixing import _bucketed_ranks
+
+    w = dsir_weights(load_table(spark, sf_dir, "documents"))
+    ranked = _bucketed_ranks(
+        w,
+        # logw ∈ a few nats; floor(-logw·8) ascends as logw descends
+        bucket=F.floor(-F.col("logw") * 8).cast("long"),
+        order_cols=[F.col("logw").desc(), F.col("doc_id").asc()],
+        weight=F.col("n_tokens"),
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "logw",
+        (F.col("cum") <= F.round(F.col("total") * F.lit(0.3), 0))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster-balanced sampling (ClusterClip flavor): cap each k-means
+# cell's contribution; selection order inside a cell is md5(vec_id) —
+# a deterministic pseudo-random draw both engines replay.
+
+
+def _cluster_sample_oracle() -> str:
+    from flink_ms_spark.operators.similarity import codebook_from_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(centers)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cent AS (SELECT * FROM (VALUES {rows}) t(cell, c)),
+d AS (SELECT e.vec_id, cent.cell,
+        round(list_sum(list_transform(generate_series(1, len(e.v)),
+                i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i]))), 6) AS d2
+      FROM e CROSS JOIN cent),
+a AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cell) AS prk
+      FROM d),
+asg AS (SELECT vec_id, cell FROM a WHERE prk = 1),
+rk AS (SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+       FROM asg)
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(CASE WHEN rnk <= 150 THEN 1 ELSE 0 END AS INT) AS kept
+FROM rk
+"""
+
+
+@register("cluster_balanced_sample", oracle=_cluster_sample_oracle)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every semantic cluster at 150 vectors — the ClusterClip
+    move that stops over-represented regions from dominating a
+    training mix. Assignment is the broadcast-codebook map; the cap
+    is a keyed (per-cell) window — fully parallel."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.similarity import (
+        assign_cells,
+        codebook_from_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    a = assign_cells(emb, cb)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    return a.select("vec_id", "cell").withColumn(
+        "kept", (F.row_number().over(w) <= 150).cast("int")
+    )

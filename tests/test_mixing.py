@@ -189,3 +189,49 @@ def test_bpe_encode_stats_invariants(spark, docs):
         # has ≥ 1 symbol
         assert r.n_words <= r.n_bpe
         assert r.bpe_per_word >= 1.0
+
+
+def test_jsonl_corpus_round_trip(spark, docs, tmp_path):
+    from flink_ms_spark.sources.jsonl import read_jsonl_corpus, write_jsonl_corpus
+
+    out = tmp_path / "corpus_jsonl"
+    write_jsonl_corpus(docs.select("doc_id", "text", "lang", "source"), str(out),
+                       n_shards=4)
+    back = read_jsonl_corpus(spark, str(out))
+    assert back.count() == docs.count()
+    a = {r.doc_id: (r.text, r.lang, r.source) for r in back.collect()}
+    b = {r.doc_id: (r.text, r.lang, r.source)
+         for r in docs.select("doc_id", "text", "lang", "source").collect()}
+    assert a == b
+    # hash sharding is deterministic: same doc_id → same shard file set
+    import glob
+    shards = glob.glob(str(out / "part-*"))
+    assert len(shards) == 4
+
+
+def test_dsir_sample_budget_and_order(spark, docs):
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["dsir_sample"](spark, SF).collect()
+    total = sum(r.n_tokens for r in rows)
+    kept = [r for r in rows if r.keep]
+    assert sum(r.n_tokens for r in kept) <= round(total * 0.3)
+    # kept set is exactly a prefix of the (logw desc, doc_id) order
+    worst_kept = min((r.logw, -r.doc_id) for r in kept)
+    dropped_better = [
+        r for r in rows
+        if not r.keep and (r.logw, -r.doc_id) > worst_kept
+        and sum(k.n_tokens for k in kept) + r.n_tokens <= round(total * 0.3)
+    ]
+    assert not dropped_better
+
+
+def test_cluster_balanced_sample_caps_cells(spark, emb):
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["cluster_balanced_sample"](spark, SF).collect()
+    per_cell = {}
+    for r in rows:
+        if r.kept:
+            per_cell[r.cell] = per_cell.get(r.cell, 0) + 1
+    assert per_cell and all(n <= 150 for n in per_cell.values())
