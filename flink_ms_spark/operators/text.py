@@ -215,18 +215,35 @@ def char_trigram_lm_score(
             )
         ).alias("tri"),
     )
-    model = tris.groupBy("tri").agg(F.count("*").alias("c"))
+    # ONE corpus explode: reduce to per-(doc, trigram) counts first
+    # (bounded ≤ distinct-trigrams/doc rows) and persist — the model
+    # aggregate AND the scoring join both read this table instead of
+    # re-exploding the corpus. Per-trigram bits are integer-scaled
+    # (micro-bits) so the weighted per-doc sum is exact integer math —
+    # summation order cannot move the 6-dp output (the DSIR contract).
+    pdt = tris.groupBy("doc_id", "tri").agg(F.count("*").alias("n")).persist()
+    model = pdt.groupBy("tri").agg(F.sum("n").alias("c"))
     ctx = model.groupBy(F.substring("tri", 1, 2).alias("cx")).agg(
         F.sum("c").cast("double").alias("cc")
     )
-    probs = model.withColumn("cx", F.substring("tri", 1, 2)).join(
-        F.broadcast(ctx), "cx"
+    probs = (
+        model.withColumn("cx", F.substring("tri", 1, 2))
+        .join(F.broadcast(ctx), "cx")
+        .select(
+            "tri",
+            F.round(
+                -F.log2(F.col("c").cast("double") / F.col("cc")) * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("bits6"),
+        )
     )
-    scored = tris.join(F.broadcast(probs.select("tri", "c", "cc")), "tri")
+    scored = pdt.join(F.broadcast(probs), "tri")
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_trigrams"),
+        F.sum("n").alias("n_trigrams"),
         F.round(
-            F.avg(-F.log2(F.col("c").cast("double") / F.col("cc"))), 6
+            F.sum(F.col("n") * F.col("bits6")) / F.sum("n") / F.lit(1000000.0), 6
         ).alias("avg_bits"),
     )
 
@@ -245,10 +262,49 @@ def word_counts(
     )
 
 
+def _learn_merges_from_wc(
+    wc: dict[str, int], n_merges: int
+) -> list[tuple[str, str, str, int]]:
+    """Pure-Python BPE merge loop over a word-frequency dict — the
+    shared kernel behind bpe_merges' thresholded local fast path and
+    learn_bpe_merges_local. Semantics pinned bit-identical to the
+    distributed round loop (overlapping adjacent pairs, argmax with
+    (count desc, left, right) tie-break, greedy left fold apply)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in wc.items():
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + n
+    out: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        m = a + b
+        out.append((a, b, m, cnt))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            acc: list[str] = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = m
+                else:
+                    acc.append(x)
+            k = tuple(acc)
+            nxt[k] = nxt.get(k, 0) + n
+        vocab = nxt
+    return out
+
+
 def bpe_merges(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Learn the first ``n_merges`` byte-pair-encoding merges
     (Sennrich et al. 2016) over the corpus word frequencies.
@@ -267,8 +323,29 @@ def bpe_merges(
     results are persisted and the previous round unpersisted so
     lineage stays flat over many merges.
     """
+    spark = df.sparkSession
+    wc_df = word_counts(df, text_col)
+    # Thresholded local fast path (the dup_clusters pattern): after
+    # the ONE corpus-scale aggregate, the vocabulary is model-scale;
+    # below the threshold the 2·n_merges tiny Spark jobs per round are
+    # pure scheduling overhead, so collect (word, wc) and run the
+    # bit-identical Python loop (parity pinned in tests). Above it,
+    # the distributed round loop below is the scale path.
+    if local_threshold and wc_df.limit(local_threshold + 1).count() <= local_threshold:
+        wc = {r["word"]: int(r["wc"]) for r in wc_df.collect()}
+        rows = [
+            (step, a, b, m, cnt)
+            for step, (a, b, m, cnt) in enumerate(
+                _learn_merges_from_wc(wc, n_merges), start=1
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+        )
+
     # char split: Spark's split keeps a trailing '' — filter it out
-    vocab = word_counts(df, text_col).select(
+    vocab = wc_df.select(
         F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("syms"), "wc"
     )
     vocab = vocab.persist()
@@ -325,7 +402,6 @@ def bpe_merges(
         vocab.unpersist()
         vocab = nxt
     vocab.unpersist()
-    spark = df.sparkSession
     return spark.createDataFrame(
         out, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     )
@@ -359,30 +435,7 @@ def learn_bpe_merges_local(
         for w in _re.split("[^a-z]+", t.lower()):
             if w:
                 wc[w] = wc.get(w, 0) + 1
-    vocab: dict[tuple[str, ...], int] = {tuple(w): n for w, n in wc.items()}
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for syms, n in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pairs[p] = pairs.get(p, 0) + n
-        if not pairs:
-            break
-        (a, b), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((a, b))
-        m = a + b
-        nxt: dict[tuple[str, ...], int] = {}
-        for syms, n in vocab.items():
-            out: list[str] = []
-            for x in syms:
-                if out and out[-1] == a and x == b:
-                    out[-1] = m
-                else:
-                    out.append(x)
-            k = tuple(out)
-            nxt[k] = nxt.get(k, 0) + n
-        vocab = nxt
+    merges = [(a, b) for a, b, _m, _n in _learn_merges_from_wc(wc, n_merges)]
     _BPE_CACHE[key] = merges
     return merges
 

@@ -92,15 +92,17 @@ trix AS (SELECT doc_id,
                   generate_series(1, greatest(length(s) - 2, 1)),
                   i -> substr(s, i, 3))) AS tri
          FROM d),
-m AS (SELECT tri, count(*) AS c FROM trix GROUP BY tri),
+pdt AS (SELECT doc_id, tri, count(*) AS n FROM trix GROUP BY doc_id, tri),
+m AS (SELECT tri, sum(n) AS c FROM pdt GROUP BY tri),
 ctx AS (SELECT substr(tri, 1, 2) AS cx, CAST(sum(c) AS DOUBLE) AS cc
         FROM m GROUP BY 1),
-p AS (SELECT m.tri, CAST(m.c AS DOUBLE) AS c, ctx.cc
-      FROM m JOIN ctx ON substr(m.tri, 1, 2) = ctx.cx),
-s AS (SELECT t.doc_id, -log2(p.c / p.cc) AS bits FROM trix t JOIN p USING (tri))
-SELECT doc_id, count(*) AS n_trigrams,
-       CAST(round(avg(bits), 6) AS DOUBLE) AS avg_bits
-FROM s GROUP BY doc_id
+p AS (SELECT m.tri,
+        CAST(round(-log2(CAST(m.c AS DOUBLE) / ctx.cc) * 1000000.0, 0)
+          AS BIGINT) AS bits6
+      FROM m JOIN ctx ON substr(m.tri, 1, 2) = ctx.cx)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+       round(sum(n * bits6) / sum(n) / 1000000.0, 6) AS avg_bits
+FROM pdt JOIN p USING (tri) GROUP BY doc_id
 """
 
 

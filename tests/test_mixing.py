@@ -170,7 +170,10 @@ def test_bpe_local_learner_matches_distributed(spark, docs):
     bit-identical to the distributed bpe_merges trainer."""
     from flink_ms_spark.operators.text import bpe_merges, learn_bpe_merges_local
 
-    dist = [(r.left, r.right) for r in bpe_merges(docs, n_merges=6).collect()]
+    # local_threshold=0 forces the distributed round loop — the point
+    # is pinning IT against the Python kernel the fast path uses
+    dist = [(r.left, r.right)
+            for r in bpe_merges(docs, n_merges=6, local_threshold=0).collect()]
     local = learn_bpe_merges_local(SF, n_merges=6)
     assert dist == local
 
