@@ -238,14 +238,16 @@ def allpairs_jaccard(
         .distinct()
         .persist()
     )
-    sizes = sh.groupBy("_d").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # per-doc size rides the SAME keyed window pass as the prefix rank
+    # (no separate sizes aggregate + join), and candidate rows carry
+    # (n_a, n_b) forward so the verify stage needs no size joins either
+    # — three fewer stages than the textbook layering.
+    w_d = Window.partitionBy("_d")
     prefix = (
         sh.join(dfreq, "s")
-        .withColumn(
-            "rk", F.row_number().over(Window.partitionBy("_d").orderBy("df", "s"))
-        )
-        .join(sizes, "_d")
+        .withColumn("rk", F.row_number().over(w_d.orderBy("df", "s")))
+        .withColumn("n", F.count("*").over(w_d))
         .where(
             F.col("rk")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
@@ -259,11 +261,32 @@ def allpairs_jaccard(
         .where(F.col("a") < F.col("b"))
         .where(F.lit(threshold) * F.col("n_b") - F.lit(eps) <= F.col("n_a"))
         .where(F.lit(threshold) * F.col("n_a") - F.lit(eps) <= F.col("n_b"))
-        .select("a", "b")
+        .select("a", "b", "n_a", "n_b")
         .distinct()
     )
-    verified = ngram_jaccard(cands, docs, text_col, id_col, shingle_n, shingles_df=sh)
-    return verified.where(F.col("jaccard") >= threshold).orderBy("a", "b")
+    sh_a = sh.select(F.col("_d").alias("a"), "s")
+    sh_b = sh.select(F.col("_d").alias("b"), "s")
+    inter = (
+        cands.select("a", "b")
+        .join(sh_a, "a")
+        .join(sh_b, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cands.join(inter, ["a", "b"], "left")
+        .na.fill({"n_inter": 0})
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )
 
 
 def simhash(
