@@ -243,3 +243,110 @@ def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path with zero native deps: netpbm P6 (PPM) is an actual
+# image format (header + raw RGB bytes) that numpy can decode exactly —
+# so the media family gets one fully REAL generate→decode→stats lane
+# (hash-checked end-to-end) alongside the Pillow-gated JPEG/PNG kernel.
+
+
+def synthesize_ppm_media(
+    docs: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL images: one P6 PPM per document whose pixel
+    bytes are the doc-id's md5 stream (repeat-extended). Map-only
+    (Arrow batches); binary payloads never hit the driver."""
+    import hashlib
+
+    w, h = width, height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = w * h * 3
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                seed = hashlib.md5(str(int(did)).encode()).digest()
+                px = (seed * (need // len(seed) + 1))[:need]
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("mime", T.StringType(), False),
+        ]
+    )
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
+    """Pure-numpy P6 decoder: returns (width, height, HxWx3 uint8
+    array). Raises ValueError on non-P6 payloads (callers route other
+    mimes to the Pillow-gated kernel)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+    return w, h, px.reshape(h, w, 3)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("mean_gray", T.DoubleType(), False),
+    ]
+)
+
+
+def ppm_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL decode → per-image channel statistics. Channel means are
+    exact rationals (integer pixel sums / pixel count) rounded to 6 dp
+    — bit-reproducible by any independent decoder, which is what lets
+    the DuckDB oracle replay this with embedded expected rows."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "mean_r", "mean_g", "mean_b", "mean_gray")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = w * h
+                mr, mg, mb = (round(float(s) / n, 6) for s in sums)
+                gray = round(float(sums.sum()) / (3 * n), 6)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["mean_gray"].append(gray)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=PIXEL_STATS_SCHEMA
+    )

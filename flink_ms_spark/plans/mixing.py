@@ -538,3 +538,57 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select("vec_id", "cell").withColumn(
         "kept", (F.row_number().over(w) <= 150).cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# REAL media decode lane: P6 PPM generate → pure-numpy decode → channel
+# stats. Oracle = independent Python replay (hashlib + manual header
+# parse, no numpy) with expected rows embedded as VALUES.
+
+
+def _ppm_stats_oracle() -> str:
+    import hashlib
+
+    import pyarrow.parquet as papq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+    w = h = 8
+    need = w * h * 3
+    rows = []
+    for did in t.column("doc_id").to_pylist():
+        seed = hashlib.md5(str(int(did)).encode()).digest()
+        px = (seed * (need // len(seed) + 1))[:need]
+        sr = sum(px[0::3]); sg = sum(px[1::3]); sb = sum(px[2::3])
+        n = w * h
+        rows.append((
+            did, w, h,
+            round(sr / n, 6), round(sg / n, 6), round(sb / n, 6),
+            round((sr + sg + sb) / (3 * n), 6),
+        ))
+    vals = ", ".join(
+        f"({d}, {wd}, {ht}, {r!r}, {g!r}, {b!r}, {gr!r})"
+        for d, wd, ht, r, g, b, gr in rows
+    )
+    return (
+        "SELECT media_id, CAST(width AS INT) AS width, "
+        "CAST(height AS INT) AS height, CAST(mean_r AS DOUBLE) AS mean_r, "
+        "CAST(mean_g AS DOUBLE) AS mean_g, CAST(mean_b AS DOUBLE) AS mean_b, "
+        "CAST(mean_gray AS DOUBLE) AS mean_gray "
+        f"FROM (VALUES {vals}) t(media_id, width, height, mean_r, mean_g, "
+        "mean_b, mean_gray)"
+    )
+
+
+@register("media_pixel_stats", oracle=_ppm_stats_oracle)
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully REAL media lane: P6 PPM images generated per doc, decoded
+    with the pure-numpy kernel, per-image channel means."""
+    from flink_ms_spark.operators.multimodal import (
+        ppm_pixel_stats,
+        synthesize_ppm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppm_pixel_stats(synthesize_ppm_media(docs))

@@ -238,3 +238,25 @@ def test_cluster_balanced_sample_caps_cells(spark, emb):
         if r.kept:
             per_cell[r.cell] = per_cell.get(r.cell, 0) + 1
     assert per_cell and all(n <= 150 for n in per_cell.values())
+
+
+def test_ppm_round_trip_real_decode(spark, docs):
+    from flink_ms_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_pixel_stats,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_ppm_media(docs.limit(5))
+    rows = media.collect()
+    for r in rows:
+        w, h, px = decode_ppm(bytes(r.payload))
+        assert (w, h) == (8, 8) and px.shape == (8, 8, 3)
+    stats = ppm_pixel_stats(media).collect()
+    assert len(stats) == 5
+    for s in stats:
+        assert 0.0 <= s.mean_gray <= 255.0
+        # gray mean is the mean of the channel means by construction
+        assert s.mean_gray == pytest.approx(
+            (s.mean_r + s.mean_g + s.mean_b) / 3, abs=1e-5
+        )
