@@ -134,6 +134,7 @@ HEADLINE = [
     "bpe_encode",
     "dsir_sample",
     "cluster_balanced_sample",
+    "media_pixel_stats",
 ]
 
 

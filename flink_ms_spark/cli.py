@@ -340,6 +340,76 @@ def cmd_explain(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_tokenize(args: argparse.Namespace) -> None:
+    """Tokenizer job: learn BPE merges over the corpus, apply them
+    vocab-side, and write per-doc token stats + the merge table —
+    the train+apply loop a tokenizer pipeline ships."""
+    from flink_ms_spark.operators.text import (
+        bpe_encode_stats,
+        bpe_merges,
+        learn_bpe_merges_local,
+    )
+    from flink_ms_spark.sources.tables import load_table
+
+    spark = _spark("[TOKENIZE]")
+    docs = load_table(spark, args.input_dir, "documents")
+    merges_df = bpe_merges(docs, n_merges=args.n_merges)
+    merges_df.write.mode("overwrite").parquet(os.path.join(args.output, "merges"))
+    merges = [(r.left, r.right) for r in merges_df.collect()]
+    stats = bpe_encode_stats(docs, merges)
+    stats.write.mode("overwrite").parquet(os.path.join(args.output, "doc_stats"))
+    n = spark.read.parquet(os.path.join(args.output, "doc_stats")).count()
+    print(f"tokenized {n} docs with {len(merges)} merges -> {args.output}")
+
+
+def cmd_mix(args: argparse.Namespace) -> None:
+    """Print the language-mixing plan: natural shares, temperature
+    shares, and the UniMax epoch-capped allocation side by side."""
+    from flink_ms_spark.operators.mixing import temperature_mix, unimax_alloc
+    from flink_ms_spark.sources.tables import load_table
+
+    spark = _spark("[MIX]")
+    docs = load_table(spark, args.input_dir, "documents")
+    t = temperature_mix(docs, temperature=args.temperature)
+    u = unimax_alloc(docs, budget_frac=args.budget_frac, max_epochs=args.max_epochs)
+    joined = t.join(u.select("lang", "alloc_tokens", "epochs"), "lang").orderBy("lang")
+    for r in joined.collect():
+        print(
+            f"{r['lang']}\t{r['n_tokens']}\traw={r['raw_share']:.4f}"
+            f"\ttemp={r['temp_share']:.4f}\tunimax={r['alloc_tokens']:.0f}"
+            f"\tepochs={r['epochs']:.3f}"
+        )
+
+
+def cmd_dedup_ingest(args: argparse.Namespace) -> None:
+    """Streaming ingestion dedup: watch a JSONL directory, drop docs
+    that near-duplicate the already-ingested corpus (incremental LSH
+    registry), write survivors to the output corpus dir."""
+    from flink_ms_spark.sources.jsonl import CORPUS_SCHEMA
+    from flink_ms_spark.streaming.neardup import StreamingNearDup
+
+    spark = _spark("[DEDUP-INGEST]")
+    nd = StreamingNearDup(os.path.join(args.output, "_registry"))
+    stream = spark.readStream.schema(CORPUS_SCHEMA).json(args.input_dir)
+
+    def sink(batch_df, batch_id):
+        kept = nd.process_batch(batch_df, batch_id)
+        (
+            kept.write.mode("overwrite")
+            .partitionBy()
+            .parquet(os.path.join(args.output, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(args.output, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    print(f"ingested into {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_ms_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -427,6 +497,24 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-tokens", type=int, default=20)
     c.add_argument("--max-records-per-file", type=int, default=100_000)
     c.set_defaults(func=cmd_curate)
+
+    tk = sub.add_parser("tokenize")
+    tk.add_argument("--input-dir", required=True)
+    tk.add_argument("--output", required=True)
+    tk.add_argument("--n-merges", type=int, default=8)
+    tk.set_defaults(func=cmd_tokenize)
+
+    mx = sub.add_parser("mix")
+    mx.add_argument("--input-dir", required=True)
+    mx.add_argument("--temperature", type=float, default=3.0)
+    mx.add_argument("--budget-frac", type=float, default=0.5)
+    mx.add_argument("--max-epochs", type=int, default=2)
+    mx.set_defaults(func=cmd_mix)
+
+    di = sub.add_parser("dedup-ingest")
+    di.add_argument("--input-dir", required=True, help="JSONL corpus dir")
+    di.add_argument("--output", required=True)
+    di.set_defaults(func=cmd_dedup_ingest)
 
     return p
 

@@ -213,3 +213,46 @@ def test_explain_unknown_query_exits(capsys):
 
     with pytest.raises(SystemExit, match="unknown query"):
         cli.main(["explain", "nope_not_real"])
+
+
+def test_cli_tokenize_writes_merges_and_stats(spark, tmp_path, capsys):
+    out = tmp_path / "tok"
+    cli.main([
+        "tokenize", "--input-dir", "/root/testdata/sf0.001",
+        "--output", str(out), "--n-merges", "4",
+    ])
+    assert "tokenized" in capsys.readouterr().out
+    merges = spark.read.parquet(str(out / "merges")).collect()
+    assert len(merges) == 4
+    stats = spark.read.parquet(str(out / "doc_stats"))
+    assert stats.count() > 0
+    assert set(stats.columns) == {"doc_id", "n_words", "n_bpe", "bpe_per_word"}
+
+
+def test_cli_mix_prints_per_language_plan(capsys):
+    cli.main(["mix", "--input-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if "\traw=" in ln]
+    assert len(lines) >= 3  # one row per language
+    assert all("unimax=" in ln and "epochs=" in ln for ln in lines)
+
+
+def test_cli_dedup_ingest_end_to_end(spark, tmp_path, capsys):
+    import json as _json
+
+    src = tmp_path / "jsonl_in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog",
+         "lang": "en", "source": "s0"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog",
+         "lang": "en", "source": "s0"},
+        {"doc_id": 3, "text": "completely different text about spark shuffles",
+         "lang": "en", "source": "s1"},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    out = tmp_path / "corpus_out"
+    cli.main(["dedup-ingest", "--input-dir", str(src), "--output", str(out)])
+    assert "ingested" in capsys.readouterr().out
+    kept = spark.read.parquet(str(out / "batch_id=0"))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
