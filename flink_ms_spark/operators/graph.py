@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def transition_edges(
@@ -151,3 +152,44 @@ def pagerank_iterative(
         "node", F.round("pr", 6).cast("double").alias("pagerank")
     ).orderBy(F.col("pagerank").desc(), "node")
     return out
+
+
+def lpa_communities(
+    edges: DataFrame, n_iters: int = 3
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007): every node starts as its own community; each round a node
+    adopts the most frequent label among its neighbors, ties to the
+    smallest label; isolated behavior never arises on a distinct-edge
+    input (every node has ≥ 1 neighbor). Returns (node, community)
+    after ``n_iters`` synchronized rounds — community detection proper
+    (modularity-style clusters), distinct from min-label connected
+    components (operators/cluster.py), which LPA refines within.
+
+    Scale shape: the symmetric adjacency is persisted once; each round
+    shuffles (edge join on label vector) + one keyed (node, label) agg
+    + a per-node window — all keyed on node, nothing global. The label
+    vector is |nodes| rows. Hub nodes fan their label wide (the known
+    LPA hot key) — AQE skew splitting covers the join side.
+    """
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist()
+    )
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("community"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("community").asc()
+    )
+    for _ in range(n_iters):
+        neigh = adj.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "community")
+        counts = neigh.groupBy("node", "community").agg(F.count("*").alias("n"))
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", "community")
+        )
+    return labels

@@ -592,3 +592,42 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ppm_pixel_stats(synthesize_ppm_media(docs))
+
+
+# --------------------------------------------------------------------------
+# LPA community detection over the co-purchase graph — 3 synchronized
+# min-tie-break rounds, unrolled identically in the DuckDB oracle.
+
+_LPA_ORACLE = """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS nd FROM lineitem),
+e AS (SELECT DISTINCT a.nd AS u, b.nd AS v
+      FROM m a JOIN m b USING (g) WHERE a.nd < b.nd),
+adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS community FROM adj),
+r1 AS (SELECT a.u AS node, l.community, count(*) AS n
+       FROM adj a JOIN l0 l ON a.v = l.node GROUP BY a.u, l.community),
+l1 AS (SELECT node, community FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+             ORDER BY n DESC, community ASC) AS rk FROM r1) WHERE rk = 1),
+r2 AS (SELECT a.u AS node, l.community, count(*) AS n
+       FROM adj a JOIN l1 l ON a.v = l.node GROUP BY a.u, l.community),
+l2 AS (SELECT node, community FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+             ORDER BY n DESC, community ASC) AS rk FROM r2) WHERE rk = 1),
+r3 AS (SELECT a.u AS node, l.community, count(*) AS n
+       FROM adj a JOIN l2 l ON a.v = l.node GROUP BY a.u, l.community),
+l3 AS (SELECT node, community FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+             ORDER BY n DESC, community ASC) AS rk FROM r3) WHERE rk = 1)
+SELECT node, community FROM l3
+"""
+
+
+@register("lpa_communities", oracle=_LPA_ORACLE)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round deterministic LPA over the co-purchase graph."""
+    from flink_ms_spark.operators.graph import cooccurrence_edges, lpa_communities
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return lpa_communities(edges, n_iters=3)

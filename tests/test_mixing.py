@@ -260,3 +260,21 @@ def test_ppm_round_trip_real_decode(spark, docs):
         assert s.mean_gray == pytest.approx(
             (s.mean_r + s.mean_g + s.mean_b) / 3, abs=1e-5
         )
+
+
+def test_lpa_communities_refine_connected_components(spark):
+    from flink_ms_spark.operators.graph import lpa_communities
+
+    # two disjoint cliques + a pendant: LPA must never merge across
+    # components, and a clique converges to its min label
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3),      # clique A
+         (10, 11), (10, 12), (11, 12),  # clique B
+         (3, 4)],                     # pendant off A
+        ["u", "v"],
+    )
+    got = {r.node: r.community for r in lpa_communities(edges, n_iters=3).collect()}
+    comp_a = {got[n] for n in (1, 2, 3, 4)}
+    comp_b = {got[n] for n in (10, 11, 12)}
+    assert comp_a.isdisjoint(comp_b)
+    assert got[10] == got[11] == got[12]  # clique B converges
