@@ -135,6 +135,8 @@ HEADLINE = [
     "dsir_sample",
     "cluster_balanced_sample",
     "media_pixel_stats",
+    "lpa_communities",
+    "log_histogram",
 ]
 
 

@@ -631,3 +631,41 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return lpa_communities(edges, n_iters=3)
+
+
+# --------------------------------------------------------------------------
+# Batch twin of the streaming log-histogram quantile sketch
+# (streaming/quantiles.py): identical geometric binning, hash-checked.
+# IEEE double ln/division/floor are bit-deterministic across engines,
+# so the bin ids match exactly.
+
+_LOG_HIST_ORACLE = """
+WITH b AS (SELECT CAST(floor(ln(value) / ln(1.2)) AS INT) AS bin
+           FROM events WHERE value > 0)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(pow(1.2, bin + 0.5), 6) AS midpoint
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("log_histogram", oracle=_LOG_HIST_ORACLE)
+def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric (growth 1.2) value histogram of events.value — the
+    batch form of the streaming quantile sketch's state, one map-side-
+    combined keyed agg; any quantile is then a scan of ~hundreds of
+    bins with relative error ≤ growth − 1."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.streaming.quantiles import log_bin
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    b = ev.select(log_bin("value", 1.2).alias("bin"))
+    return (
+        b.groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "midpoint",
+            F.round(F.pow(F.lit(1.2), F.col("bin") + F.lit(0.5)), 6),
+        )
+        .orderBy("bin")
+    )
