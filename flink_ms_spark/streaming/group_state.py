@@ -8,7 +8,7 @@ GroupState object persisted in the engine's checkpointed state store —
 exactly the construct behind the reference's queryable model state
 (``keyBy(0).asQueryableState(...)``, als-ms ALSKafkaConsumer.java:84-92)
 and its SGD factor state (SGD.java:160-234 keeps per-key factors in
-open()/ValueState). Two operators:
+open()/ValueState). Three operators:
 
 - :func:`latest_per_key_changelog` — ValueState latest-wins upsert;
   each batch emits the changelog of touched keys (key, payload), which
@@ -18,6 +18,10 @@ open()/ValueState). Two operators:
   feature aggregation); state is three numbers per key, emission is
   the updated rows per batch. The additive state is what makes restart
   recovery exact: the checkpoint holds (n, s), not raw history.
+- :func:`session_close_state` — timer-closed gap sessions (the Flink
+  ProcessFunction-with-timer pattern): emits a session when a larger
+  gap arrives OR when the engine's processing-time timer fires for a
+  key that simply went silent.
 
 Scale: state is partitioned by the groupBy key across executors and
 checkpointed incrementally; nothing driver-side. The changelog
@@ -118,5 +122,97 @@ def running_stats_state(
         .groupBy("key")
         .applyInPandasWithState(
             fn, STATS_SCHEMA, _STATS_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("session_start", DoubleType(), True),
+        StructField("session_end", DoubleType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start", DoubleType(), True),
+        StructField("last", DoubleType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def session_close_state(
+    stream: DataFrame,
+    gap_seconds: float = 1800.0,
+    key_col: str = "key",
+    ts_col: str = "ts_sec",
+) -> DataFrame:
+    """Timer-closed sessions — the Flink ProcessFunction-with-timer
+    pattern (reference family X: keyed state + timers) as
+    ``applyInPandasWithState`` with ``ProcessingTimeTimeout``: state
+    holds the open session (start, last, n); rows extend it or — on a
+    gap larger than ``gap_seconds`` between event times — close it and
+    emit the finished session. A key silent past the timeout has its
+    open session flushed by the engine's timer (the ``state.hasTimedOut``
+    branch), so sessions are emitted even when a key simply stops.
+
+    Emits ONLY closed sessions (append semantics): the difference from
+    the native ``session_window`` aggregation
+    (streaming/aggregates.py), which emits windows on watermark close
+    — this form is the custom-logic escape hatch (per-session enrich /
+    side effects) with the same bounded keyed state.
+    """
+    import pandas as pd_mod
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield pd_mod.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "session_start": [start],
+                        "session_end": [last],
+                        "n_events": [n],
+                    }
+                )
+            return
+        start, last, n = (state.get if state.exists else (None, None, 0))
+        closed = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(float(t) for t in pdf[ts_col])
+        for t in sorted(ts_all):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(int(gap_seconds * 1000))
+        if closed:
+            yield pd_mod.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        stream.selectExpr(f"{key_col} AS key", f"{ts_col} AS {ts_col}")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            _SESSION_STATE,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

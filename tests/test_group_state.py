@@ -34,7 +34,7 @@ def _append(path, rows):
     )
 
 
-def _run(stream_df, fn, ckpt, sink_rows):
+def _run(stream_df, fn, ckpt, sink_rows, mode="update"):
     out = fn(stream_df)
 
     def sink(batch_df, _bid):
@@ -42,12 +42,27 @@ def _run(stream_df, fn, ckpt, sink_rows):
 
     q = (
         out.writeStream.foreachBatch(sink)
-        .outputMode("update")
+        .outputMode(mode)
         .option("checkpointLocation", str(ckpt))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a query holding registered processing-time timers does not
+    # self-terminate under availableNow — poll until the pending data
+    # is drained, then stop explicitly
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if not q.isActive:
+            break
+        p = q.lastProgress
+        if p and p["numInputRows"] == 0 and not p["sources"][0].get("latestOffset") is None:
+            break
+        _time.sleep(1.0)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(30)
 
 
 def test_latest_per_key_state_survives_batches(spark, tmp_path):
@@ -94,3 +109,37 @@ def test_running_stats_state_accumulates_and_recovers(spark, tmp_path):
     _run(stream, running_stats_state, ckpt, rows2)
     got2 = {r.key: (r.n, r.total, r.mean) for r in rows2}
     assert got2 == {"u1": (3, 9.0, 3.0)}
+
+
+def test_session_close_state_emits_closed_sessions(spark, tmp_path):
+    from flink_ms_spark.streaming.group_state import session_close_state
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts_sec", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "sess_in"
+    # u1: two bursts separated by > gap → first session closes when the
+    # second burst arrives; u2: one burst (stays open, not emitted)
+    _append(src, [
+        {"key": "u1", "ts_sec": 0.0},
+        {"key": "u1", "ts_sec": 100.0},
+        {"key": "u1", "ts_sec": 5000.0},
+        {"key": "u2", "ts_sec": 10.0},
+    ])
+    rows = []
+    stream = spark.readStream.schema(schema).json(str(src))
+    _run(stream, lambda s: session_close_state(s, gap_seconds=1800.0),
+         tmp_path / "ckpt_sess", rows, mode="append")
+    got = [(r.key, r.session_start, r.session_end, r.n_events) for r in rows]
+    assert got == [("u1", 0.0, 100.0, 2)]
+
+    # next batch: another > gap jump for u1 closes the 5000.0 session
+    _append(src, [{"key": "u1", "ts_sec": 9000.0}])
+    rows2 = []
+    _run(stream, lambda s: session_close_state(s, gap_seconds=1800.0),
+         tmp_path / "ckpt_sess", rows2, mode="append")
+    got2 = [(r.key, r.session_start, r.session_end, r.n_events) for r in rows2]
+    assert got2 == [("u1", 5000.0, 5000.0, 1)]
