@@ -143,3 +143,44 @@ def test_session_close_state_emits_closed_sessions(spark, tmp_path):
          tmp_path / "ckpt_sess", rows2, mode="append")
     got2 = [(r.key, r.session_start, r.session_end, r.n_events) for r in rows2]
     assert got2 == [("u1", 5000.0, 5000.0, 1)]
+
+
+def test_dynamic_rules_take_effect_between_batches(spark, tmp_path):
+    import json as _json
+
+    from flink_ms_spark.streaming.rules import DynamicRuleFilter
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs_in"
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(_json.dumps({"banned_sources": ["spam"]}))
+
+    _append(src, [
+        {"doc_id": 1, "text": "good doc with plenty of words here", "source": "ok"},
+        {"doc_id": 2, "text": "junk", "source": "spam"},
+    ])
+    f = DynamicRuleFilter(str(rules_path))
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = f.run(stream, str(tmp_path / "ckpt_r"))
+    q.awaitTermination(120)
+    assert [r.doc_id for r in f.kept] == [1]
+
+    # hot-update the rules: now also require ≥ 5 tokens
+    rules_path.write_text(
+        _json.dumps({"banned_sources": ["spam"], "min_tokens": 5})
+    )
+    _append(src, [
+        {"doc_id": 3, "text": "too short", "source": "ok"},
+        {"doc_id": 4, "text": "this one has at least five tokens", "source": "ok"},
+    ])
+    f.kept.clear()
+    q = f.run(stream, str(tmp_path / "ckpt_r"))
+    q.awaitTermination(120)
+    assert [r.doc_id for r in f.kept] == [4]
+    assert f.applied_rules[-1]["min_tokens"] == 5  # new rules, no restart
