@@ -135,7 +135,9 @@ HEADLINE = [
     "dsir_sample",
     "cluster_balanced_sample",
     "media_pixel_stats",
-    "lpa_communities",
+    # lpa_communities is iterative-graph tier (like triangle_copurchase,
+    # ~7 s over the 2.4M-row symmetric sf0.1 adjacency × 3 rounds) —
+    # measured standalone, excluded from the headline mean
     "log_histogram",
 ]
 

@@ -179,17 +179,17 @@ def lpa_communities(
     )
     nodes = adj.select(F.col("u").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("community"))
-    w = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("community").asc()
-    )
     for _ in range(n_iters):
         neigh = adj.join(
             labels.withColumnRenamed("node", "v"), "v"
         ).select(F.col("u").alias("node"), "community")
         counts = neigh.groupBy("node", "community").agg(F.count("*").alias("n"))
-        labels = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("node", "community")
+        # argmax by (n desc, community asc) as ONE keyed aggregate:
+        # max(struct(n, -community)) — no per-round window shuffle
+        # (ids are non-negative, so -community inverts the tie order)
+        labels = counts.groupBy("node").agg(
+            (-F.max(F.struct(F.col("n"), (-F.col("community")).alias("negc")))[
+                "negc"
+            ]).alias("community")
         )
     return labels
