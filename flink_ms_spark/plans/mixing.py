@@ -669,3 +669,92 @@ def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Newman modularity of the LPA communities: Q = Σ_c [e_c/m − (d_c/2m)²]
+# = (Σe_c)/m − (Σd_c²)/(4m²) — both numerator sums are exact integers,
+# so the one double expression at the end is bit-deterministic.
+
+_MODULARITY_ORACLE = """
+WITH m0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS nd FROM lineitem),
+e AS (SELECT DISTINCT a.nd AS u, b.nd AS v
+      FROM m0 a JOIN m0 b USING (g) WHERE a.nd < b.nd),
+adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS community FROM adj),
+r1 AS (SELECT a.u AS node, l.community, count(*) AS n
+       FROM adj a JOIN l0 l ON a.v = l.node GROUP BY a.u, l.community),
+l1 AS (SELECT node, community FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+             ORDER BY n DESC, community ASC) AS rk FROM r1) WHERE rk = 1),
+r2 AS (SELECT a.u AS node, l.community, count(*) AS n
+       FROM adj a JOIN l1 l ON a.v = l.node GROUP BY a.u, l.community),
+l2 AS (SELECT node, community FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+             ORDER BY n DESC, community ASC) AS rk FROM r2) WHERE rk = 1),
+r3 AS (SELECT a.u AS node, l.community, count(*) AS n
+       FROM adj a JOIN l2 l ON a.v = l.node GROUP BY a.u, l.community),
+l3 AS (SELECT node, community FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+             ORDER BY n DESC, community ASC) AS rk FROM r3) WHERE rk = 1),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+inte AS (SELECT CAST(count(*) AS BIGINT) AS e_int
+         FROM e JOIN l3 a ON e.u = a.node JOIN l3 b ON e.v = b.node
+         WHERE a.community = b.community),
+deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY u),
+dc AS (SELECT l3.community, CAST(sum(deg.d) AS BIGINT) AS d_c
+       FROM l3 JOIN deg USING (node) GROUP BY l3.community),
+agg AS (SELECT CAST(count(*) AS INT) AS n_communities,
+               CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc2
+        FROM dc)
+SELECT agg.n_communities, mm.m,
+  round(CAST(inte.e_int AS DOUBLE) / mm.m
+        - CAST(agg.sum_dc2 AS DOUBLE) / (4.0 * mm.m * mm.m), 6) AS modularity
+FROM agg, mm, inte
+"""
+
+
+@register("community_modularity", oracle=_MODULARITY_ORACLE)
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round LPA partition of the
+    co-purchase graph — the community-quality metric, computed from
+    exact integer edge/degree sums (one double division at the end)."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.graph import cooccurrence_edges, lpa_communities
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+    labels = lpa_communities(edges, n_iters=3).persist()
+    la = labels.withColumnRenamed("node", "u").withColumnRenamed(
+        "community", "cu"
+    )
+    lb = labels.withColumnRenamed("node", "v").withColumnRenamed(
+        "community", "cv"
+    )
+    m = edges.count()
+    e_int = (
+        edges.join(la, "u").join(lb, "v").where(F.col("cu") == F.col("cv")).count()
+    )
+    adj = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    dc = (
+        labels.join(deg, labels["node"] == deg["u"])
+        .groupBy("community")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    agg = dc.agg(
+        F.count("*").cast("int").alias("n_communities"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"),
+    )
+    return agg.select(
+        "n_communities",
+        F.lit(m).cast("long").alias("m"),
+        F.round(
+            F.lit(float(e_int)) / F.lit(m)
+            - F.col("sum_dc2").cast("double") / (F.lit(4.0) * m * m),
+            6,
+        ).alias("modularity"),
+    )
