@@ -278,3 +278,33 @@ def test_lpa_communities_refine_connected_components(spark):
     comp_b = {got[n] for n in (10, 11, 12)}
     assert comp_a.isdisjoint(comp_b)
     assert got[10] == got[11] == got[12]  # clique B converges
+
+
+def test_versioned_corpus_snapshot_and_diff(spark, docs, tmp_path):
+    from flink_ms_spark.sources.versioned import (
+        corpus_diff,
+        read_version,
+        write_version,
+    )
+
+    root = str(tmp_path / "corpus_versions")
+    base = docs.select("doc_id", "text").limit(50)
+    v1 = write_version(base, root)
+    assert v1 == 1
+
+    # v2: drop one doc, change one, add one
+    changed = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.concat(F.col("text"), F.lit(" EDITED")))
+        .otherwise(F.col("text")),
+    ).where(F.col("doc_id") != 2)
+    extra = spark.createDataFrame([(999_999, "brand new doc")], ["doc_id", "text"])
+    v2 = write_version(changed.unionByName(extra), root)
+    assert v2 == 2
+
+    # old snapshot still readable and intact (snapshot isolation)
+    assert read_version(spark, root, 1).count() == 50
+    assert read_version(spark, root).count() == 50  # 50 - 1 + 1
+
+    d = {(r.change, r.doc_id) for r in corpus_diff(spark, root, 1, 2).collect()}
+    assert d == {("changed", 1), ("removed", 2), ("added", 999_999)}
