@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -70,3 +71,43 @@ def test_latest_per_key_matches_pandas(spark, rows):
     pdf = pd.DataFrame(data, columns=["key", "_ord", "payload"])
     want = pdf.sort_values("_ord").groupby("key")["payload"].last().to_dict()
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    st.floats(min_value=0.05, max_value=2.0),
+)
+def test_unimax_waterfill_matches_iterative_reference(spark, token_counts, frac):
+    """The closed-form first-crossing waterfill must equal the
+    textbook iterative algorithm (alloc_i = min(cap_i,
+    remaining/(langs left)), ascending) for arbitrary language
+    profiles and budget fractions."""
+    from flink_ms_spark.operators.mixing import unimax_alloc
+
+    rows = [(f"l{i:02d}", "w " * n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    got = {
+        r.lang: r.alloc_tokens
+        for r in unimax_alloc(df, budget_frac=frac, max_epochs=2).collect()
+    }
+
+    budget = round(sum(token_counts) * frac)
+    caps = sorted(
+        ((n * 2, f"l{i:02d}") for i, n in enumerate(token_counts)),
+    )
+    want, remaining = {}, float(budget)
+    for j, (cap, lang) in enumerate(caps):
+        share = remaining / (len(caps) - j)
+        a = min(float(cap), share)
+        want[lang] = a
+        remaining -= a
+    for lang, a in want.items():
+        assert got[lang] == pytest.approx(round(a, 4), abs=1e-3), (
+            lang, token_counts, frac,
+        )
