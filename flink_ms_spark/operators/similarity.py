@@ -1074,3 +1074,60 @@ def ivf_pq_topk(
     return cands.withColumn("rk", F.row_number().over(w).cast("int")).where(
         F.col("rk") <= k
     )
+
+
+def sq8_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar 8-bit quantization (SQ8 — the FAISS ScalarQuantizer
+    baseline): per-dimension min/max over the corpus define a linear
+    byte code per component (4× smaller than float32, no training
+    loop, unlike PQ). Returns per-vector
+    (vec_id, code_sum, n_dims, recon_mse):
+    code_sum = Σ codes (the checksum an index build would verify),
+    recon_mse = mean squared dequantization error, rounded 6 dp.
+
+    Scale: ONE corpus aggregate produces the 2·d-number stats vector
+    (model-scale, collected + broadcast as literals — the codebook
+    pattern); encoding is a codegen'd zip_with map, no Python, no
+    second shuffle. The same stats vector serves every future encode
+    (memoizable per fixture like the PQ codebooks).
+    """
+    d = df.select(F.posexplode(vec_col).alias("i", "x")).groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    stats = {int(r["i"]): (float(r["mn"]), float(r["mx"])) for r in d.collect()}
+    dims = sorted(stats)
+    mins = F.array(*[F.lit(stats[i][0]).cast("double") for i in dims])
+    spans = F.array(
+        *[
+            F.lit(
+                (stats[i][1] - stats[i][0]) if stats[i][1] > stats[i][0] else 1.0
+            ).cast("double")
+            for i in dims
+        ]
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = F.zip_with(
+        F.zip_with(v, mins, lambda x, mn: x - mn),
+        spans,
+        lambda cent, sp: F.round(cent / sp * F.lit(255.0), 0),
+    )
+    deq = F.zip_with(
+        F.zip_with(codes, spans, lambda c, sp: c / F.lit(255.0) * sp),
+        mins,
+        lambda scaled, mn: scaled + mn,
+    )
+    err2 = F.zip_with(v, deq, lambda x, y: (x - y) * (x - y))
+    return df.select(
+        id_col,
+        F.aggregate(codes, F.lit(0.0), lambda a, c: a + c)
+        .cast("long")
+        .alias("code_sum"),
+        F.size(vec_col).alias("n_dims"),
+        F.round(
+            F.aggregate(err2, F.lit(0.0), lambda a, e: a + e) / F.size(vec_col), 6
+        ).alias("recon_mse"),
+    )

@@ -758,3 +758,43 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization — per-dim min/max linear byte codes, the
+# training-free embedding compression baseline (4× vs float32). Fully
+# SQL-expressible: the oracle recomputes stats and codes itself.
+# Sequential list_sum/fold on both engines keeps float order identical.
+
+_SQ8_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+dimn AS (SELECT max(len(v)) AS nd FROM e),
+flat AS (SELECT e.vec_id, i.i, e.v[i.i] AS x
+         FROM e, dimn, unnest(generate_series(1, dimn.nd)) AS i(i)),
+st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM flat GROUP BY i),
+arrs AS (SELECT list(mn ORDER BY i) AS mns,
+                list(CASE WHEN mx > mn THEN mx - mn
+                     ELSE CAST(1.0 AS DOUBLE) END ORDER BY i) AS sps
+         FROM st),
+codes AS (SELECT e.vec_id, e.v, a.mns, a.sps,
+            list_transform(generate_series(1, len(e.v)),
+              i -> round((e.v[i] - a.mns[i]) / a.sps[i] * 255.0, 0)) AS code
+          FROM e CROSS JOIN arrs a)
+SELECT vec_id,
+  CAST(list_sum(code) AS BIGINT) AS code_sum,
+  CAST(len(v) AS INT) AS n_dims,
+  round(list_sum(list_transform(generate_series(1, len(v)),
+      i -> (code[i] / 255.0 * sps[i] + mns[i] - v[i])
+         * (code[i] / 255.0 * sps[i] + mns[i] - v[i]))) / len(v), 6)
+    AS recon_mse
+FROM codes
+"""
+
+
+@register("sq8_stats", oracle=_SQ8_ORACLE)
+def q_sq8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 byte-code checksums + reconstruction MSE per vector."""
+    from flink_ms_spark.operators.similarity import sq8_stats
+
+    return sq8_stats(load_table(spark, sf_dir, "embeddings"))

@@ -308,3 +308,20 @@ def test_versioned_corpus_snapshot_and_diff(spark, docs, tmp_path):
 
     d = {(r.change, r.doc_id) for r in corpus_diff(spark, root, 1, 2).collect()}
     assert d == {("changed", 1), ("removed", 2), ("added", 999_999)}
+
+
+def test_sq8_reconstruction_error_bounded(spark, emb):
+    from flink_ms_spark.operators.similarity import sq8_stats
+
+    rows = sq8_stats(emb).collect()
+    assert len(rows) == emb.count()
+    # SQ8 per-component error ≤ span/510 (half a code step); the MSE
+    # bound follows from the largest observed span
+    import numpy as np
+
+    m = np.array([list(r.embedding) for r in emb.collect()], dtype=np.float64)
+    spans = m.max(axis=0) - m.min(axis=0)
+    worst = float(((spans / 510.0) ** 2).max())
+    for r in rows:
+        assert r.n_dims == m.shape[1]
+        assert 0.0 <= r.recon_mse <= worst + 1e-9
