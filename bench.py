@@ -139,6 +139,8 @@ HEADLINE = [
     # ~7 s over the 2.4M-row symmetric sf0.1 adjacency × 3 rounds) —
     # measured standalone, excluded from the headline mean
     "log_histogram",
+    "sq8_stats",
+    "pca_scores",
 ]
 
 

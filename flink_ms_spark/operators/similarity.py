@@ -1131,3 +1131,61 @@ def sq8_stats(
             F.aggregate(err2, F.lit(0.0), lambda a, e: a + e) / F.size(vec_col), 6
         ).alias("recon_mse"),
     )
+
+
+def pca_from_parquet(
+    sf_dir: str, k: int = 3, vec_col: str = "embedding", table: str = "embeddings"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k PCA (mean, components (k, d)) trained driver-side from
+    the fixture parquet — the codebook pattern (train once on a
+    sample, broadcast a model-scale artifact; at 100 TB the input is
+    a sample either way). Deterministic: numpy ``eigh`` on the exact
+    covariance, descending eigenvalues, sign fixed so each
+    component's largest-|entry| is positive. Memoized per fixture."""
+    import pyarrow.parquet as pq
+
+    key = ("pca", _fixture_key(sf_dir, table), k, vec_col)
+    if key not in _TRAINER_CACHE:
+        t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=[vec_col])
+        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        mean = m.mean(axis=0)
+        c = m - mean
+        cov = (c.T @ c) / (len(m) - 1)
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1][:k]
+        comps = vecs[:, order].T  # (k, d)
+        for j in range(len(comps)):
+            i_max = int(np.abs(comps[j]).argmax())
+            if comps[j, i_max] < 0:
+                comps[j] = -comps[j]
+        _TRAINER_CACHE[key] = (mean, comps)
+    return _TRAINER_CACHE[key]
+
+
+def pca_scores(
+    df: DataFrame,
+    mean: np.ndarray,
+    comps: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, pc1..pck): project each vector onto the PCA
+    components — the 2/3-D map of the embedding corpus (cluster
+    inspection, outlier hunting). The projection is a codegen'd
+    SEQUENTIAL fold per component (matches DuckDB's list_sum order
+    exactly, so 6-dp rounding is cross-engine-safe — a numpy matmul's
+    pairwise summation would not be), with mean/components inlined as
+    literals: map-only, no shuffle, no Python in the row path."""
+    mean_arr = F.array(*[F.lit(float(x)).cast("double") for x in mean])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(v, mean_arr, lambda x, mu: x - mu)
+    cols = [F.col(id_col)]
+    for j, comp in enumerate(comps, start=1):
+        comp_arr = F.array(*[F.lit(float(x)).cast("double") for x in comp])
+        prods = F.zip_with(centered, comp_arr, lambda x, w: x * w)
+        cols.append(
+            F.round(
+                F.aggregate(prods, F.lit(0.0), lambda a, p: a + p), 6
+            ).alias(f"pc{j}")
+        )
+    return df.select(*cols)

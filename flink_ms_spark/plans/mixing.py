@@ -798,3 +798,42 @@ def q_sq8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ms_spark.operators.similarity import sq8_stats
 
     return sq8_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# PCA projection — top-3 principal scores per vector; mean/components
+# are fixture-trained literals shared with the oracle, which computes
+# the same sequential dot products in DuckDB list math.
+
+
+def _pca_oracle() -> str:
+    from flink_ms_spark.operators.similarity import pca_from_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    mean, comps = pca_from_parquet(sf_dir, k=3)
+    mean_lit = "[" + ", ".join(repr(float(x)) for x in mean) + "]::DOUBLE[]"
+    comp_lits = [
+        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]" for c in comps
+    ]
+    pc_exprs = ",\n  ".join(
+        f"round(list_sum(list_transform(generate_series(1, len(v)),"
+        f" i -> (v[i] - ({mean_lit})[i]) * ({comp_lits[j]})[i])), 6) AS pc{j + 1}"
+        for j in range(len(comp_lits))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT vec_id,
+  {pc_exprs}
+FROM e
+"""
+
+
+@register("pca_scores", oracle=_pca_oracle)
+def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 PCA scores per embedding (corpus map / outlier view)."""
+    from flink_ms_spark.operators.similarity import pca_from_parquet, pca_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps = pca_from_parquet(sf_dir, k=3)
+    return pca_scores(emb, mean, comps)

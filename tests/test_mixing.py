@@ -325,3 +325,20 @@ def test_sq8_reconstruction_error_bounded(spark, emb):
     for r in rows:
         assert r.n_dims == m.shape[1]
         assert 0.0 <= r.recon_mse <= worst + 1e-9
+
+
+def test_pca_scores_capture_variance_order(spark, emb):
+    import numpy as np
+
+    from flink_ms_spark.operators.similarity import pca_from_parquet, pca_scores
+
+    mean, comps = pca_from_parquet(SF, k=3)
+    rows = pca_scores(emb, mean, comps).collect()
+    assert len(rows) == emb.count()
+    pcs = np.array([[r.pc1, r.pc2, r.pc3] for r in rows])
+    v = pcs.var(axis=0)
+    # principal scores must come out in descending variance order and
+    # be (near-)uncorrelated
+    assert v[0] >= v[1] >= v[2] > 0
+    c = np.corrcoef(pcs.T)
+    assert abs(c[0, 1]) < 0.05 and abs(c[0, 2]) < 0.05
