@@ -1,0 +1,104 @@
+"""Streaming ingestion capstone — the end-to-end corpus intake job a
+training-data platform actually runs, composed from the round-2
+streaming pieces in ONE foreachBatch pipeline per micro-batch:
+
+1. **rules gate** (streaming/rules.py): hot-tunable bans/thresholds,
+   re-read per batch (broadcast-state pattern — no restart);
+2. **drift score** (streaming/drift.py): hashed-token KL vs the
+   baseline profile; a drifted batch is quarantined to
+   ``<out>/_quarantine`` instead of landing in training shards.
+   The default threshold (4 bits) sits above the small-batch
+   estimation bias — E[KL] of an in-distribution sample is ≈
+   (B−1)/(2N·ln2) bits for N tokens over B buckets, so tiny batches
+   score ~1-2 bits without any drift; production picks the threshold
+   from that formula at its batch size;
+3. **near-dup suppression** (streaming/neardup.py): incremental LSH
+   registry — drop docs colliding with the already-ingested corpus;
+4. **curated write**: survivors land in ``batch_id=N`` parquet dirs
+   (idempotent dynamic overwrite per batch → exactly-once under
+   replay), and a running JSON manifest tracks per-batch decisions.
+
+Scale: each stage is the one-shuffle/keyed-join shape documented in
+its module; the composition adds no new shuffles — the batch flows
+gate → score → registry probe → write, with only the LSH probe
+shuffling. State = the band registry (hash-partitioned parquet) +
+the drift baseline (model-scale vector), nothing driver-resident but
+the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from flink_ms_spark.streaming.drift import bucket_profile, kl_bits
+from flink_ms_spark.streaming.neardup import StreamingNearDup
+from flink_ms_spark.streaming.rules import apply_rules, load_rules
+
+
+class StreamingIngest:
+    def __init__(
+        self,
+        out_dir: str,
+        baseline: dict[int, int],
+        rules_path: str | None = None,
+        drift_threshold_bits: float = 4.0,
+    ):
+        self.out_dir = out_dir
+        self.baseline = baseline
+        self.rules_path = rules_path
+        self.drift_threshold_bits = drift_threshold_bits
+        self.neardup = StreamingNearDup(os.path.join(out_dir, "_registry"))
+        self.manifest: list[dict] = []
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        n_in = batch_df.count()
+        rules = load_rules(self.rules_path) if self.rules_path else {}
+        gated = apply_rules(batch_df, rules) if rules else batch_df
+        n_gated = gated.count()
+
+        kl = kl_bits(bucket_profile(gated), self.baseline)
+        if kl > self.drift_threshold_bits:
+            # quarantine the whole batch: distribution shift means the
+            # content shouldn't silently join the training corpus
+            gated.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, "_quarantine", f"batch_id={batch_id}")
+            )
+            entry = {
+                "batch_id": batch_id,
+                "n_in": n_in,
+                "n_gated": n_gated,
+                "kl_bits": round(kl, 4),
+                "action": "quarantined",
+                "n_written": 0,
+            }
+        else:
+            kept = self.neardup.process_batch(gated, batch_id)
+            out = os.path.join(self.out_dir, f"batch_id={batch_id}")
+            kept.write.mode("overwrite").parquet(out)
+            n_written = kept.sparkSession.read.parquet(out).count()
+            entry = {
+                "batch_id": batch_id,
+                "n_in": n_in,
+                "n_gated": n_gated,
+                "kl_bits": round(kl, 4),
+                "action": "ingested",
+                "n_written": n_written,
+            }
+        self.manifest.append(entry)
+        tmp = os.path.join(self.out_dir, "_manifest.json.tmp")
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, os.path.join(self.out_dir, "_manifest.json"))
+
+    def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -158,3 +158,57 @@ def test_drift_monitor_flags_distribution_shift(spark, tmp_path):
     q = mon.run(stream, str(tmp_path / "ckpt_drift"))
     q.awaitTermination(120)
     assert len(mon.scores) == 1 and mon.scores[0][3] is True
+
+
+def test_streaming_ingest_capstone_end_to_end(spark, tmp_path):
+    import json as _json
+
+    from flink_ms_spark.sources.tables import load_table
+    from flink_ms_spark.streaming.drift import bucket_profile
+    from flink_ms_spark.streaming.ingest import StreamingIngest
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    baseline = bucket_profile(docs)
+    texts = [r.text for r in docs.limit(4).collect()]
+
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(_json.dumps({"banned_sources": ["spam"]}))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    src = tmp_path / "ingest_in"
+    # batch 0: in-distribution docs; one banned, one duplicate pair
+    _write_docs(src, [
+        {"doc_id": 1, "text": texts[0], "source": "ok"},
+        {"doc_id": 2, "text": texts[0], "source": "ok"},     # near-dup of 1
+        {"doc_id": 3, "text": texts[1], "source": "spam"},   # banned
+        {"doc_id": 4, "text": texts[2], "source": "ok"},
+    ])
+    out = tmp_path / "corpus"
+    ing = StreamingIngest(str(out), baseline, rules_path=str(rules_path),
+                          drift_threshold_bits=4.0)
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = ing.run(stream, str(tmp_path / "ckpt_ing"))
+    q.awaitTermination(120)
+
+    m = _json.loads((out / "_manifest.json").read_text())
+    assert m[0]["action"] == "ingested"
+    assert m[0]["n_in"] == 4 and m[0]["n_gated"] == 3 and m[0]["n_written"] == 2
+    kept = spark.read.parquet(str(out / "batch_id=0"))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
+
+    # batch 1: alien content → quarantined, nothing enters the corpus
+    _write_docs(src, [
+        {"doc_id": 10, "text": "zzalien " * 60, "source": "ok"},
+    ])
+    q = ing.run(stream, str(tmp_path / "ckpt_ing"))
+    q.awaitTermination(120)
+    m = _json.loads((out / "_manifest.json").read_text())
+    assert m[1]["action"] == "quarantined"
+    assert (out / "_quarantine" / "batch_id=1").exists()
+    assert not (out / "batch_id=1").exists()
