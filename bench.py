@@ -141,6 +141,8 @@ HEADLINE = [
     "log_histogram",
     "sq8_stats",
     "pca_scores",
+    "vocab_coverage",
+    "dedup_report",
 ]
 
 

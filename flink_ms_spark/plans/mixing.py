@@ -837,3 +837,115 @@ def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comps = pca_from_parquet(sf_dir, k=3)
     return pca_scores(emb, mean, comps)
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocab coverage: share of token INSTANCES covered by the
+# global top-100 vocabulary (ties → token asc) — the OOV-rate metric
+# that decides a vocab size before training a tokenizer.
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+vocab AS (SELECT t FROM (SELECT t, row_number() OVER
+            (ORDER BY n DESC, t ASC) AS rk FROM freq) WHERE rk <= 100),
+j AS (SELECT tok.lang, tok.t, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok LEFT JOIN vocab v ON tok.t = v.t)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM j GROUP BY lang
+"""
+
+
+@register("vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate under the global top-100 vocab.
+
+    Scale: one token-count aggregate (vocab-sized), top-V via one
+    window over the vocab table (model-scale), broadcast semi-join
+    back onto the token stream — the corpus pays one explode + one
+    keyed agg."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.text import tokens
+    from flink_ms_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "lang", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("n"))
+    w = Window.partitionBy().orderBy(F.col("n").desc(), F.col("t").asc())
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 100)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "t", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).alias("n_oov"),
+        F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus dedup report: the one-row summary a curation run logs —
+# exact-dup volume and LSH near-dup candidate volume side by side.
+
+_DEDUP_REPORT_ORACLE = """
+WITH norm AS (SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+       FROM documents),
+g AS (SELECT h, count(*) AS n FROM norm GROUP BY h),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n) - count(*) AS BIGINT) AS n_exact_dups
+       FROM g),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id, unnest(t) AS s FROM toks),
+x AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x
+      FROM sh),
+hs AS (SELECT doc_id, hh.h, ((2 * hh.h + 1) * x + hh.h * 12345 + 7) % 2147483647 AS mh
+       FROM x CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh),
+sigs AS (SELECT doc_id, h, min(mh) AS minhash FROM hs GROUP BY doc_id, h),
+bands AS (SELECT doc_id, h AS band, CAST(minhash AS VARCHAR) AS band_sig
+          FROM sigs),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b USING (band, band_sig)
+          WHERE a.doc_id < b.doc_id)
+SELECT ex.n_docs, ex.n_exact_dups,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_neardup_pairs,
+       round(ex.n_exact_dups / CAST(ex.n_docs AS DOUBLE), 6) AS exact_dup_rate
+FROM ex
+"""
+
+
+@register("dedup_report", oracle=_DEDUP_REPORT_ORACLE)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup summary: doc count, exact-dup volume and
+    rate, LSH (4-hash, 1-row bands) near-dup candidate pair volume."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.dedup import (
+        exact_dedup_groups,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from flink_ms_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    groups = exact_dedup_groups(docs)
+    n_exact_dups = int(
+        groups.agg(F.sum(F.col("n_dups") - 1)).collect()[0][0] or 0
+    )
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=1)
+    n_pairs = lsh_candidate_pairs(sigs, band_size=1).count()
+    return spark.createDataFrame(
+        [(n_docs, n_exact_dups, n_pairs, round(n_exact_dups / n_docs, 6))],
+        "n_docs BIGINT, n_exact_dups BIGINT, n_neardup_pairs BIGINT, exact_dup_rate DOUBLE",
+    )
