@@ -36,9 +36,11 @@ def _append(path, rows):
 
 def _run(stream_df, fn, ckpt, sink_rows, mode="update"):
     out = fn(stream_df)
+    n_batches = [0]
 
     def sink(batch_df, _bid):
         sink_rows.extend(batch_df.collect())
+        n_batches[0] += 1
 
     q = (
         out.writeStream.foreachBatch(sink)
@@ -48,18 +50,17 @@ def _run(stream_df, fn, ckpt, sink_rows, mode="update"):
         .start()
     )
     # a query holding registered processing-time timers does not
-    # self-terminate under availableNow — poll until the pending data
-    # is drained, then stop explicitly
+    # self-terminate under availableNow — poll until the data batch
+    # AND a trailing (possibly timer-only) batch have both run, then
+    # stop explicitly. Counting sink invocations avoids the race of
+    # reading lastProgress before the data batch executes.
     import time as _time
 
     deadline = _time.time() + 120
     while _time.time() < deadline:
-        if not q.isActive:
+        if not q.isActive or n_batches[0] >= 2:
             break
-        p = q.lastProgress
-        if p and p["numInputRows"] == 0 and not p["sources"][0].get("latestOffset") is None:
-            break
-        _time.sleep(1.0)
+        _time.sleep(0.5)
     if q.isActive:
         q.stop()
         q.awaitTermination(30)
