@@ -98,6 +98,69 @@ def minhash_signatures(
     )
 
 
+def _band_signatures(
+    signatures: DataFrame, id_col: str, band_size: int
+) -> DataFrame:
+    """(id, band INT, band_sig STRING) — one row per doc per band."""
+    if band_size == 1:
+        # one-row bands: the band signature IS the row — skip the
+        # per-(doc, band) collect_list shuffle entirely
+        return signatures.select(
+            F.col(id_col),
+            (F.col("h") - 1).cast("int").alias("band"),
+            F.concat_ws(":", "h", "minhash").alias("band_sig"),
+        )
+    banded = signatures.withColumn(
+        "band", ((F.col("h") - 1) / F.lit(band_size)).cast("int")
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.concat_ws(":", "h", "minhash")))
+        ).alias("band_sig")
+    )
+
+
+def lsh_pair_stats(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    band_size: int = 2,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """One-row LSH candidate-volume summary — the curation-log form of
+    near-dup discovery: ``n_neardup_pairs`` (distinct a<b candidate
+    pairs from buckets within the size cap) and
+    ``n_dropped_bucket_docs`` (total doc slots in buckets *over* the
+    cap, reported instead of expanded).
+
+    Scale: this is the shape a 100 TB curation run logs. Oversize
+    buckets (boilerplate/template text) are never pair-expanded — a
+    10^6-doc bucket would mean 10^12 pairs — their volume is summed
+    from the bucket *sizes* (one BIGINT per bucket) and surfaced so the
+    report stays honest about what was skipped. Kept-bucket expansion
+    is bounded by ``max_bucket_size``² per bucket, and both counts come
+    out of the same banding scan: one groupBy(band, band_sig) shuffle,
+    then a distinct over capped pairs."""
+    band_sigs = _band_signatures(signatures, id_col, band_size)
+    buckets = (
+        band_sigs.groupBy("band", "band_sig")
+        .agg(F.collect_set(id_col).alias("_ids"))
+        .select("_ids", F.size("_ids").alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    dropped = buckets.where(F.col("n") > max_bucket_size).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_dropped_bucket_docs")
+    )
+    pairs = (
+        buckets.where(F.col("n") <= max_bucket_size)
+        .select(F.explode("_ids").alias("a"), F.col("_ids"))
+        .select("a", F.explode("_ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_neardup_pairs"))
+    )
+    return pairs.crossJoin(dropped)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -116,23 +179,7 @@ def lsh_candidate_pairs(
     of 10^6 docs means 10^12 pairs; those docs belong in exact-dedup's
     digest groups, not in pairwise verification).
     """
-    if band_size == 1:
-        # one-row bands: the band signature IS the row — skip the
-        # per-(doc, band) collect_list shuffle entirely
-        band_sigs = signatures.select(
-            F.col(id_col),
-            (F.col("h") - 1).cast("int").alias("band"),
-            F.concat_ws(":", "h", "minhash").alias("band_sig"),
-        )
-    else:
-        banded = signatures.withColumn(
-            "band", ((F.col("h") - 1) / F.lit(band_size)).cast("int")
-        )
-        band_sigs = banded.groupBy(id_col, "band").agg(
-            F.concat_ws(
-                ",", F.array_sort(F.collect_list(F.concat_ws(":", "h", "minhash")))
-            ).alias("band_sig")
-        )
+    band_sigs = _band_signatures(signatures, id_col, band_size)
     # Pair expansion WITHOUT a self-join: one groupBy collects each
     # bucket's member set, then a double explode emits the a<b pairs
     # in place. Same result as the bucket self-join but one shuffle

@@ -59,12 +59,13 @@ def dsir_weights(
     raw = the whole corpus. High weight ⇒ doc looks like the target
     domain ⇒ keep when resampling.
 
-    Returns (doc_id, n_tokens, logw) with logw rounded to 4 dp.
+    Returns (doc_id, n_tokens, logw) with logw rounded to 6 dp.
 
     Cross-engine determinism: per-bucket log-ratios are rounded to
     6 dp FIRST, then the per-doc weight is a sum of (count × ratio)
-    products of already-rounded values — the final 4-dp round has
-    ~1e-10 of slack against float summation-order drift.
+    products of already-rounded values — the final 6-dp round (the
+    value the DuckDB oracle pins) has ~1e-10 of slack against float
+    summation-order drift because the summands are scaled integers.
 
     Scale: token explode is a narrow map (fan_out restores
     parallelism on single-split inputs); bucket counting is two

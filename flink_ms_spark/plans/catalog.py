@@ -22,61 +22,68 @@ import flink_ms_spark.plans.reference  # noqa: F401
 import flink_ms_spark.plans.relational  # noqa: F401
 from flink_ms_spark.plans.registry import ORACLE_SQL, QUERIES  # noqa: F401
 
-# First-50 window layout: 18 reference + 25 north-star + 7 analytics.
+# Round-3 window rotation: rounds 1-2 drove 68 distinct queries through
+# the external gate (the §2 reference-parity and north-star sets — all
+# green in CORRECTNESS_r01/r02). This round front-loads 50 queries that
+# have NEVER had a driver row: the round-2 mixing/curation/BPE/ANN/graph
+# families plus the relational tail. The previously-checked sets stay
+# protected by the identical local gate (tests/test_oracle.py, all 178).
 _PRIORITY = [
-    # SURVEY.md §2 reference-parity queries (plans/reference.py)
-    "parse_ratings",
-    "model_codec",
-    "posexplode_1idx",
-    "bucket",
-    "upper_trim",
-    "mean_vector",
-    "range_concat",
-    "union_all",
-    "als_dot",
-    "svm_predict",
-    "svm_predict_ranged",
-    "mse",
-    "sgd_step",
-    "nan_guard",
-    "coldstart",
-    "serving_upsert",
-    "als_topn_recs",
-    "sgd_step_sequential",
-    # North-star LLM-pipeline set (plans/northstar.py)
-    "dedup_exact",
-    "doc_fingerprint",
-    "text_quality",
-    "lang_id",
-    "minhash",
-    "lsh_pairs",
-    "simhash",
-    "ngram_jaccard",
-    "allpairs_jaccard",
-    "cosine_topk",
-    "ivf_topk",
-    "embedding_neardup",
-    "semantic_dedup",
-    "media_meta",
-    "ivf_kmeans_topk",
-    "media_features",
-    "pii_scrub",
-    "token_stats",
-    "rolling_fingerprints",
-    "media_frames",
-    "corpus_curation",
-    "dup_clusters",
-    "dup_canonical",
-    "vocab_topk",
-    "tfidf_top_terms",
-    # Analytics queries whose oracles were HUGEINT-repaired (round 2)
-    "peak_concurrency",
-    "mad_outliers",
-    "behavior_entropy",
-    "new_vs_returning",
-    "power_user_share",
-    "order_backlog",
-    "brand_return_rate",
+    # Mixing / sampling / curriculum (plans/mixing.py)
+    "dsir_weights",
+    "dsir_sample",
+    "unimax_alloc",
+    "temperature_mix",
+    "interleave_sources",
+    "seeded_shuffle",
+    "quality_curriculum",
+    "domain_mix",
+    "split_assign",
+    "stratified_sample",
+    "weighted_sample",
+    "fixed_k_sample",
+    "cluster_balanced_sample",
+    "training_mix_manifest",
+    "shard_manifest",
+    # Tokenizer / LM / text-statistics (operators/text.py families)
+    "bpe_merges",
+    "bpe_encode",
+    "char_trigram_lm",
+    "lm_score",
+    "perplexity_buckets",
+    "vocab_coverage",
+    "repetition_stats",
+    "duplicated_ngrams",
+    "char_entropy",
+    "compression_ratio",
+    "doc_chunks",
+    "sequence_packing",
+    "decontaminate",
+    # Dedup / similarity round-2 tier
+    "dedup_report",
+    "substring_dedup",
+    "lev_neardup",
+    "hyperplane_neardup",
+    "pq_topk",
+    "ivf_pq_topk",
+    "sq8_stats",
+    "pca_scores",
+    "kmeans_doc_clusters",
+    "knn_classify",
+    "bm25_search",
+    "rrf_fusion",
+    # Graph / multimodal round-2 tier
+    "lpa_communities",
+    "community_modularity",
+    "media_pixel_stats",
+    # Relational / TPC-H tail never driver-checked
+    "sessionize",
+    "tpch_q5",
+    "retention_cohorts",
+    "pricing_summary",
+    "region_revenue",
+    "rolling_7d_revenue",
+    "window_rank",
 ]
 
 

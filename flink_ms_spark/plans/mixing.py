@@ -914,12 +914,19 @@ hs AS (SELECT doc_id, hh.h, ((2 * hh.h + 1) * x + hh.h * 12345 + 7) % 2147483647
 sigs AS (SELECT doc_id, h, min(mh) AS minhash FROM hs GROUP BY doc_id, h),
 bands AS (SELECT doc_id, h AS band, CAST(minhash AS VARCHAR) AS band_sig
           FROM sigs),
+bsz AS (SELECT band, band_sig, count(*) AS n FROM bands
+        GROUP BY band, band_sig HAVING count(*) >= 2),
+dropped AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dropped_bucket_docs
+            FROM bsz WHERE n > 64),
+keep AS (SELECT band, band_sig FROM bsz WHERE n <= 64),
 pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
           FROM bands a JOIN bands b USING (band, band_sig)
+          JOIN keep USING (band, band_sig)
           WHERE a.doc_id < b.doc_id)
 SELECT ex.n_docs, ex.n_exact_dups,
        (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_neardup_pairs,
-       round(ex.n_exact_dups / CAST(ex.n_docs AS DOUBLE), 6) AS exact_dup_rate
+       round(ex.n_exact_dups / CAST(ex.n_docs AS DOUBLE), 6) AS exact_dup_rate,
+       (SELECT n_dropped_bucket_docs FROM dropped) AS n_dropped_bucket_docs
 FROM ex
 """
 
@@ -927,25 +934,38 @@ FROM ex
 @register("dedup_report", oracle=_DEDUP_REPORT_ORACLE)
 def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus dedup summary: doc count, exact-dup volume and
-    rate, LSH (4-hash, 1-row bands) near-dup candidate pair volume."""
+    rate, LSH (4-hash, 1-row bands) near-dup candidate pair volume
+    from buckets within the 64-doc cap, and the doc-slot volume of the
+    oversize buckets that were dropped instead of pair-expanded.
+
+    Scale: ONE composed lazy job (the driver's collect is the only
+    action). The LSH stage goes through ``lsh_pair_stats`` with
+    ``max_bucket_size=64`` — a hot boilerplate bucket is counted, never
+    expanded, so the quadratic blow-up a web-scale template bucket
+    would cause (10^6 docs → 10^12 pairs) cannot happen; its volume is
+    reported in ``n_dropped_bucket_docs``, the honest curation-log
+    form."""
     from pyspark.sql import functions as F
 
     from flink_ms_spark.operators.dedup import (
         exact_dedup_groups,
-        lsh_candidate_pairs,
+        lsh_pair_stats,
         minhash_signatures,
     )
-    from flink_ms_spark.operators.text import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    groups = exact_dedup_groups(docs)
-    n_exact_dups = int(
-        groups.agg(F.sum(F.col("n_dups") - 1)).collect()[0][0] or 0
+    ex = exact_dedup_groups(docs).agg(
+        F.sum("n_dups").cast("long").alias("n_docs"),
+        (F.sum("n_dups") - F.count("*")).cast("long").alias("n_exact_dups"),
     )
     sigs = minhash_signatures(docs, num_hashes=4, shingle_n=1)
-    n_pairs = lsh_candidate_pairs(sigs, band_size=1).count()
-    return spark.createDataFrame(
-        [(n_docs, n_exact_dups, n_pairs, round(n_exact_dups / n_docs, 6))],
-        "n_docs BIGINT, n_exact_dups BIGINT, n_neardup_pairs BIGINT, exact_dup_rate DOUBLE",
+    stats = lsh_pair_stats(sigs, band_size=1, max_bucket_size=64)
+    return ex.crossJoin(stats).select(
+        "n_docs",
+        "n_exact_dups",
+        "n_neardup_pairs",
+        F.round(F.col("n_exact_dups") / F.col("n_docs"), 6).alias(
+            "exact_dup_rate"
+        ),
+        "n_dropped_bucket_docs",
     )

@@ -44,9 +44,24 @@ def _read_manifest(root: str) -> dict:
 
 def write_version(df: DataFrame, root: str, id_col: str = "doc_id") -> int:
     """Write the next snapshot; returns the new version number.
-    Data first, manifest flip last (atomic os.replace)."""
+    Data first, manifest flip last (atomic os.replace).
+
+    Torn-write recovery: a crash after the data write but before the
+    manifest flip leaves an orphan ``v=N`` dir that is in no reader's
+    view (the manifest still says N−1). Version allocation skips past
+    any such orphan dirs — never reusing their numbers — so a torn
+    write is self-healing instead of failing ``errorifexists`` forever.
+    """
     man = _read_manifest(root)
     v = int(man["latest"]) + 1
+    if os.path.isdir(root):
+        orphans = [
+            int(d[2:])
+            for d in os.listdir(root)
+            if d.startswith("v=") and d[2:].isdigit()
+        ]
+        if orphans:
+            v = max(v, max(orphans) + 1)
     path = os.path.join(root, f"v={v}")
     df.write.mode("errorifexists").parquet(path)
     n = df.sparkSession.read.parquet(path).count()

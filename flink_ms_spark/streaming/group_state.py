@@ -192,7 +192,10 @@ def session_close_state(
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # late event across micro-batches (t may precede the
+                # stored `last`): extend the count but never rewind the
+                # session bounds, or subsequent gap comparisons corrupt
+                start, last, n = min(start, t), max(last, t), n + 1
         state.update((start, last, n))
         state.setTimeoutDuration(int(gap_seconds * 1000))
         if closed:

@@ -16,13 +16,16 @@ per micro-batch
      with a registered keeper is a near-dup of the seen corpus and is
      dropped (first-seen-wins, matching batch ``lsh`` + min-id
      canonical semantics);
-  3. within-batch collisions resolve to the min doc_id before the
-     registry check (a batch is just a small corpus);
+  3. within-batch collisions resolve by connected-component min-id
+     (the same transitive semantics as batch ``dup_canonical``) before
+     the registry check — a batch is just a small corpus;
   4. append the surviving docs' signatures to the registry.
 
 Scale story: the registry is the ONLY state and it is a plain
 hash-partitioned parquet table keyed by band_sig — size is
-O(corpus × bands), compactable offline, and the per-batch probe is a
+O(corpus × bands) between compactions; :func:`compact_registry`
+collapses it to one keeper row per bucket without changing any
+drop decision. The per-batch probe is a
 keyed join (broadcast when the batch is small, shuffle-on-band_sig
 when not), never a scan of the corpus text. Exactly-once: the
 registry append and the survivor sink both key on (batch_id, doc_id)
@@ -70,6 +73,62 @@ def band_signatures(
     )
 
 
+def compact_registry(
+    spark: SparkSession, registry_dir: str, target_files: int = 8
+) -> dict:
+    """Compact the bucket registry: dedupe to the min-doc_id keeper per
+    (band, band_sig) and collapse the O(#micro-batches) per-batch
+    partition layout into ONE ``batch_id=-1`` partition of
+    ``target_files`` files.
+
+    Why this is the real fix for the O(corpus × bands) growth hazard:
+    survivors' buckets are disjoint by construction (any bucket-sharing
+    doc is dropped before registering), so the ROW count is already the
+    irreducible one-row-per-registered-band — what actually grows
+    without bound under streaming is the LAYOUT: every micro-batch
+    leaves its own ``batch_id=N`` partition dir with tiny files, so
+    after 10^6 micro-batches the probe's scan plans 10^6 partitions.
+    Rows can still duplicate per bucket when a replayed batch recreates
+    a partition the previous compaction folded away; the min-keeper
+    dedupe removes those.
+
+    Decision safety: the probe keys replay-exclusion on doc_id (a doc
+    never collides with its own rows), NOT on batch_id, so rewriting
+    every row to ``batch_id=-1`` changes no drop decision (pinned in
+    tests). Run from a maintenance window: write to a sibling dir, then
+    swap. Returns rows/files before and after.
+    """
+    import shutil
+
+    def _nfiles() -> int:
+        return sum(
+            1
+            for _, _, fs in os.walk(registry_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    reg = spark.read.parquet(registry_dir)
+    compacted = (
+        reg.groupBy("band", "band_sig")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "band", "band_sig", F.lit(-1).alias("batch_id"))
+        .repartition(target_files)
+    )
+    before, files_before = reg.count(), _nfiles()
+    tmp = registry_dir.rstrip("/") + ".compacting"
+    compacted.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    shutil.rmtree(registry_dir)
+    os.rename(tmp, registry_dir)
+    return {
+        "rows_before": before,
+        "rows_after": after,
+        "files_before": files_before,
+        "files_after": _nfiles(),
+    }
+
+
 class StreamingNearDup:
     """Incremental LSH near-dup filter over a document stream.
 
@@ -113,30 +172,45 @@ class StreamingNearDup:
             shingle_n=self.shingle_n,
         ).persist()
 
-        # within-batch: min doc id per colliding bucket survives
-        batch_keeper = bands.groupBy("band", "band_sig").agg(
-            F.min("doc_id").alias("keeper")
+        # within-batch: connected-component min-id — the SAME semantics
+        # as batch dup_canonical (operators/cluster.py), so collision
+        # chains resolve transitively: with A<D<E where D~E and E~A,
+        # only A survives (a per-bucket-keeper rule would also keep D).
+        # The bipartite CC never expands bucket pairs; a micro-batch's
+        # multi-member working set takes the driver union-find fast
+        # path in one job.
+        from flink_ms_spark.operators.cluster import (
+            connected_components_bipartite,
         )
-        in_batch_kept = bands.join(
-            batch_keeper, ["band", "band_sig"]
-        ).groupBy("doc_id").agg(
-            # a doc survives the within-batch round iff it is the
-            # keeper of EVERY bucket it occupies (any lost bucket
-            # means it collided with an earlier doc)
-            F.min((F.col("doc_id") == F.col("keeper")).cast("int")).alias("ok")
-        ).where(F.col("ok") == 1).select("doc_id")
+
+        membership = bands.select(
+            "doc_id", F.concat_ws("|", "band", "band_sig").alias("bucket")
+        )
+        comps = connected_components_bipartite(
+            membership, node_col="doc_id", group_col="bucket"
+        )
+        losers = comps.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        in_batch_kept = (
+            bands.select("doc_id").distinct().join(losers, "doc_id", "left_anti")
+        )
 
         reg = self._registry(spark)
         if reg is not None:
             # registry probe: any shared (band, band_sig) with an
-            # already-registered keeper ⇒ near-dup of the seen corpus.
-            # Replay safety: ignore rows this same batch_id wrote.
-            seen = reg.where(F.col("batch_id") != batch_id).select(
-                "band", "band_sig"
-            ).distinct()
+            # already-registered keeper of a DIFFERENT doc ⇒ near-dup
+            # of the seen corpus. Replay safety is keyed on doc_id, not
+            # batch_id: a replayed batch finds its own survivors' rows
+            # (same doc_id) and does not self-collide — which also
+            # frees compaction to rewrite batch partitions freely.
+            seen = reg.select(
+                "band", "band_sig", F.col("doc_id").alias("_reg_doc")
+            )
             collide = (
                 bands.join(in_batch_kept, "doc_id")
                 .join(seen, ["band", "band_sig"])
+                .where(F.col("doc_id") != F.col("_reg_doc"))
                 .select("doc_id")
                 .distinct()
             )
@@ -144,6 +218,10 @@ class StreamingNearDup:
         else:
             kept_ids = in_batch_kept
 
+        # materialize BEFORE the registry write below: kept_ids reads
+        # the registry files the write replaces (same-table overwrite),
+        # and the returned survivors must not lazily re-read them
+        kept_ids = kept_ids.localCheckpoint(eager=True)
         survivors = batch_df.join(kept_ids, "doc_id")
         # register survivors' signatures, idempotently per batch
         (
@@ -156,6 +234,10 @@ class StreamingNearDup:
         )
         bands.unpersist()
         return survivors
+
+    def compact(self, spark: SparkSession) -> dict:
+        """See :func:`compact_registry`."""
+        return compact_registry(spark, self.registry_dir)
 
     def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
         def sink(batch_df: DataFrame, batch_id: int) -> None:

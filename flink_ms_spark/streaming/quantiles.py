@@ -61,18 +61,61 @@ class StreamingQuantiles:
     tests/test_streaming.py).
     """
 
-    def __init__(self, value_col: str = "value", growth: float = 1.2):
+    def __init__(
+        self,
+        value_col: str = "value",
+        growth: float = 1.2,
+        state_path: str | None = None,
+        spark=None,
+    ):
+        """``state_path`` makes the sketch RESTART-SAFE: each batch's
+        bin-count summary is written to ``state_path/batch_id=N``
+        (idempotent per-batch overwrite, the streaming/ingest.py
+        pattern), and construction rebuilds ``bins`` by summing the
+        persisted table — so a restarted query whose checkpoint skips
+        already-committed batches still folds their counts. Without it
+        the sketch is DRIVER-LIFETIME ONLY and must not be paired with
+        a checkpointed stream (``run()`` enforces this)."""
         self.value_col = value_col
         self.growth = growth
         self.bins: dict[int, int] = {}
         self._nonpos = 0
+        self.state_path = state_path
+        if state_path is not None:
+            if spark is None:
+                raise ValueError("state_path requires the spark session")
+            self._rebuild(spark)
 
-    def update(self, batch_df: DataFrame, _batch_id: int | None = None) -> None:
-        for r in bin_counts(batch_df, self.value_col, self.growth).collect():
+    def _rebuild(self, spark) -> None:
+        """Fold the persisted per-batch summaries back into memory —
+        additive merge, so order (and batch replay, which overwrites
+        its own partition) cannot double-count."""
+        try:
+            persisted = spark.read.parquet(self.state_path)
+        except Exception:  # first run: nothing persisted yet
+            return
+        for r in persisted.groupBy("bin").agg(F.sum("n").alias("n")).collect():
             if r["bin"] == -(2**31):
                 self._nonpos += r["n"]
             else:
                 self.bins[r["bin"]] = self.bins.get(r["bin"], 0) + r["n"]
+
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        summary = bin_counts(batch_df, self.value_col, self.growth)
+        if self.state_path is not None and batch_id is not None:
+            import os
+
+            summary = summary.cache()
+            summary.write.mode("overwrite").parquet(
+                os.path.join(self.state_path, f"batch_id={batch_id}")
+            )
+        for r in summary.collect():
+            if r["bin"] == -(2**31):
+                self._nonpos += r["n"]
+            else:
+                self.bins[r["bin"]] = self.bins.get(r["bin"], 0) + r["n"]
+        if self.state_path is not None and batch_id is not None:
+            summary.unpersist()
 
     def merge(self, other: "StreamingQuantiles") -> None:
         """Additive merge of two sketches (shard → global rollup)."""
@@ -99,6 +142,16 @@ class StreamingQuantiles:
         return None
 
     def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
+        if self.state_path is None:
+            # A checkpoint skips committed batches on restart, but this
+            # sketch's counts live in driver memory — replaying into a
+            # fresh instance would silently truncate the stream. Only a
+            # persisted-state sketch may checkpoint.
+            raise ValueError(
+                "checkpointed run() requires state_path= (restart-safe "
+                "persisted bins); driver-lifetime sketches must drive "
+                "foreachBatch without a checkpoint"
+            )
         writer = (
             stream_df.writeStream.foreachBatch(self.update)
             .option("checkpointLocation", checkpoint)

@@ -309,6 +309,15 @@ def test_versioned_corpus_snapshot_and_diff(spark, docs, tmp_path):
     d = {(r.change, r.doc_id) for r in corpus_diff(spark, root, 1, 2).collect()}
     assert d == {("changed", 1), ("removed", 2), ("added", 999_999)}
 
+    # torn-write recovery: simulate a crash that wrote v=3 data but
+    # never flipped the manifest — the next write must skip past the
+    # orphan instead of failing errorifexists forever
+    base.limit(3).write.parquet(str(tmp_path / "corpus_versions" / "v=3"))
+    v4 = write_version(base.limit(5), root)
+    assert v4 == 4
+    assert read_version(spark, root).count() == 5
+    assert read_version(spark, root, 2).count() == 50  # older intact
+
 
 def test_sq8_reconstruction_error_bounded(spark, emb):
     from flink_ms_spark.operators.similarity import sq8_stats

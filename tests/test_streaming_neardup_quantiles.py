@@ -72,6 +72,79 @@ def test_streaming_neardup_batch_replay_is_idempotent(spark, tmp_path):
     assert first == again == {1}
 
 
+def test_within_batch_collision_chain_uses_cc_min_id(spark, tmp_path, monkeypatch):
+    """Chain A<D<E with D~E and E~A (but no D~A bucket): connected-
+    component min-id keeps only A. A per-bucket-keeper rule would also
+    keep D — the round-2 advisory divergence."""
+    import flink_ms_spark.streaming.neardup as nd_mod
+
+    crafted = spark.createDataFrame(
+        [(1, 0, "sigX"), (5, 0, "sigX"),   # E=5 collides with A=1
+         (3, 1, "sigY"), (5, 1, "sigY")],  # D=3 collides with E only
+        "doc_id LONG, band INT, band_sig STRING",
+    )
+    monkeypatch.setattr(nd_mod, "band_signatures", lambda df, **kw: crafted)
+    nd = nd_mod.StreamingNearDup(str(tmp_path / "reg_chain"))
+    docs = spark.createDataFrame([(1, "a"), (3, "d"), (5, "e")], DOC_SCHEMA)
+    kept = {r.doc_id for r in nd.process_batch(docs, 0).collect()}
+    assert kept == {1}
+
+
+def test_registry_compaction_preserves_decisions(spark, tmp_path):
+    from flink_ms_spark.streaming.neardup import StreamingNearDup, compact_registry
+
+    reg = str(tmp_path / "reg_c")
+    nd = StreamingNearDup(reg)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content about spark partition shuffles here"
+    # duplicate-heavy batches: every batch re-offers the base text
+    nd.process_batch(
+        spark.createDataFrame([(1, base), (2, uniq)], DOC_SCHEMA), 0
+    ).collect()
+    for b in range(1, 4):
+        nd.process_batch(
+            spark.createDataFrame(
+                [(10 * b, base), (10 * b + 1, f"novel text number {b} " * 5)],
+                DOC_SCHEMA,
+            ),
+            b,
+        ).collect()
+
+    before = spark.read.parquet(reg).count()
+    stats = compact_registry(spark, reg, target_files=1)
+    # rows are already one-per-registered-band (survivor buckets are
+    # disjoint by construction); the growth hazard is the per-batch
+    # partition layout, which must collapse
+    assert stats["rows_before"] == before == stats["rows_after"]
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1
+
+    # decisions identical after compaction: a REPLAY of batch 1 keeps
+    # exactly its original survivor (its own rows do not self-collide),
+    # and a new batch still drops dups of registered content
+    replay = {
+        r.doc_id
+        for r in nd.process_batch(
+            spark.createDataFrame(
+                [(10, base), (11, "novel text number 1 " * 5)], DOC_SCHEMA
+            ),
+            1,
+        ).collect()
+    }
+    assert replay == {11}
+    kept = {
+        r.doc_id
+        for r in nd.process_batch(
+            spark.createDataFrame(
+                [(100, base), (101, "entirely fresh closing content here")],
+                DOC_SCHEMA,
+            ),
+            99,
+        ).collect()
+    }
+    assert kept == {101}
+
+
 def test_band_signatures_match_batch_minhash_math(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
@@ -113,13 +186,41 @@ def test_quantile_sketch_streaming_run(spark, tmp_path):
         "\n".join(json.dumps({"value": float(v)}) for v in range(1, 101))
     )
     schema = T.StructType([T.StructField("value", T.DoubleType())])
-    sk = StreamingQuantiles(growth=1.1)
+    state = str(tmp_path / "q_state")
+    ckpt = str(tmp_path / "ckpt_q")
+    sk = StreamingQuantiles(growth=1.1, state_path=state, spark=spark)
     stream = spark.readStream.schema(schema).json(str(src))
-    q = sk.run(stream, str(tmp_path / "ckpt_q"))
+    q = sk.run(stream, ckpt)
     q.awaitTermination(120)
     assert sk.count == 100
     est = sk.quantile(0.5)
     assert abs(est - 50.0) / 50.0 <= 0.1 + 1e-9
+
+    # RESTART: a fresh instance rebuilds bins from the persisted
+    # per-batch summaries, so the checkpoint skipping batch 0 does not
+    # truncate the sketch (the round-2 advisory finding).
+    (src / "b.json").write_text(
+        "\n".join(json.dumps({"value": float(v)}) for v in range(101, 201))
+    )
+    sk2 = StreamingQuantiles(growth=1.1, state_path=state, spark=spark)
+    assert sk2.count == 100  # recovered without replaying batch 0
+    q = sk2.run(spark.readStream.schema(schema).json(str(src)), ckpt)
+    q.awaitTermination(120)
+    assert sk2.count == 200
+    est = sk2.quantile(0.5)
+    assert abs(est - 100.0) / 100.0 <= 0.1 + 1e-9
+
+
+def test_quantile_sketch_refuses_checkpoint_without_state(spark, tmp_path):
+    """Driver-lifetime sketches must not pair with a checkpoint — the
+    restart would silently skip committed batches into empty bins."""
+    schema = T.StructType([T.StructField("value", T.DoubleType())])
+    src = tmp_path / "vals_nockpt"
+    src.mkdir()
+    sk = StreamingQuantiles()
+    stream = spark.readStream.schema(schema).json(str(src))
+    with pytest.raises(ValueError, match="state_path"):
+        sk.run(stream, str(tmp_path / "ckpt_bad"))
 
 
 def test_bin_counts_is_single_keyed_agg(spark):
