@@ -60,19 +60,39 @@ class DynamicRuleFilter:
     """foreachBatch loop that re-reads ``rules_path`` every batch and
     applies the CURRENT rules — rule updates between batches take
     effect without restarting the query (the broadcast-state
-    contract). Survivors accumulate in ``kept`` for inspection; a
-    production job writes them to its sink inside the same batch.
+    contract).
+
+    Default usage is DISTRIBUTED: survivors are written to
+    ``out_dir/batch_id=N`` parquet inside the same batch (idempotent
+    per-batch overwrite — the streaming/ingest.py exactly-once
+    pattern), so surviving rows never cross the driver. ``debug_keep``
+    additionally collects survivors into :attr:`kept` for inspection in
+    tests/small jobs; without ``out_dir`` that driver-side collect is
+    the only sink and the filter is inspection-only by construction.
     """
 
-    def __init__(self, rules_path: str):
+    def __init__(
+        self,
+        rules_path: str,
+        out_dir: str | None = None,
+        debug_keep: bool = False,
+    ):
         self.rules_path = rules_path
+        self.out_dir = out_dir
+        self.debug_keep = debug_keep or out_dir is None
         self.kept: list = []
         self.applied_rules: list[dict] = []
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         rules = load_rules(self.rules_path)
         self.applied_rules.append(rules)
-        self.kept.extend(apply_rules(batch_df, rules).collect())
+        survivors = apply_rules(batch_df, rules)
+        if self.out_dir is not None:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"batch_id={batch_id}")
+            )
+        if self.debug_keep:
+            self.kept.extend(survivors.collect())
 
     def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
         writer = (

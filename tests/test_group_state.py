@@ -166,11 +166,14 @@ def test_dynamic_rules_take_effect_between_batches(spark, tmp_path):
         {"doc_id": 1, "text": "good doc with plenty of words here", "source": "ok"},
         {"doc_id": 2, "text": "junk", "source": "spam"},
     ])
-    f = DynamicRuleFilter(str(rules_path))
+    out = tmp_path / "survivors"
+    f = DynamicRuleFilter(str(rules_path), out_dir=str(out))
     stream = spark.readStream.schema(schema).json(str(src))
     q = f.run(stream, str(tmp_path / "ckpt_r"))
     q.awaitTermination(120)
-    assert [r.doc_id for r in f.kept] == [1]
+    # default usage is the distributed sink, not a driver list
+    assert f.kept == []
+    assert [r.doc_id for r in spark.read.parquet(str(out)).collect()] == [1]
 
     # hot-update the rules: now also require ≥ 5 tokens
     rules_path.write_text(
@@ -180,8 +183,18 @@ def test_dynamic_rules_take_effect_between_batches(spark, tmp_path):
         {"doc_id": 3, "text": "too short", "source": "ok"},
         {"doc_id": 4, "text": "this one has at least five tokens", "source": "ok"},
     ])
-    f.kept.clear()
     q = f.run(stream, str(tmp_path / "ckpt_r"))
     q.awaitTermination(120)
-    assert [r.doc_id for r in f.kept] == [4]
     assert f.applied_rules[-1]["min_tokens"] == 5  # new rules, no restart
+    surv = spark.read.parquet(str(out))
+    assert sorted(r.doc_id for r in surv.collect()) == [1, 4]
+    assert (out / "batch_id=1").exists()
+
+    # opt-in debug mode still collects for inspection
+    _append(src, [
+        {"doc_id": 5, "text": "another doc with at least five tokens", "source": "ok"},
+    ])
+    dbg = DynamicRuleFilter(str(rules_path), out_dir=str(out), debug_keep=True)
+    q = dbg.run(stream, str(tmp_path / "ckpt_r"))
+    q.awaitTermination(120)
+    assert [r.doc_id for r in dbg.kept] == [5]

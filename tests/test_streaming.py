@@ -217,30 +217,32 @@ def test_transform_with_state_latest_per_key(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    _write(
-        str(src / "a.json"),
-        [
-            '{"key": "1-U", "ord": 1, "payload": "1.0;2.0"}',
-            '{"key": "2-U", "ord": 2, "payload": "3.0;4.0"}',
-            '{"key": "1-U", "ord": 3, "payload": "9.0;9.0"}',
-        ],
-    )
-    run()
-    assert changelog == {"1-U": "9.0;9.0", "2-U": "3.0;4.0"}
+    try:
+        _write(
+            str(src / "a.json"),
+            [
+                '{"key": "1-U", "ord": 1, "payload": "1.0;2.0"}',
+                '{"key": "2-U", "ord": 2, "payload": "3.0;4.0"}',
+                '{"key": "1-U", "ord": 3, "payload": "9.0;9.0"}',
+            ],
+        )
+        run()
+        assert changelog == {"1-U": "9.0;9.0", "2-U": "3.0;4.0"}
 
-    # second batch: within-batch last-write-wins by ord, other keys keep
-    # their checkpointed state
-    _write(
-        str(src / "b.json"),
-        [
-            '{"key": "2-U", "ord": 5, "payload": "7.0;7.0"}',
-            '{"key": "2-U", "ord": 4, "payload": "ignored"}',
-        ],
-    )
-    run()
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    assert changelog["2-U"] == "7.0;7.0"
-    assert changelog["1-U"] == "9.0;9.0"
+        # second batch: within-batch last-write-wins by ord, other keys
+        # keep their checkpointed state
+        _write(
+            str(src / "b.json"),
+            [
+                '{"key": "2-U", "ord": 5, "payload": "7.0;7.0"}',
+                '{"key": "2-U", "ord": 4, "payload": "ignored"}',
+            ],
+        )
+        run()
+        assert changelog["2-U"] == "7.0;7.0"
+        assert changelog["1-U"] == "9.0;9.0"
+    finally:  # shared session: never leak the provider to other tests
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 def test_kafka_source_builder(spark):
