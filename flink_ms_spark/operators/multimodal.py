@@ -292,6 +292,50 @@ def synthesize_ppm_media(
     return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
+def synthesize_png_media(
+    docs: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL PNG images: the SAME md5 pixel stream as
+    :func:`synthesize_ppm_media`, encoded as 8-bit RGB PNG — so a
+    mixed-format corpus has format-independent expected stats (one
+    oracle covers both lanes). Map-only Arrow batches."""
+    import hashlib
+
+    import numpy as np
+
+    w, h = width, height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = w * h * 3
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                seed = hashlib.md5(str(int(did)).encode()).digest()
+                px = (seed * (need // len(seed) + 1))[:need]
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("mime", T.StringType(), False),
+        ]
+    )
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
+
+
 def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
     """Pure-numpy P6 decoder: returns (width, height, HxWx3 uint8
     array). Raises ValueError on non-P6 payloads (callers route other
@@ -304,6 +348,130 @@ def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
     w, h = (int(x) for x in parts[1].split())
     px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
     return w, h, px.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Second REAL format with zero new dependencies: PNG (8-bit RGB,
+# non-interlaced) decoded with stdlib zlib + struct. Together with the
+# P6 lane this gives the media family two real formats routed by
+# payload signature through one stats operator.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(px: "object") -> bytes:
+    """Minimal stdlib PNG encoder: 8-bit RGB, non-interlaced, filter 0
+    rows. ``px`` is an HxWx3 uint8 array. Used by the synthetic media
+    generator so the decode lane exercises REAL PNG bytes."""
+    import struct
+    import zlib
+
+    h, w, _ = px.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, "object"]:
+    """Stdlib PNG decoder (zlib + struct, no Pillow): 8-bit RGB
+    (color type 2), non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth — each pinned in tests against
+    hand-filtered fixtures). Returns (width, height, HxWx3 uint8).
+    Raises ValueError on any other PNG flavor or a non-PNG payload.
+
+    The per-row unfilter loop is Python-side but bounded by image size,
+    and runs inside Arrow-batched mapInPandas workers — payload bytes
+    never cross the driver."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type != 2 or interlace != 0:
+        raise ValueError(
+            "only 8-bit RGB non-interlaced PNG supported "
+            f"(got depth={bit_depth} color={color_type} interlace={interlace})"
+        )
+    raw = zlib.decompress(idat)
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _row in range(h):
+        ftype = raw[i]
+        i += 1
+        line = bytearray(raw[i : i + stride])
+        i += stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = line
+    return w, h, np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, "object"]:
+    """Signature-routed REAL decode: P6 PPM (numpy) or 8-bit RGB PNG
+    (stdlib zlib). Raises ValueError for formats neither kernel covers
+    (JPEG stays behind the optional Pillow kernel)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
+    raise ValueError("unsupported image payload (not P6 PPM or RGB PNG)")
 
 
 PIXEL_STATS_SCHEMA = T.StructType(
@@ -319,8 +487,9 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
-def ppm_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL decode → per-image channel statistics. Channel means are
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL decode → per-image channel statistics, signature-routed
+    across both real formats (P6 PPM and RGB PNG). Channel means are
     exact rationals (integer pixel sums / pixel count) rounded to 6 dp
     — bit-reproducible by any independent decoder, which is what lets
     the DuckDB oracle replay this with embedded expected rows."""
@@ -333,7 +502,7 @@ def ppm_pixel_stats(media: DataFrame) -> DataFrame:
             out = {k: [] for k in ("media_id", "width", "height",
                                    "mean_r", "mean_g", "mean_b", "mean_gray")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, px = decode_ppm(bytes(payload))
+                w, h, px = decode_image(bytes(payload))
                 sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n = w * h
                 mr, mg, mb = (round(float(s) / n, 6) for s in sums)
@@ -350,3 +519,8 @@ def ppm_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=PIXEL_STATS_SCHEMA
     )
+
+
+#: Back-compat alias: the stats operator now routes PPM + PNG by
+#: payload signature; the original name predates the PNG kernel.
+ppm_pixel_stats = pixel_stats

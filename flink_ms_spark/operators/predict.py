@@ -54,6 +54,104 @@ def predict_als_batch(
     )
 
 
+def recommend_topn(
+    users: DataFrame,
+    items: DataFrame,
+    n: int = 3,
+    blocked: bool = False,
+    n_user_blocks: int = 8,
+    n_item_blocks: int = 8,
+) -> DataFrame:
+    """recommendForAllUsers-shape serving: score every user against
+    every item, keep each user's top ``n`` by (rounded score desc,
+    item_id asc). Inputs: ``users`` (user_id INT, factors
+    ARRAY<DOUBLE>), ``items`` (item_id INT, factors ARRAY<DOUBLE>).
+    Output: (user_id, item_id, prediction DOUBLE round-6, rk INT).
+
+    Two physical forms, identical results (pinned in
+    tests/test_predict_blocked.py):
+
+    - ``blocked=False`` (default): broadcast the item factors and score
+      user×items per user row — right when items fit in a broadcast
+      (the reference's serving reality: model ≪ traffic).
+    - ``blocked=True``: the model-scale form — NO cartesian. Users are
+      hash-assigned to ``n_user_blocks`` and replicated across item
+      blocks via a map-side explode (and vice versa), then each
+      (user_block, item_block) cell does ONE numpy matmul inside a
+      cogrouped applyInPandas, emitting only its per-user top-n
+      candidates. The global top-n window then ranks
+      users × n_item_blocks × n candidate rows — a shuffle of the
+      candidate set, never of the users×items cross product. Each
+      side's replication factor is the OTHER side's block count, so
+      total shuffled volume is |U|·B_i + |I|·B_u rows — the standard
+      block-matrix trade (MLlib's recommendForAll blockify does the
+      same); tune block counts so one cell's U·Iᵀ fits executor memory.
+    """
+    from pyspark.sql.window import Window
+
+    if not blocked:
+        # rename factor columns first: both sides often derive from the
+        # same model frame, and a self-crossJoin on one lineage makes
+        # bare `factors` ambiguous
+        uf = users.select("user_id", F.col("factors").alias("_uf"))
+        itf = items.select("item_id", F.col("factors").alias("_if"))
+        scored = uf.crossJoin(F.broadcast(itf)).select(
+            "user_id",
+            "item_id",
+            F.round(dot("_uf", "_if"), 6).alias("prediction"),
+        )
+    else:
+        import numpy as np
+        import pandas as pd
+
+        u = users.withColumn(
+            "_ub", F.pmod(F.col("user_id"), n_user_blocks).cast("int")
+        ).withColumn(
+            "_ib", F.explode(F.sequence(F.lit(0), F.lit(n_item_blocks - 1)))
+        )
+        i = items.withColumn(
+            "_ib", F.pmod(F.col("item_id"), n_item_blocks).cast("int")
+        ).withColumn(
+            "_ub", F.explode(F.sequence(F.lit(0), F.lit(n_user_blocks - 1)))
+        )
+
+        def score_cell(u_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
+            cols = ["user_id", "item_id", "prediction"]
+            if u_pdf.empty or i_pdf.empty:
+                return pd.DataFrame(columns=cols)
+            mat_u = np.asarray(u_pdf["factors"].tolist(), dtype=np.float64)
+            mat_i = np.asarray(i_pdf["factors"].tolist(), dtype=np.float64)
+            s = mat_u @ mat_i.T
+            # HALF_UP round-6 — the same contract as F.round, applied
+            # BEFORE the in-cell top-n so block-local pruning breaks
+            # ties exactly like the global (rounded desc, item_id) rank
+            r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+            item_ids = i_pdf["item_id"].to_numpy()
+            out = []
+            for row in range(r.shape[0]):
+                keep = np.lexsort((item_ids, -r[row]))[:n]
+                uid = int(u_pdf["user_id"].iloc[row])
+                out.extend(
+                    (uid, int(item_ids[j]), float(r[row, j])) for j in keep
+                )
+            return pd.DataFrame(out, columns=cols)
+
+        scored = (
+            u.groupBy("_ub", "_ib")
+            .cogroup(i.groupBy("_ub", "_ib"))
+            .applyInPandas(
+                score_cell, "user_id INT, item_id INT, prediction DOUBLE"
+            )
+        )
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("prediction").desc(), F.col("item_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= n
+    )
+
+
 def predict_svm_batch(
     query_features: DataFrame,
     model: DataFrame,

@@ -583,15 +583,24 @@ def _ppm_stats_oracle() -> str:
 
 @register("media_pixel_stats", oracle=_ppm_stats_oracle)
 def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fully REAL media lane: P6 PPM images generated per doc, decoded
-    with the pure-numpy kernel, per-image channel means."""
+    """Fully REAL media lane over a MIXED-format corpus: even doc_ids
+    get P6 PPM payloads (pure-numpy decode), odd doc_ids get 8-bit RGB
+    PNG payloads (stdlib zlib decode) — both carrying the same md5
+    pixel stream, so one format-independent oracle covers the union.
+    The stats operator routes per payload signature."""
+    from pyspark.sql import functions as F
+
     from flink_ms_spark.operators.multimodal import (
-        ppm_pixel_stats,
+        pixel_stats,
+        synthesize_png_media,
         synthesize_ppm_media,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return ppm_pixel_stats(synthesize_ppm_media(docs))
+    media = synthesize_ppm_media(
+        docs.where(F.col("doc_id") % 2 == 0)
+    ).unionByName(synthesize_png_media(docs.where(F.col("doc_id") % 2 == 1)))
+    return pixel_stats(media)
 
 
 # --------------------------------------------------------------------------

@@ -529,29 +529,22 @@ SELECT user_id, item_id, prediction, rk FROM rk WHERE rk <= 3
 @register("als_topn_recs", oracle=_ALS_TOPN_ORACLE)
 def q_als_topn_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 item recommendations for the first 20 users — the
-    recommendForAllUsers serving shape: broadcast item factors, score
-    user×item blocks, per-user top-k window (the full-scale form
-    blocks both sides; the plan shape — broadcast + window — is the
-    same).
+    recommendForAllUsers serving shape via
+    ``operators.predict.recommend_topn``: broadcast form here (the
+    fixture model ≪ broadcast range); the SAME operator's
+    ``blocked=True`` path is the model-scale block×block matmul, pinned
+    result-equal and cartesian-free in tests/test_predict_blocked.py.
     """
-    from pyspark.sql.window import Window
+    from flink_ms_spark.operators.predict import recommend_topn
 
     model = synthetic_als_model(spark)
     users = model.where((F.col("kind") == "U") & (F.col("id").cast("int") < 20)).select(
-        F.col("id").cast("int").alias("user_id"), F.col("factors").alias("uf")
+        F.col("id").cast("int").alias("user_id"), "factors"
     )
     items = model.where(F.col("kind") == "I").select(
-        F.col("id").cast("int").alias("item_id"), F.col("factors").alias("if_")
+        F.col("id").cast("int").alias("item_id"), "factors"
     )
-    scored = users.crossJoin(F.broadcast(items)).select(
-        "user_id",
-        "item_id",
-        F.round(dot("uf", "if_"), 6).alias("prediction"),
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("prediction").desc(), F.col("item_id")
-    )
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    return recommend_topn(users, items, n=3)
 
 
 # --------------------------------------------------------------------------

@@ -24,14 +24,42 @@ from flink_ms_spark.schemas import FIXTURE_TABLES
 # columns are pinned; added columns are fine.
 _CRITICAL_TYPES: dict[str, dict[str, tuple[str, ...]]] = {
     "events": {
+        # event_id/user_id feed synthetic-model arithmetic (`% N`,
+        # `CAST(... AS INT)`) — a float/decimal drift breaks truncation
+        "event_id": ("bigint", "int"),
+        "user_id": ("bigint", "int"),
         "ts": ("timestamp", "timestamp_ntz"),
+        "event_type": ("string",),
         "value": ("double",),
         "props": ("string",),
     },
-    "documents": {"text": ("string",), "lang": ("string",)},
-    "embeddings": {"embedding": ("array<float>", "array<double>")},
-    "orders": {"o_totalprice": ("double",), "o_orderdate": ("timestamp", "timestamp_ntz")},
-    "lineitem": {"l_shipdate": ("timestamp", "timestamp_ntz")},
+    "documents": {
+        "doc_id": ("bigint", "int"),
+        "text": ("string",),
+        "lang": ("string",),
+        "source": ("string",),
+    },
+    "embeddings": {
+        "vec_id": ("bigint", "int"),
+        "embedding": ("array<float>", "array<double>"),
+        "label": ("int", "bigint"),
+    },
+    "orders": {
+        "o_orderkey": ("bigint", "int"),
+        "o_custkey": ("bigint", "int"),
+        "o_totalprice": ("double",),
+        "o_orderdate": ("timestamp", "timestamp_ntz"),
+    },
+    "lineitem": {
+        "l_quantity": ("double",),
+        "l_extendedprice": ("double",),
+        "l_discount": ("double",),
+        "l_tax": ("double",),
+        "l_shipdate": ("timestamp", "timestamp_ntz"),
+    },
+    "customer": {"c_custkey": ("bigint", "int"), "c_acctbal": ("double",)},
+    "supplier": {"s_suppkey": ("bigint", "int"), "s_acctbal": ("double",)},
+    "part": {"p_partkey": ("bigint", "int"), "p_retailprice": ("double",)},
 }
 
 

@@ -262,6 +262,104 @@ def test_ppm_round_trip_real_decode(spark, docs):
         )
 
 
+def test_png_stdlib_decoder_all_filters():
+    """decode_png must invert every PNG scanline filter. Build raw
+    filtered scanlines BY HAND (per the PNG spec's filter math) and
+    check the decoder reconstructs the reference pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from flink_ms_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    h, w = px.shape[:2]
+    stride, bpp = w * 3, 3
+
+    def filt(row: bytes, prev: bytes, ftype: int) -> bytes:
+        out = bytearray()
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[x] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        ftype = r % 5  # exercise None, Sub, Up, Average, Paeth
+        row = px[r].tobytes()
+        raw += bytes([ftype]) + filt(row, prev, ftype)
+        prev = row
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    dw, dh, dec = decode_png(payload)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(dec, px)
+
+
+def test_png_encode_decode_round_trip_and_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_ms_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payload = encode_png(px)
+    w, h, back = decode_png(payload)
+    assert (w, h) == (8, 8) and np.array_equal(back, px)
+    # signature routing
+    assert np.array_equal(decode_image(payload)[2], px)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK")
+    with _pytest.raises(ValueError, match="unsupported image payload"):
+        decode_image(b"\xff\xd8jpeg-ish")
+
+
+def test_mixed_format_pixel_stats_format_independent(spark, docs):
+    """PPM and PNG payloads of the same doc carry the same pixels, so
+    pixel_stats over either format agrees row-for-row."""
+    from flink_ms_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    sample = docs.limit(6)
+    a = {r.media_id: (r.mean_r, r.mean_g, r.mean_b, r.mean_gray)
+         for r in pixel_stats(synthesize_ppm_media(sample)).collect()}
+    b = {r.media_id: (r.mean_r, r.mean_g, r.mean_b, r.mean_gray)
+         for r in pixel_stats(synthesize_png_media(sample)).collect()}
+    assert a == b and len(a) == 6
+
+
 def test_lpa_communities_refine_connected_components(spark):
     from flink_ms_spark.operators.graph import lpa_communities
 

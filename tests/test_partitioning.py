@@ -162,3 +162,26 @@ def test_fixture_drift_guard(spark, sf_smoke, tmp_path):
     ).write.parquet(os.path.join(drifted, "events.parquet"))
     with pytest.raises(TypeError, match="fixture drift: events.ts"):
         load_table(spark, drifted, "events")
+
+
+def test_fixture_guard_covers_every_epoch_and_arith_column(spark, sf_smoke):
+    """The guard must enumerate every fixture column the catalog's
+    epoch/arithmetic math touches: all timestamps, all doubles that feed
+    aggregates, and all integer keys that feed `%`/CAST truncation —
+    across every fixture table. Current fixtures must all pass it."""
+    from flink_ms_spark.schemas import FIXTURE_TABLES
+    from flink_ms_spark.sources.tables import _CRITICAL_TYPES, load_table
+
+    for t in FIXTURE_TABLES:
+        df = load_table(spark, sf_smoke, t)  # guard runs inside
+        pinned = _CRITICAL_TYPES.get(t, {})
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        # every timestamp/double column in a pinned table must be pinned
+        # (a new unpinned one means the guard has a blind spot)
+        if pinned:
+            for col, typ in actual.items():
+                if typ.startswith("timestamp") or typ == "double":
+                    assert col in pinned, f"{t}.{col} ({typ}) unpinned"
+    # the columns the synthetic-model `% N` arithmetic touches
+    assert "event_id" in _CRITICAL_TYPES["events"]
+    assert "user_id" in _CRITICAL_TYPES["events"]
