@@ -140,6 +140,9 @@ HEADLINE = [
     "pca_scores",
     "vocab_coverage",
     "dedup_report",
+    # round-3 widening: model-based quality scoring, tokenizer fertility
+    "quality_logit_scores",
+    "bpe_fertility",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

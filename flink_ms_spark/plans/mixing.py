@@ -416,6 +416,98 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE fertility per language — the tokenizer-efficiency report a
+# multilingual pipeline tracks (tokens-per-word by language decides
+# vocab allocation; UniMax §5 motivates exactly this audit). Oracle =
+# the bpe_encode Python replay aggregated per language.
+
+
+def _bpe_fertility_oracle() -> str:
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as papq
+
+    from flink_ms_spark.operators.text import learn_bpe_merges_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    merges = learn_bpe_merges_local(sf_dir, n_merges=8)
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            m = a + b
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    cache: dict[str, int] = {}
+    t = papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    agg: dict[str, list[int]] = {}
+    for lang, text in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+        words = [w for w in re.split("[^a-z]+", text.lower()) if w]
+        if not words:
+            continue
+        n_bpe = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = encode_len(w)
+            n_bpe += cache[w]
+        acc = agg.setdefault(lang, [0, 0])
+        acc[0] += len(words)
+        acc[1] += n_bpe
+    rows = []
+    for lang in sorted(agg):
+        n_words, n_bpe = agg[lang]
+        fert = float(
+            Decimal(n_bpe / n_words).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        rows.append((lang, n_words, n_bpe, fert))
+    vals = ", ".join(f"({l!r}, {w}, {n}, {f!r})" for l, w, n, f in rows)
+    return (
+        "SELECT lang, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_bpe AS BIGINT) AS n_bpe, CAST(fertility AS DOUBLE) AS fertility "
+        f"FROM (VALUES {vals}) t(lang, n_words, n_bpe, fertility)"
+    )
+
+
+@register("bpe_fertility", oracle=_bpe_fertility_oracle)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE fertility (subword tokens per word) under the
+    8 learned merges. Scale: the merges fold over the VOCABULARY
+    (model-scale); the corpus pays the same two shuffles as
+    bpe_encode plus one language-keyed rollup."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.text import (
+        bpe_encode_stats,
+        learn_bpe_merges_local,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = bpe_encode_stats(docs, learn_bpe_merges_local(sf_dir, n_merges=8))
+    return (
+        docs.select("doc_id", "lang")
+        .join(stats, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe"),
+            F.round(F.sum("n_bpe") / F.sum("n_words"), 6).alias("fertility"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR top-weight selection under a token budget — the resampling step
 # that turns the importance weights into an actual corpus subset.
 

@@ -102,6 +102,53 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# model-based quality scores — the classifier stage (frozen
+# fixture-trained logistic weights served as pure column math; see
+# ml/quality.py for the trainer that produces/refreshes the weights)
+
+
+def _quality_logit_oracle() -> str:
+    from flink_ms_spark.ml.quality import FROZEN_WEIGHTS
+
+    w0, w1, w2, w3, w4, w5 = FROZEN_WEIGHTS
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks), 6)
+    AS avg_token_len,
+  round(len(list_filter(toks, x -> list_contains(
+    ['the','a','and','of','to','in','is','it'], lower(x)))) * 1.0 / len(toks), 6)
+    AS stopword_ratio,
+  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+    * 1.0 / length(text), 6) AS upper_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+    * 1.0 / length(text), 6) AS digit_ratio,
+  round(ln(1.0 + len(toks)), 6) AS log_n_tokens
+FROM t),
+z AS (SELECT doc_id,
+  round({w0!r} + {w1!r} * avg_token_len + {w2!r} * stopword_ratio
+        + {w3!r} * upper_ratio + {w4!r} * digit_ratio
+        + {w5!r} * log_n_tokens, 6) AS quality_logit
+FROM f)
+SELECT doc_id, CAST(quality_logit AS DOUBLE) AS quality_logit,
+  CAST(round(1.0 / (1.0 + exp(-quality_logit)), 6) AS DOUBLE) AS quality_prob
+FROM z
+"""
+
+
+@register("quality_logit_scores", oracle=_quality_logit_oracle)
+def q_quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality probability per doc — the learned
+    generalization of the boolean heuristic gates (one probability
+    knob instead of N cliff-edge thresholds). Serving is codegen'd
+    column math over frozen literal weights: scan-speed at 100 TB,
+    no UDF, no shuffle."""
+    from flink_ms_spark.ml.quality import score_quality
+
+    return score_quality(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # language-ID heuristic
 
 
