@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType
@@ -150,8 +151,71 @@ class ModelFileWriter(DataSourceWriter):
         return WriterCommitMessage()
 
 
+def _parse_line(line: str, kind: str) -> tuple:
+    """One model line → schema tuple (shared by the batch and stream
+    readers; malformed numerics become NULL, never exceptions)."""
+    if kind == "svm":
+        tok = line.split(",")
+        if len(tok) < 2:
+            return (None, None)
+        return (_try_int(tok[0]), _try_float(tok[1]))
+    tok = line.split(",", 2)
+    rid = tok[0] if tok else None
+    k = tok[1] if len(tok) > 1 else None
+    facs = [_try_float(x) for x in tok[2].split(";")] if len(tok) > 2 else None
+    key = f"{rid}-{k}" if rid is not None and k else None
+    return (key, rid, k, facs)
+
+
+class ModelFileStreamReader(SimpleDataSourceStreamReader):
+    """Monitored-directory streaming for the model text formats — the
+    reference's S5 FileProcessingMode.PROCESS_CONTINUOUSLY source
+    (SGD.java:50-64) as a FIRST-CLASS ``readStream.format()`` source
+    instead of read-text-then-parse.
+
+    Offset = the sorted list of files already emitted; each batch
+    reads exactly the files that appeared since. Replays are exact:
+    ``readBetweenOffsets(start, end)`` re-reads ``end − start``, so a
+    recovered query re-emits the identical batch (model shards are
+    immutable once written — the same assumption the reference's
+    enumerator makes). Driver-side reads are fine here by design:
+    model files are model-scale, and the simple-reader API trades
+    executor fan-out for exact replay bookkeeping."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flinkms_model: .load(path) is required")
+        self.kind = options.get("kind", "als")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _read_files(self, files: list[str]) -> list[tuple]:
+        rows: list[tuple] = []
+        for p in files:
+            with open(p, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        rows.append(_parse_line(line, self.kind))
+        return rows
+
+    def read(self, start: dict) -> tuple:
+        now = _list_files(self.path)
+        new = [p for p in now if p not in set(start["seen"])]
+        end = {"seen": sorted(set(start["seen"]) | set(now))}
+        return iter(self._read_files(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        replay = sorted(set(end["seen"]) - set(start["seen"]))
+        return iter(self._read_files(replay))
+
+
 class ModelFileDataSource(DataSource):
-    """``spark.read.format("flinkms_model").option("kind", "als"|"svm")``."""
+    """``spark.read.format("flinkms_model").option("kind", "als"|"svm")``
+    — and the same format/options under ``spark.readStream`` for the
+    monitored-directory streaming form."""
 
     @classmethod
     def name(cls) -> str:
@@ -162,6 +226,9 @@ class ModelFileDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ModelFileReader:
         return ModelFileReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> ModelFileStreamReader:
+        return ModelFileStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> ModelFileWriter:
         if overwrite:

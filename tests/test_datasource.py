@@ -83,3 +83,43 @@ def test_svm_kind(spark, tmp_path):
     rows = sorted([tuple(r) for r in df.collect()], key=str)
     assert (1, 0.5) in rows and (2, -0.25) in rows
     assert (None, None) in rows  # quarantined, not dropped
+
+
+def test_streaming_monitored_dir_source(spark, tmp_path):
+    """S5 as a first-class readStream format: each availableNow run
+    emits exactly the files that appeared since the checkpointed
+    offset — the reference's PROCESS_CONTINUOUSLY enumerator."""
+    register_model_datasource(spark)
+    src = tmp_path / "stream_model"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_ds")
+    (src / "a.txt").write_text("1,U,0.5;1.5\n2,I,3.0;4.0\n")
+
+    got: list = []
+
+    def run() -> None:
+        stream = spark.readStream.format("flinkms_model").load(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(r.key for r in got) == ["1-U", "2-I"]
+    assert [f for f in got if f.key == "1-U"][0].factors == [0.5, 1.5]
+
+    # second file arrives: only ITS rows are emitted on the next run
+    got.clear()
+    (src / "b.txt").write_text("MEAN,U,1.0;1.0\n")
+    run()
+    assert [r.key for r in got] == ["MEAN-U"]
+
+    # nothing new: empty batch, no re-emission
+    got.clear()
+    run()
+    assert got == []

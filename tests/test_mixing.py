@@ -343,6 +343,50 @@ def test_png_encode_decode_round_trip_and_rejections():
         decode_image(b"\xff\xd8jpeg-ish")
 
 
+def test_png_round_trip_property():
+    """Property: encode→decode is the identity for any 8-bit RGB image
+    shape (hypothesis over dims and pixel content)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_ms_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        dw, dh, back = decode_png(encode_png(px))
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(back, px)
+
+    check()
+
+
+def test_dedup_report_is_one_composed_cartesian_free_job(spark, docs):
+    """The report must stay a single lazy plan (no driver actions
+    inside the builder beyond the fixture load) whose only joins are
+    one-row crossJoins of the aggregates — no CartesianProduct over
+    data-scale inputs and no uncapped pair expansion node."""
+    from flink_ms_spark.operators.dedup import lsh_pair_stats, minhash_signatures
+
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=1)
+    stats = lsh_pair_stats(sigs, band_size=1, max_bucket_size=64)
+    row = stats.collect()[0]
+    assert row.n_neardup_pairs >= 0 and row.n_dropped_bucket_docs >= 0
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    # the two one-row aggregates meet in a broadcast nested loop of
+    # single rows — cheap by construction; what must NOT appear is a
+    # data-scale CartesianProduct
+    assert "CartesianProduct" not in plan
+
+
 def test_mixed_format_pixel_stats_format_independent(spark, docs):
     """PPM and PNG payloads of the same doc carry the same pixels, so
     pixel_stats over either format agrees row-for-row."""
