@@ -1002,7 +1002,10 @@ WITH norm AS (SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
        FROM documents),
 g AS (SELECT h, count(*) AS n FROM norm GROUP BY h),
-ex AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+-- n_docs = sum of group sizes (the doc count), NOT count(*) (the
+-- distinct-digest count) — the two only coincide on a dup-free corpus
+-- like sf0.01; sf0.1 carries 8 exact dups and exposes the difference
+ex AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
               CAST(sum(n) - count(*) AS BIGINT) AS n_exact_dups
        FROM g),
 toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
