@@ -963,11 +963,9 @@ FROM j GROUP BY lang
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language OOV rate under the global top-100 vocab.
 
-    Scale: one token-count aggregate (vocab-sized), top-V via one
-    window over the vocab table (model-scale), broadcast semi-join
-    back onto the token stream — the corpus pays one explode + one
-    keyed agg."""
-    from pyspark.sql import Window
+    Scale: one token-count aggregate (vocab-sized), top-V via
+    sort+limit partial top-k, broadcast semi-join back onto the token
+    stream — the corpus pays one explode + one keyed agg."""
     from pyspark.sql import functions as F
 
     from flink_ms_spark.operators.text import tokens
@@ -978,10 +976,14 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(tokens(F.col("text"))).alias("t")
     )
     freq = tok.groupBy("t").agg(F.count("*").alias("n"))
-    w = Window.partitionBy().orderBy(F.col("n").desc(), F.col("t").asc())
+    # top-100 via sort+limit (TakeOrderedAndProject — per-partition
+    # partial top-k, merged on the driver), NOT row_number over an
+    # unpartitioned window: the vocabulary table grows with the corpus
+    # (100M+ terms at web scale) and a global window would drag it all
+    # through one task
     vocab = (
-        freq.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 100)
+        freq.orderBy(F.col("n").desc(), F.col("t").asc())
+        .limit(100)
         .select("t", F.lit(1).alias("in_vocab"))
     )
     j = tok.join(F.broadcast(vocab), "t", "left")

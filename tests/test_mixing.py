@@ -343,6 +343,20 @@ def test_png_encode_decode_round_trip_and_rejections():
         decode_image(b"\xff\xd8jpeg-ish")
 
 
+def test_vocab_coverage_topk_is_take_ordered(spark):
+    """The global top-100 vocab pick must be TakeOrderedAndProject
+    (per-partition partial top-k), never a row_number window over the
+    unpartitioned vocabulary table — vocab grows with the corpus."""
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    plan = (
+        QUERIES["vocab_coverage"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+
+
 def test_png_round_trip_property():
     """Property: encode→decode is the identity for any 8-bit RGB image
     shape (hypothesis over dims and pixel content)."""
