@@ -1,0 +1,77 @@
+"""Catalog-wide physical-plan hygiene: the anti-patterns that kill a
+100 TB run must not creep into any registered query.
+
+**Unpartitioned windows** (``row_number() OVER (ORDER BY …)`` etc.)
+funnel their whole input through ONE task. They are acceptable only
+over bounded summary frames (bucket/lang/shard/day tables, already
+top-k-limited lists) — every such use is allowlisted here WITH its
+bound, so a new corpus-scale one fails the suite.
+
+(Cross joins are NOT swept here: the catalog's crossJoins are one-row
+aggregate broadcasts — totals/stats rows — which plan as a 1-row
+BroadcastNestedLoopJoin and are scale-free; the one genuinely risky
+cross-product shape, recommendForAllUsers, has its own cartesian-free
+plan pin in tests/test_predict_blocked.py.)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_ms_spark.plans.catalog import QUERIES
+
+#: query -> why its unpartitioned window is bounded (the frame it runs
+#: over cannot grow with corpus bytes).
+GLOBAL_WINDOW_BOUNDED = {
+    "dsir_weights": "n_buckets-row hash-bucket summary (64 rows)",
+    "dsir_sample": "bucket-offset prefix table (|buckets| rows)",
+    "unimax_alloc": "|langs|-row waterfill table",
+    "temperature_mix": "|langs|-row share table",
+    "interleave_sources": "bucket-offset prefix table",
+    "seeded_shuffle": "bucket-offset prefix table",
+    "quality_curriculum": "bucket-offset prefix table",
+    "vocab_coverage": "none — uses TakeOrdered (kept here as tripwire)",
+    "rrf_fusion": "two top-20 lists (limit precedes the rank window)",
+    "domain_mix": "|sources|-row share table",
+    "shard_manifest": "|shards|-row manifest",
+    "rolling_7d_revenue": "daily series (days, not bytes)",
+    "cusum_changepoint": "daily series",
+    "power_user_share": "per-user event-count summary percentile",
+    "order_backlog": "daily order series",
+    "mom_growth": "monthly series",
+    "zipf_slope": "top-k vocab ranks",
+    "cumulative_distinct_users": "daily first-seen series",
+    "rfm_segments": "|customers|-row RFM summary (ntile quantiles)",
+    "training_mix_manifest": "|sources|-row manifest",
+    "forecast_revenue": "monthly series",
+    "recursive_month_spine": "month spine",
+    "order_value_cdf": "per-order value summary CDF",
+    "value_deciles": "decile cutpoint table",
+    "equidepth_histogram": "bin cutpoint table",
+    "monthly_revenue": "monthly series",
+    "ewma_smooth": "daily series",
+    "daily_value_locf": "daily series",
+    "series_correlation": "daily series",
+    "window_rank": "fixture demo of RANGE frames (relational parity)",
+    "window_lag": "fixture demo (relational parity)",
+}
+
+_UNPART_WINDOW = re.compile(r"windowspecdefinition\([a-zA-Z_]+#\d+L? (ASC|DESC)")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbounded_global_window_or_cartesian(spark, sf_smoke, name):
+    plan = (
+        QUERIES[name](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    if _UNPART_WINDOW.search(plan):
+        assert name in GLOBAL_WINDOW_BOUNDED, (
+            f"{name} plans an unpartitioned window over a frame not "
+            "documented as bounded — either repartition/two-phase it or "
+            "allowlist it here with its bound"
+        )
