@@ -295,6 +295,12 @@ def _bucketed_ranks(
     )
 
 
+#: Public name for the two-phase distributed global rank — the catalog
+#: uses it wherever exact rank/ntile semantics must survive data-scale
+#: inputs (users, customers) without a single-partition window.
+bucketed_global_rank = _bucketed_ranks
+
+
 def interleave_sources(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -717,11 +717,14 @@ register_sql(
 
 # --------------------------------------------------------------------------
 # Power-user concentration — decile shares of activity by per-user
-# total value (the Pareto/"whale" curve). The ntile window runs over
-# USER-level aggregates (already one row per user — orders of
-# magnitude below event volume), not raw events, so the global sort is
-# model-scale; ordering ties are broken on (rounded value, user_id)
-# for cross-engine determinism.
+# total value (the Pareto/"whale" curve). Ordering ties break on
+# (rounded value, user_id) for cross-engine determinism. The Spark
+# side computes the EXACT global ntile via the two-phase bucketed rank
+# (operators/mixing.py) instead of `ntile() OVER (ORDER BY …)`: the
+# per-user rollup grows with the data (10^9 users at web scale), and a
+# global window would drag it all through one task. ntile equivalence:
+# tile = ((pos−1)·n) div total + 1 reproduces ANSI NTILE exactly
+# (first total mod n tiles get the extra row).
 
 _POWER_USER = """
 WITH u AS (SELECT user_id, count(*) AS n_events,
@@ -739,7 +742,42 @@ FROM d CROSS JOIN t
 GROUP BY decile
 """
 
-register_sql("power_user_share", _POWER_USER)
+
+@register("power_user_share", oracle=_POWER_USER)
+def q_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_ms_spark.operators.mixing import bucketed_global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+    )
+    # bucket ascends along the (total_value DESC) order: -floor(v)
+    ranked = bucketed_global_rank(
+        u,
+        bucket=(-F.floor("total_value")).cast("long"),
+        order_cols=[F.col("total_value").desc(), F.col("user_id").asc()],
+    )
+    d = ranked.withColumn(
+        "decile", F.expr("CAST((pos - 1) * 10 div total AS INT) + 1")
+    )
+    grand = u.agg(
+        F.round(F.sum("total_value"), 6).cast("double").alias("grand")
+    )
+    per = d.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("total_value").alias("_raw"),
+    )
+    return per.crossJoin(grand).select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.round("_raw", 6).cast("double").alias("value_sum"),
+        F.round(F.col("_raw") / F.col("grand"), 6).cast("double").alias(
+            "value_share"
+        ),
+    )
 
 
 # --------------------------------------------------------------------------

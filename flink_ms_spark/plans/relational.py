@@ -1068,31 +1068,71 @@ ORDER BY cohort_week, week_offset
 )
 
 # RFM segmentation — recency / frequency / monetary quartiles per
-# customer via ntile(4) with a c_custkey tie-break so quartile
-# assignment is deterministic across engines; segment code R*100+F*10+M.
-# ntile is a full sort per dimension but the per-customer rollup it
-# sorts is |customers|, not |orders| — the orders-table shuffle happens
-# once in the rollup CTE.
-register_sql(
-    "rfm_segments",
-    spark_sql="""
-WITH r AS (SELECT o_custkey AS custkey,
-                  datediff(TIMESTAMP_NTZ '2001-08-02 00:00:00', max(o_orderdate)) AS recency_days,
-                  count(*) AS frequency,
-                  CAST(round(sum(o_totalprice), 6) AS DOUBLE) AS monetary
-           FROM orders GROUP BY o_custkey),
-s AS (SELECT custkey, recency_days, frequency, monetary,
-             ntile(4) OVER (ORDER BY recency_days, custkey) AS r_score,
-             ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
-             ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
-      FROM r)
-SELECT r_score * 100 + f_score * 10 + m_score AS segment,
-       count(*) AS n_customers,
-       CAST(round(avg(monetary), 6) AS DOUBLE) AS avg_monetary
-FROM s GROUP BY r_score * 100 + f_score * 10 + m_score
-ORDER BY segment
-""",
-    duck_sql="""
+# customer with a c_custkey tie-break so quartile assignment is
+# deterministic across engines; segment code R*100+F*10+M. The Spark
+# side computes each EXACT global ntile(4) via the two-phase bucketed
+# rank (operators/mixing.py): the per-customer rollup grows with the
+# data, and `ntile() OVER (ORDER BY …)` would funnel it through one
+# task. tile = ((pos−1)·4) div total + 1 reproduces ANSI NTILE exactly.
+
+
+def _q_rfm_segments(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.mixing import bucketed_global_rank
+    from flink_ms_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.expr(
+            "datediff(TIMESTAMP_NTZ '2001-08-02 00:00:00', max(o_orderdate))"
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 6).cast("double").alias("monetary"),
+    )
+
+    def score(df, bucket, order_cols, name):
+        ranked = bucketed_global_rank(df, bucket=bucket, order_cols=order_cols)
+        return ranked.select(
+            "custkey",
+            F.expr("CAST((pos - 1) * 4 div total AS INT) + 1").alias(name),
+        )
+
+    rs = score(
+        r,
+        F.col("recency_days").cast("long"),
+        [F.col("recency_days").asc(), F.col("custkey").asc()],
+        "r_score",
+    )
+    fs = score(
+        r,
+        (-F.col("frequency")).cast("long"),
+        [F.col("frequency").desc(), F.col("custkey").asc()],
+        "f_score",
+    )
+    ms = score(
+        r,
+        (-F.floor("monetary")).cast("long"),
+        [F.col("monetary").desc(), F.col("custkey").asc()],
+        "m_score",
+    )
+    s = r.join(rs, "custkey").join(fs, "custkey").join(ms, "custkey")
+    seg = (
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+    ).alias("segment")
+    return (
+        s.groupBy(seg)
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("monetary"), 6).cast("double").alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+from flink_ms_spark.plans.registry import register  # noqa: E402
+
+register("rfm_segments", oracle="""
 WITH r AS (SELECT o_custkey AS custkey,
                   datediff('day', max(o_orderdate), TIMESTAMP '2001-08-02 00:00:00') AS recency_days,
                   count(*) AS frequency,
@@ -1109,7 +1149,7 @@ SELECT r_score * 100 + f_score * 10 + m_score AS segment,
 FROM s GROUP BY r_score * 100 + f_score * 10 + m_score
 ORDER BY segment
 """,
-)
+)(_q_rfm_segments)
 
 # Markov transition matrix — P(next event_type | event_type) from each
 # user's time-ordered event stream (lead over user partition, tie-break

@@ -23,39 +23,24 @@ import pytest
 from flink_ms_spark.plans.catalog import QUERIES
 
 #: query -> why its unpartitioned window is bounded (the frame it runs
-#: over cannot grow with corpus bytes).
+#: over cannot grow with corpus bytes). EXACTLY the queries that trip
+#: the detector today — no dormant allowances (a dormant entry would
+#: let a future corpus-scale window slip in under an old excuse).
 GLOBAL_WINDOW_BOUNDED = {
-    "dsir_weights": "n_buckets-row hash-bucket summary (64 rows)",
-    "dsir_sample": "bucket-offset prefix table (|buckets| rows)",
+    "dsir_sample": "bucket-offset prefix table (64 md5 buckets)",
     "unimax_alloc": "|langs|-row waterfill table",
-    "temperature_mix": "|langs|-row share table",
-    "interleave_sources": "bucket-offset prefix table",
+    "interleave_sources": "bucket-offset prefix table (64-wide rank ranges)",
     "seeded_shuffle": "bucket-offset prefix table",
     "quality_curriculum": "bucket-offset prefix table",
-    "vocab_coverage": "none — uses TakeOrdered (kept here as tripwire)",
     "rrf_fusion": "two top-20 lists (limit precedes the rank window)",
-    "domain_mix": "|sources|-row share table",
-    "shard_manifest": "|shards|-row manifest",
     "rolling_7d_revenue": "daily series (days, not bytes)",
     "cusum_changepoint": "daily series",
-    "power_user_share": "per-user event-count summary percentile",
+    "power_user_share": "bucket-offset prefix table (two-phase ntile)",
+    "rfm_segments": "bucket-offset prefix tables (3x two-phase ntile)",
     "order_backlog": "daily order series",
     "mom_growth": "monthly series",
     "zipf_slope": "top-k vocab ranks",
     "cumulative_distinct_users": "daily first-seen series",
-    "rfm_segments": "|customers|-row RFM summary (ntile quantiles)",
-    "training_mix_manifest": "|sources|-row manifest",
-    "forecast_revenue": "monthly series",
-    "recursive_month_spine": "month spine",
-    "order_value_cdf": "per-order value summary CDF",
-    "value_deciles": "decile cutpoint table",
-    "equidepth_histogram": "bin cutpoint table",
-    "monthly_revenue": "monthly series",
-    "ewma_smooth": "daily series",
-    "daily_value_locf": "daily series",
-    "series_correlation": "daily series",
-    "window_rank": "fixture demo of RANGE frames (relational parity)",
-    "window_lag": "fixture demo (relational parity)",
 }
 
 _UNPART_WINDOW = re.compile(r"windowspecdefinition\([a-zA-Z_]+#\d+L? (ASC|DESC)")
