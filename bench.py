@@ -143,6 +143,7 @@ HEADLINE = [
     # round-3 widening: model-based quality scoring, tokenizer fertility
     "quality_logit_scores",
     "bpe_fertility",
+    "curation_funnel",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

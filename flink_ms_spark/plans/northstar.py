@@ -149,6 +149,78 @@ def q_quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# curation funnel — the per-stage survivor counts a curation run logs
+# (the funnel view of the corpus_curation capstone, with the
+# model-based quality gate as the final stage)
+
+
+def _curation_funnel_oracle() -> str:
+    from flink_ms_spark.ml.quality import FROZEN_WEIGHTS
+
+    w0, w1, w2, w3, w4, w5 = FROZEN_WEIGHTS
+    return f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_DUCK_NORM})),
+kept AS (SELECT d.* FROM documents d JOIN keepers k USING (doc_id)),
+en AS (SELECT * FROM kept WHERE lang = 'en'),
+f AS (SELECT doc_id, {_DUCK_TOKS} AS toks, text FROM en),
+z AS (SELECT doc_id,
+  round({w0!r}
+    + {w1!r} * round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks), 6)
+    + {w2!r} * round(len(list_filter(toks, x -> list_contains(
+        ['the','a','and','of','to','in','is','it'], lower(x)))) * 1.0 / len(toks), 6)
+    + {w3!r} * round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+        * 1.0 / length(text), 6)
+    + {w4!r} * round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        * 1.0 / length(text), 6)
+    + {w5!r} * round(ln(1.0 + len(toks)), 6), 6) AS logit
+  FROM f),
+q AS (SELECT doc_id FROM z WHERE round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5)
+SELECT CAST(0 AS INT) AS stage_no, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 1, 'exact_dedup', count(*) FROM kept
+UNION ALL SELECT 2, 'lang_en', count(*) FROM en
+UNION ALL SELECT 3, 'quality_model', count(*) FROM q
+"""
+
+
+@register("curation_funnel", oracle=_curation_funnel_oracle)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts: raw → exact-dedup keepers → English
+    gate → model-based quality gate (prob ≥ 0.5, frozen weights). The
+    curation-log funnel a 100 TB run emits per shard — each stage is a
+    semi-join/filter refinement of the last, counted in ONE composed
+    plan (the driver's collect is the only action)."""
+    from flink_ms_spark.ml.quality import score_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    en = kept.where(F.col("lang") == "en")
+    q = en.join(
+        score_quality(en).where(F.col("quality_prob") >= 0.5).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "exact_dedup", kept))
+        .unionByName(stage(2, "lang_en", en))
+        .unionByName(stage(3, "quality_model", q))
+    )
+
+
+# --------------------------------------------------------------------------
 # language-ID heuristic
 
 
