@@ -236,6 +236,33 @@ def test_lsh_bucket_cap_drops_template_buckets(spark):
     assert got == {(10, 11)}  # template bucket (6 > 4) dropped entirely
 
 
+def test_lsh_pair_stats_matches_expanded_pairs(spark):
+    """lsh_pair_stats' pair count must equal the materialized capped
+    expansion, and its dropped volume must equal the doc-slot total of
+    the over-cap buckets — the two forms are one contract."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_pair_stats,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text") for i in range(6)]
+        + [(10, "alpha beta gamma"), (11, "alpha beta gamma"),
+           (20, "delta epsilon zeta"), (21, "delta epsilon zeta")],
+        "doc_id LONG, text STRING",
+    )
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=1)
+    expanded = lsh_candidate_pairs(sigs, band_size=1, max_bucket_size=4).count()
+    row = lsh_pair_stats(sigs, band_size=1, max_bucket_size=4).collect()[0]
+    assert row.n_neardup_pairs == expanded
+    # the 6-doc template text collides on all 4 one-row bands → 4
+    # dropped buckets × 6 doc slots
+    assert row.n_dropped_bucket_docs == 24
+
+
 def test_scrub_pii_redacts(spark):
     from flink_ms_spark.operators.text import scrub_pii
 
