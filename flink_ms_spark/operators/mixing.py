@@ -301,6 +301,23 @@ def _bucketed_ranks(
 bucketed_global_rank = _bucketed_ranks
 
 
+def ntile_expr(n: int):
+    """Exact ANSI NTILE(n) derived from ``bucketed_global_rank``'s
+    pos/total columns: the first ``total mod n`` tiles hold
+    ``total div n + 1`` rows, the rest ``total div n`` (front-loaded —
+    matching Spark's and DuckDB's window ntile row-for-row, pinned in
+    tests/test_mixing.py). NOT ``((pos−1)·n) div total + 1``: that
+    even-spread form drifts by one row at tile boundaries whenever
+    ``total mod n ≠ 0``."""
+    big = f"(total div {n} + 1)"
+    small = f"greatest(total div {n}, 1)"
+    head = f"(total % {n}) * {big}"
+    return F.expr(
+        f"CAST(CASE WHEN (pos - 1) < {head} THEN (pos - 1) div {big} "
+        f"ELSE (total % {n}) + ((pos - 1) - {head}) div {small} END AS INT) + 1"
+    )
+
+
 def interleave_sources(
     docs: DataFrame,
     id_col: str = "doc_id",

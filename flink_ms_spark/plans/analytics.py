@@ -722,9 +722,8 @@ register_sql(
 # side computes the EXACT global ntile via the two-phase bucketed rank
 # (operators/mixing.py) instead of `ntile() OVER (ORDER BY …)`: the
 # per-user rollup grows with the data (10^9 users at web scale), and a
-# global window would drag it all through one task. ntile equivalence:
-# tile = ((pos−1)·n) div total + 1 reproduces ANSI NTILE exactly
-# (first total mod n tiles get the extra row).
+# global window would drag it all through one task. ntile_expr derives
+# exact ANSI NTILE (front-loaded tile sizes) from (pos, total).
 
 _POWER_USER = """
 WITH u AS (SELECT user_id, count(*) AS n_events,
@@ -745,7 +744,7 @@ GROUP BY decile
 
 @register("power_user_share", oracle=_POWER_USER)
 def q_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_ms_spark.operators.mixing import bucketed_global_rank
+    from flink_ms_spark.operators.mixing import bucketed_global_rank, ntile_expr
 
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -758,9 +757,7 @@ def q_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=(-F.floor("total_value")).cast("long"),
         order_cols=[F.col("total_value").desc(), F.col("user_id").asc()],
     )
-    d = ranked.withColumn(
-        "decile", F.expr("CAST((pos - 1) * 10 div total AS INT) + 1")
-    )
+    d = ranked.withColumn("decile", ntile_expr(10))
     grand = u.agg(
         F.round(F.sum("total_value"), 6).cast("double").alias("grand")
     )

@@ -1073,13 +1073,13 @@ ORDER BY cohort_week, week_offset
 # side computes each EXACT global ntile(4) via the two-phase bucketed
 # rank (operators/mixing.py): the per-customer rollup grows with the
 # data, and `ntile() OVER (ORDER BY …)` would funnel it through one
-# task. tile = ((pos−1)·4) div total + 1 reproduces ANSI NTILE exactly.
+# task. ntile_expr derives exact ANSI NTILE from (pos, total).
 
 
 def _q_rfm_segments(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from flink_ms_spark.operators.mixing import bucketed_global_rank
+    from flink_ms_spark.operators.mixing import bucketed_global_rank, ntile_expr
     from flink_ms_spark.sources.tables import load_table
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1093,10 +1093,7 @@ def _q_rfm_segments(spark, sf_dir):
 
     def score(df, bucket, order_cols, name):
         ranked = bucketed_global_rank(df, bucket=bucket, order_cols=order_cols)
-        return ranked.select(
-            "custkey",
-            F.expr("CAST((pos - 1) * 4 div total AS INT) + 1").alias(name),
-        )
+        return ranked.select("custkey", ntile_expr(4).alias(name))
 
     rs = score(
         r,

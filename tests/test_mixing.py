@@ -343,6 +343,50 @@ def test_png_encode_decode_round_trip_and_rejections():
         decode_image(b"\xff\xd8jpeg-ish")
 
 
+def test_bucketed_global_rank_equals_window_rank(spark):
+    """The two-phase bucketed rank must reproduce row_number() OVER
+    (ORDER BY …) exactly — including ties broken by the tiebreak column
+    and descending orders — and its ntile derivation must match ANSI
+    NTILE for every bucket-count/total combination on the fixture."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.mixing import bucketed_global_rank
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 50) / 2.0) for i in range(997)]
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+
+    w = Window.partitionBy().orderBy(F.col("v").desc(), F.col("id").asc())
+    want = {
+        r.id: r.pos
+        for r in df.withColumn("pos", F.row_number().over(w)).collect()
+    }
+    got_df = bucketed_global_rank(
+        df,
+        bucket=(-F.floor("v")).cast("long"),
+        order_cols=[F.col("v").desc(), F.col("id").asc()],
+    )
+    got = {r.id: r.pos for r in got_df.collect()}
+    assert got == want
+
+    from flink_ms_spark.operators.mixing import ntile_expr
+
+    # 997 is prime: total mod n != 0 for every n here, so each case
+    # exercises the front-loaded-tile boundary the naive even-spread
+    # formula gets wrong
+    for n in (2, 3, 4, 7, 10):
+        wn = df.withColumn("t", F.ntile(n).over(w))
+        want_t = {r.id: r.t for r in wn.collect()}
+        got_t = {
+            r.id: r.t
+            for r in got_df.withColumn("t", ntile_expr(n)).collect()
+        }
+        assert got_t == want_t, f"ntile({n}) diverged"
+
+
 def test_vocab_coverage_topk_is_take_ordered(spark):
     """The global top-100 vocab pick must be TakeOrderedAndProject
     (per-partition partial top-k), never a row_number window over the
