@@ -12,9 +12,13 @@ streaming pieces in ONE foreachBatch pipeline per micro-batch:
    (B−1)/(2N·ln2) bits for N tokens over B buckets, so tiny batches
    score ~1-2 bits without any drift; production picks the threshold
    from that formula at its batch size;
-3. **near-dup suppression** (streaming/neardup.py): incremental LSH
+3. **model-based quality gate** (ml/quality.py, optional): docs below
+   ``quality_threshold`` on the frozen logistic quality model are
+   dropped — the learned generalization of the boolean rule gates,
+   applied as scan-speed column math inside the same batch plan;
+4. **near-dup suppression** (streaming/neardup.py): incremental LSH
    registry — drop docs colliding with the already-ingested corpus;
-4. **curated write**: survivors land in ``batch_id=N`` parquet dirs
+5. **curated write**: survivors land in ``batch_id=N`` parquet dirs
    (idempotent dynamic overwrite per batch → exactly-once under
    replay), and a running JSON manifest tracks per-batch decisions.
 
@@ -45,11 +49,13 @@ class StreamingIngest:
         baseline: dict[int, int],
         rules_path: str | None = None,
         drift_threshold_bits: float = 4.0,
+        quality_threshold: float | None = None,
     ):
         self.out_dir = out_dir
         self.baseline = baseline
         self.rules_path = rules_path
         self.drift_threshold_bits = drift_threshold_bits
+        self.quality_threshold = quality_threshold
         self.neardup = StreamingNearDup(os.path.join(out_dir, "_registry"))
         self.manifest: list[dict] = []
 
@@ -57,6 +63,15 @@ class StreamingIngest:
         n_in = batch_df.count()
         rules = load_rules(self.rules_path) if self.rules_path else {}
         gated = apply_rules(batch_df, rules) if rules else batch_df
+        if self.quality_threshold is not None:
+            from pyspark.sql import functions as F
+
+            from flink_ms_spark.ml.quality import score_quality
+
+            ok = score_quality(gated).where(
+                F.col("quality_prob") >= self.quality_threshold
+            ).select("doc_id")
+            gated = gated.join(ok, "doc_id", "left_semi")
         n_gated = gated.count()
 
         kl = kl_bits(bucket_profile(gated), self.baseline)

@@ -261,6 +261,43 @@ def test_drift_monitor_flags_distribution_shift(spark, tmp_path):
     assert len(mon.scores) == 1 and mon.scores[0][3] is True
 
 
+def test_streaming_ingest_quality_gate(spark, tmp_path):
+    """Optional model-based quality gate inside the ingest pipeline:
+    prose passes, long-word no-stopword gibberish is dropped before
+    the registry/write stages."""
+    from flink_ms_spark.sources.tables import load_table
+    from flink_ms_spark.streaming.drift import bucket_profile
+    from flink_ms_spark.streaming.ingest import StreamingIngest
+
+    baseline = bucket_profile(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    src = tmp_path / "qgate_in"
+    _write_docs(src, [
+        {"doc_id": 1, "source": "ok",
+         "text": "the cat sat on the mat and it is a good day to walk in the park"},
+        {"doc_id": 2, "source": "ok",
+         "text": "zxqvwkjhsdfpo mnbpoiuylkjqa rrtteewwqqzz vvccxxzzaass"},
+    ])
+    out = tmp_path / "qgate_corpus"
+    ing = StreamingIngest(
+        str(out), baseline, drift_threshold_bits=1e9, quality_threshold=0.5
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = ing.run(stream, str(tmp_path / "ckpt_qg"))
+    q.awaitTermination(120)
+    kept = spark.read.parquet(str(out / "batch_id=0"))
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert ing.manifest[0]["n_in"] == 2 and ing.manifest[0]["n_gated"] == 1
+
+
 def test_streaming_ingest_capstone_end_to_end(spark, tmp_path):
     import json as _json
 
