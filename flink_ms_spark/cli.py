@@ -321,6 +321,38 @@ def cmd_curate(args: argparse.Namespace) -> None:
     print(f"curated {sum(m['n_docs'] for m in manifest.values())} docs -> {args.output}")
 
 
+def cmd_quality_score(args: argparse.Namespace) -> None:
+    """Model-based quality scoring WRITE job: score every document with
+    the frozen logistic quality model (or retrain on the input when
+    ``--retrain``), write (doc_id, quality_logit, quality_prob, kept)
+    parquet, and print the kept fraction. Scoring is scan-speed column
+    math (no UDF, no shuffle); retraining fits the coefficient-scale
+    LogisticRegression once and serves the result the same way."""
+    from flink_ms_spark.ml.quality import (
+        FROZEN_WEIGHTS,
+        score_quality,
+        train_quality_classifier,
+    )
+    from flink_ms_spark.sources.tables import load_table
+
+    spark = _spark("[QUALITY] score-write")
+    docs = load_table(spark, args.input_dir, "documents")
+    weights = (
+        tuple(train_quality_classifier(docs)) if args.retrain else FROZEN_WEIGHTS
+    )
+    scored = score_quality(docs, weights).withColumn(
+        "kept", (F.col("quality_prob") >= args.threshold).cast("int")
+    )
+    scored.write.mode("overwrite").parquet(args.output)
+    agg = spark.read.parquet(args.output).agg(
+        F.count("*").alias("n"), F.sum("kept").alias("k")
+    ).collect()[0]
+    print(
+        f"scored {agg['n']} docs, kept {agg['k']} "
+        f"({agg['k'] / agg['n']:.3f}) at threshold {args.threshold} -> {args.output}"
+    )
+
+
 def cmd_explain(args: argparse.Namespace) -> None:
     """Print the formatted physical plan of a catalog query — the
     scale-review surface (check PushedFilters / ReadSchema /
@@ -515,6 +547,13 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--input-dir", required=True, help="JSONL corpus dir")
     di.add_argument("--output", required=True)
     di.set_defaults(func=cmd_dedup_ingest)
+
+    qs = sub.add_parser("quality-score")
+    qs.add_argument("--input-dir", required=True, help="fixture sf dir")
+    qs.add_argument("--output", required=True)
+    qs.add_argument("--threshold", type=float, default=0.5)
+    qs.add_argument("--retrain", action="store_true")
+    qs.set_defaults(func=cmd_quality_score)
 
     return p
 

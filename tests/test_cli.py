@@ -256,3 +256,19 @@ def test_cli_dedup_ingest_end_to_end(spark, tmp_path, capsys):
     assert "ingested" in capsys.readouterr().out
     kept = spark.read.parquet(str(out / "batch_id=0"))
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_cli_quality_score_writes_scores(spark, tmp_path, capsys):
+    out = tmp_path / "q_out"
+    cli.main([
+        "quality-score", "--input-dir", "/root/testdata/sf0.001",
+        "--output", str(out), "--threshold", "0.5",
+    ])
+    printed = capsys.readouterr().out
+    assert "scored 500 docs" in printed
+    scored = spark.read.parquet(str(out))
+    assert scored.count() == 500
+    cols = set(scored.columns)
+    assert {"doc_id", "quality_logit", "quality_prob", "kept"} <= cols
+    kept = scored.where("kept = 1").count()
+    assert 0 < kept < 500  # the gate separates, neither degenerate
