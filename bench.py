@@ -144,6 +144,7 @@ HEADLINE = [
     "quality_logit_scores",
     "bpe_fertility",
     "curation_funnel",
+    "simhash_neardup",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

@@ -346,31 +346,96 @@ def simhash(
     ±1 votes per bit position, bit set if the vote sum is positive.
 
     Bits come from hex digits of md5(token) (digit parity), so the
-    whole pipeline is reproducible in ANSI SQL. One explode + one
-    keyed agg; no pairwise work.
+    whole pipeline is reproducible in ANSI SQL.
+
+    Shape: one token explode, then ``bits`` COLUMNAR parity sums in a
+    single doc-keyed aggregate — never a per-(token, bit) explode (the
+    earlier form shuffled tokens×bits rows; 32-bit sigs paid 32× the
+    rows for the same information). Vote-sum positivity is equivalent
+    to ``2·ones_b > n_tokens`` (ones − (n − ones) > 0), which is what
+    the column form tests — ties still emit '0', matching the oracle.
     """
-    tok = fan_out(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-    tok = tok.withColumn("h", F.md5("t"))
-    votes = tok.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("b"),
-        F.col("h"),
-    ).withColumn(
-        "vote",
-        F.expr(
-            "CASE WHEN (instr('0123456789abcdef', substring(h, b, 1)) - 1) % 2 = 1 "
-            "THEN 1 ELSE -1 END"
-        ),
+    tok = fan_out(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.md5("t"))
+    ones = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN (instr('0123456789abcdef', substring(h, {b}, 1)) - 1) "
+                "% 2 = 1 THEN 1 ELSE 0 END"
+            )
+        ).alias(f"_o{b}")
+        for b in range(1, bits + 1)
+    ]
+    agg = tok.groupBy(id_col).agg(F.count("*").alias("_n"), *ones)
+    bit_cols = [
+        F.when(F.col(f"_o{b}") * 2 > F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
+        for b in range(1, bits + 1)
+    ]
+    return agg.select(id_col, F.concat(*bit_cols).alias("simhash"))
+
+
+def simhash_neardup(
+    df: DataFrame,
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup via Hamming pigeonholing: split the ``bits``-bit
+    signature into ``n_bands`` contiguous bands; any pair within
+    ``max_hamming`` differing bits must agree EXACTLY on at least one
+    band whenever ``n_bands > max_hamming`` (≤ max_hamming bands can be
+    "poisoned"), so the band-equality bucket join has NO false
+    negatives. Verify = exact Hamming distance on the full signature.
+    Returns (a, b, hamming INT) with a < b, hamming ≤ max_hamming.
+
+    Scale: signatures are one explode + keyed agg (simhash); candidate
+    generation is a bucket join on (band, band_sig) — 2^-band_width
+    selectivity per band, never all-pairs; the Hamming verify is
+    per-candidate-row zip_with column math. Hot buckets (low-entropy
+    corpora) behave like LSH template buckets — cap upstream via
+    exact dedup, same argument as lsh_candidate_pairs.
+    """
+    if n_bands <= max_hamming:
+        raise ValueError("pigeonhole needs n_bands > max_hamming")
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into bands")
+    if bits > 62:
+        raise ValueError("bit-parallel hamming needs the sig in a BIGINT")
+    width = bits // n_bands
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits).withColumn(
+        "_sl", F.conv("simhash", 2, 10).cast("long")
     )
-    bit_votes = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
-    return bit_votes.groupBy(id_col).agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("b", "v"))),
-                lambda s: F.when(s.getField("v") > 0, F.lit("1")).otherwise(F.lit("0")),
-            ),
-        ).alias("simhash")
+    banded = sig.select(
+        F.col(id_col),
+        F.col("_sl"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        F.col("simhash"),
+    ).withColumn(
+        "band_sig",
+        F.expr(f"substring(simhash, band * {width} + 1, {width})"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col("_sl").alias("_sa"), "band", "band_sig"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col("_sl").alias("_sb"), "band", "band_sig"
+    )
+    # verify BEFORE distinct: natural-language corpora concentrate
+    # simhash bits (similar token statistics ⇒ similar sigs — the very
+    # property that makes simhash work), so collision volume is the hot
+    # spot; the XOR+bit_count hamming is a two-instruction filter that
+    # collapses millions of collision rows to the near-dup survivors
+    # before any dedup shuffle runs
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
     )
 
 
