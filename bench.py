@@ -145,6 +145,7 @@ HEADLINE = [
     "bpe_fertility",
     "curation_funnel",
     "simhash_neardup",
+    "semantic_decontaminate",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

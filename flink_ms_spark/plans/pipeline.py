@@ -479,6 +479,68 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB the eval corpus is a few GB of grams, exactly the broadcast
 # regime; the only shuffle is the final per-doc count.
 
+# Embedding-level decontamination — the semantic complement of the
+# lexical 5-gram overlap below: a training vector is contaminated when
+# its cosine similarity to ANY eval vector clears the threshold
+# (paraphrase-grade leakage that n-gram overlap misses). Eval set =
+# vec_id < 50 (benchmark-scale by construction); the Spark side
+# broadcasts it and streams the corpus — one scan, one per-id max agg.
+# Per-pair cosines are rounded to 6 dp BEFORE the max so the
+# cross-engine argmax cannot flip on float summation order.
+
+_SEM_DECON_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+norms AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+ev AS (SELECT * FROM norms WHERE vec_id < 50),
+tr AS (SELECT * FROM norms WHERE vec_id >= 50),
+m AS (SELECT tr.vec_id,
+        max(round(list_dot_product(tr.v, ev.v) / (tr.nrm * ev.nrm), 6)) AS mc
+      FROM tr CROSS JOIN ev GROUP BY tr.vec_id)
+SELECT vec_id, CAST(mc AS DOUBLE) AS max_eval_cos,
+       CAST(CASE WHEN mc >= 0.9 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM m
+"""
+
+
+@register("semantic_decontaminate", oracle=_SEM_DECON_ORACLE)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max cosine of each training vector against the eval-embedding
+    set (vec_id < 50), flagged at 0.9 — embedding-space leakage audit."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norms = emb.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+    ev = norms.where(F.col("vec_id") < 50).select(
+        F.col("v").alias("ev_v"), F.col("nrm").alias("ev_nrm")
+    )
+    tr = norms.where(F.col("vec_id") >= 50)
+    dot = F.aggregate(
+        F.zip_with("v", "ev_v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = F.round(dot / (F.col("nrm") * F.col("ev_nrm")), 6)
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", cos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("max_eval_cos"))
+        .select(
+            "vec_id",
+            "max_eval_cos",
+            (F.col("max_eval_cos") >= 0.9).cast("int").alias("contaminated"),
+        )
+    )
+
+
 _DECONTAM_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
               FROM documents),
