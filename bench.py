@@ -146,6 +146,7 @@ HEADLINE = [
     "curation_funnel",
     "simhash_neardup",
     "semantic_decontaminate",
+    "token_balanced_shards",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

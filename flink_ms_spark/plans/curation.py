@@ -298,6 +298,78 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token-BALANCED shard assignment — the writer-side complement of the
+# hash-mod manifest above: shards are contiguous token-budget slices of
+# the deterministic doc order, so every shard lands within one document
+# of the ideal total/n token budget (hash-mod balances only in
+# expectation; heavy-tailed doc lengths skew it). Spark computes the
+# exact running token total with the two-phase bucketed rank
+# (operators/mixing.py — no single-partition window over the corpus);
+# the single-node oracle may use a plain window.
+
+_TOKEN_SHARD_ORACLE = f"""
+WITH w AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum,
+        sum(n_tokens) OVER () AS total
+      FROM w),
+a AS (SELECT doc_id, n_tokens,
+        CAST(((cum - n_tokens) * {_N_SHARDS}) // total AS INT) AS shard
+      FROM c)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(round(CAST(sum(n_tokens) AS DOUBLE)
+                  / (SELECT sum(n_tokens) / {_N_SHARDS} FROM w) - 1.0, 6)
+            AS DOUBLE) AS skew
+FROM a GROUP BY shard
+"""
+
+
+@register("token_balanced_shards", oracle=_TOKEN_SHARD_ORACLE)
+def q_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard ledger under contiguous token-budget sharding: shard =
+    ((running_tokens_before_doc) * n) div total — every shard within one
+    doc of the ideal budget, exact at any scale via the bucketed
+    two-phase running total."""
+    from flink_ms_spark.operators.mixing import bucketed_global_rank
+    from flink_ms_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    ranked = bucketed_global_rank(
+        docs,
+        bucket=(F.col("doc_id") / F.lit(1024)).cast("long"),
+        order_cols=[F.col("doc_id").asc()],
+        weight=F.col("n_tokens"),
+    )
+    a = ranked.withColumn(
+        "shard",
+        F.expr(f"CAST((cum - n_tokens) * {_N_SHARDS} div total AS INT)"),
+    )
+    avg_budget = F.lit(1.0) * F.sum("n_tokens").cast("double")
+    per = a.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    tot = docs.agg(
+        (F.sum("n_tokens") / F.lit(_N_SHARDS)).cast("double").alias("_budget")
+    )
+    return per.crossJoin(tot).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("_budget") - 1.0, 6
+        ).alias("skew"),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE merge learning (Sennrich et al. 2016): the first 8 merges over
 # corpus word frequencies — the artifact a tokenizer trainer ships.
 # The corpus is touched exactly once (word_counts); every round after
