@@ -147,6 +147,8 @@ HEADLINE = [
     "simhash_neardup",
     "semantic_decontaminate",
     "token_balanced_shards",
+    "lang_confusion",
+    "vocab_coverage_curve",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

@@ -996,6 +996,78 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Vocabulary coverage CURVE — OOV rate as a function of vocab size (the
+# tokenizer-sizing audit: how big must the vocab be before the OOV tail
+# is acceptable). ONE corpus pass: token stream left-joins the
+# broadcast top-1000 rank table once; the three cutoffs are conditional
+# sums in the same aggregate, unpivoted to rows.
+
+_VOCAB_CURVE_ORACLE = """
+WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+             FROM documents),
+freq AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+rk AS (SELECT t, row_number() OVER (ORDER BY n DESC, t) AS rk FROM freq
+       QUALIFY rk <= 1000),
+j AS (SELECT tok.t, rk.rk FROM tok LEFT JOIN rk ON tok.t = rk.t),
+a AS (SELECT count(*) AS total,
+        sum(CASE WHEN rk IS NULL OR rk > 10 THEN 1 ELSE 0 END) AS o10,
+        sum(CASE WHEN rk IS NULL OR rk > 100 THEN 1 ELSE 0 END) AS o100,
+        sum(CASE WHEN rk IS NULL OR rk > 1000 THEN 1 ELSE 0 END) AS o1000
+      FROM j)
+SELECT CAST(10 AS INT) AS vocab_k, CAST(total AS BIGINT) AS n_tokens,
+       CAST(o10 AS BIGINT) AS n_oov,
+       CAST(round(o10 * 1.0 / total, 6) AS DOUBLE) AS oov_rate FROM a
+UNION ALL SELECT 100, total, o100, CAST(round(o100 * 1.0 / total, 6) AS DOUBLE) FROM a
+UNION ALL SELECT 1000, total, o1000, CAST(round(o1000 * 1.0 / total, 6) AS DOUBLE) FROM a
+"""
+
+
+@register("vocab_coverage_curve", oracle=_VOCAB_CURVE_ORACLE)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vocab_k, n_tokens, n_oov, oov_rate) for k in {10, 100, 1000}.
+    Scale: rank table = TakeOrdered top-1000 (per-partition partial
+    top-k) + a row_number window over those 1000 rows only; the corpus
+    pays one explode, one broadcast left join, one aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.text import tokens
+    from flink_ms_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(F.explode(tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("n"))
+    top = freq.orderBy(F.col("n").desc(), F.col("t").asc()).limit(1000)
+    w = Window.partitionBy().orderBy(F.col("n").desc(), F.col("t").asc())
+    rk = top.withColumn("rk", F.row_number().over(w)).select("t", "rk")
+    j = tok.join(F.broadcast(rk), "t", "left")
+
+    def oov(k: int):
+        return F.sum(
+            F.when(F.col("rk").isNull() | (F.col("rk") > k), 1).otherwise(0)
+        )
+
+    a = j.agg(
+        F.count("*").alias("total"),
+        oov(10).alias("o10"),
+        oov(100).alias("o100"),
+        oov(1000).alias("o1000"),
+    )
+
+    def row(k: int, col: str):
+        return a.select(
+            F.lit(k).cast("int").alias("vocab_k"),
+            F.col("total").cast("long").alias("n_tokens"),
+            F.col(col).cast("long").alias("n_oov"),
+            F.round(F.col(col) / F.col("total"), 6).alias("oov_rate"),
+        )
+
+    return row(10, "o10").unionByName(row(100, "o100")).unionByName(
+        row(1000, "o1000")
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus dedup report: the one-row summary a curation run logs —
 # exact-dup volume and LSH near-dup candidate volume side by side.
 

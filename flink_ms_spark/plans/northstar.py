@@ -245,6 +245,42 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", predict_lang("text").alias("predicted_lang"))
 
 
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID heuristic
+    against the declared lang column — the classifier-audit a
+    curation run keeps next to the classifier itself. One narrow map
+    + one tiny (≤ |langs|²) keyed agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            predict_lang("text").alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+register(
+    "lang_confusion",
+    oracle=f"""
+WITH t AS (SELECT lang AS declared,
+             list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks
+           FROM documents),
+p AS (SELECT declared,
+  CASE
+    WHEN list_has_any(toks, ['the','and','of']) THEN 'en'
+    WHEN list_has_any(toks, ['der','die','das','und']) THEN 'de'
+    WHEN list_has_any(toks, ['le','la','les','et']) THEN 'fr'
+    WHEN list_has_any(toks, ['el','los','las','y']) THEN 'es'
+    ELSE 'zh'
+  END AS predicted
+FROM t)
+SELECT declared, predicted, count(*) AS n FROM p GROUP BY declared, predicted
+""",
+)(_q_lang_confusion)
+
+
 # --------------------------------------------------------------------------
 # MinHash signatures (3-gram shingles)
 
