@@ -236,6 +236,31 @@ def test_lsh_bucket_cap_drops_template_buckets(spark):
     assert got == {(10, 11)}  # template bucket (6 > 4) dropped entirely
 
 
+def test_simhash_neardup_no_false_negatives_vs_brute_force(spark, sf_smoke):
+    """Pigeonhole guarantee: the banded discovery must return EXACTLY
+    the pairs a brute-force all-pairs Hamming scan finds at the
+    threshold (no false negatives by the band lemma; no false positives
+    by the exact verify)."""
+    from flink_ms_spark.operators.dedup import simhash, simhash_neardup
+    from flink_ms_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(200)
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if d <= 2:
+                want.add((a, b, d))
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_neardup(docs, bits=32, n_bands=4, max_hamming=2).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture must actually exercise the path
+
+
 def test_lsh_pair_stats_matches_expanded_pairs(spark):
     """lsh_pair_stats' pair count must equal the materialized capped
     expansion, and its dropped volume must equal the doc-slot total of
