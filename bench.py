@@ -149,6 +149,7 @@ HEADLINE = [
     "token_balanced_shards",
     "lang_confusion",
     "vocab_coverage_curve",
+    "recs_ranking_eval",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

@@ -548,6 +548,76 @@ def q_als_topn_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Ranking evaluation of the served recommendations — the ranking
+# complement of M8's MSE: micro-averaged precision/recall@3 of the
+# top-3 recs against relevant (rating ≥ 4) held-out items. Micro
+# averages are EXACT integer ratios (total hits / slot count), so the
+# cross-engine comparison never rides float mean order.
+
+_RANKING_EVAL_ORACLE = f"""
+WITH {_RATINGS_CTE},
+users AS (SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS user_id),
+items AS (SELECT CAST(unnest(generate_series(0, {N_ITEMS - 1})) AS INT) AS item_id),
+scored AS (
+  SELECT u.user_id, i.item_id,
+    CAST(round(list_sum(list_transform(generate_series(1, {K}),
+      j -> ({duck_factor("u.user_id", "j", "U")})
+           * ({duck_factor("i.item_id", "j", "I")}))), 6) AS DOUBLE)
+      AS prediction
+  FROM users u CROSS JOIN items i),
+rk AS (SELECT user_id, item_id,
+         row_number() OVER (PARTITION BY user_id
+              ORDER BY prediction DESC, item_id) AS rk
+       FROM scored),
+recs AS (SELECT user_id, item_id FROM rk WHERE rk <= 3),
+rel AS (SELECT DISTINCT user_id, item_id FROM ratings
+        WHERE rating >= 4.0 AND user_id < 20),
+hits AS (SELECT recs.user_id, count(rel.item_id) AS n_hits
+         FROM recs LEFT JOIN rel USING (user_id, item_id)
+         GROUP BY recs.user_id),
+relc AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY user_id),
+per AS (SELECT relc.user_id, coalesce(h.n_hits, 0) AS n_hits, relc.n_rel
+        FROM relc LEFT JOIN hits h USING (user_id))
+SELECT CAST(3 AS INT) AS k, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       CAST(round(sum(n_hits) * 1.0 / (3 * count(*)), 6) AS DOUBLE)
+         AS precision_at_k,
+       CAST(round(sum(n_hits) * 1.0 / sum(n_rel), 6) AS DOUBLE)
+         AS recall_at_k
+FROM per
+"""
+
+
+@register("recs_ranking_eval", oracle=_RANKING_EVAL_ORACLE)
+def q_recs_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged precision/recall@3 of the served top-3 recs vs
+    rating ≥ 4 relevance — one row, exact integer ratios."""
+    recs = q_als_topn_recs(spark, sf_dir).select("user_id", "item_id")
+    ratings = ratings_from_events(spark, sf_dir)
+    rel = (
+        ratings.where((F.col("rating") >= 4.0) & (F.col("user_id") < 20))
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    hits = (
+        recs.join(rel.withColumn("_hit", F.lit(1)), ["user_id", "item_id"], "left")
+        .groupBy("user_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+    )
+    relc = rel.groupBy("user_id").agg(F.count("*").alias("n_rel"))
+    per = relc.join(hits, "user_id", "left").na.fill({"n_hits": 0})
+    return per.agg(
+        F.lit(3).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.round(F.sum("n_hits") / (F.lit(3) * F.count("*")), 6).alias(
+            "precision_at_k"
+        ),
+        F.round(F.sum("n_hits") / F.sum("n_rel"), 6).alias("recall_at_k"),
+    )
+
+
+# --------------------------------------------------------------------------
 # M6 variant — SGDV0's sequential update (item sees post-update user)
 
 _SGD_SEQ_ORACLE = f"""
