@@ -716,3 +716,43 @@ def test_incremental_rollup_journal_restart(spark, tmp_path):
     stream2 = spark.readStream.schema(schema).json(str(src))
     roll2.run(stream2, str(tmp_path / "ckpt_ivm_j2")).awaitTermination(120)
     assert roll2.snapshot() == snap
+
+
+def test_streaming_mse_ledger(spark, tmp_path):
+    """Continuous evaluation: per-micro-batch MSE of arriving ratings
+    against the CURRENT served model, appended to an idempotent
+    parquet ledger (streaming form of the reference's MSE batch job)."""
+    from flink_ms_spark.serving.store import ModelStore
+    from flink_ms_spark.streaming.eval import StreamingMSE
+
+    store = ModelStore(spark, "ALS_MODEL_EVAL")
+    model_src = tmp_path / "m_src"
+    _write(str(model_src / "m.txt"), ["1,U,1.0;2.0", "10,I,3.0;1.0"])
+    stream_model_into_store(
+        spark, str(model_src), store, str(tmp_path / "ckpt_m2"), available_now=True
+    ).awaitTermination(120)
+
+    ratings_src = tmp_path / "r_src"
+    ledger = str(tmp_path / "mse_ledger")
+    ev = StreamingMSE(store, ledger)
+    schema = "user_id INT, item_id INT, rating DOUBLE"
+
+    def run() -> None:
+        stream = spark.readStream.schema(schema).json(str(ratings_src))
+        q = ev.run(stream, str(tmp_path / "ckpt_ev"))
+        q.awaitTermination(120)
+
+    _write(str(ratings_src / "a.json"),
+           ['{"user_id": 1, "item_id": 10, "rating": 6.0}',
+            '{"user_id": 99, "item_id": 10, "rating": 5.0}'])  # 99: skip-on-miss
+    run()
+    rows = {r.batch_id: r for r in ev.ledger(spark).collect()}
+    # pred(1,10) = 1*3 + 2*1 = 5 -> e^2 = 1; user 99 absent -> skipped
+    assert rows[0].n == 1 and rows[0].mse == 1.0
+
+    _write(str(ratings_src / "b.json"),
+           ['{"user_id": 1, "item_id": 10, "rating": 4.0}'])
+    run()
+    rows = {r.batch_id: r for r in ev.ledger(spark).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1].n == 1 and rows[1].mse == 1.0
