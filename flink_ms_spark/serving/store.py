@@ -38,6 +38,8 @@ class ModelStore:
         self.name = name
         self._dict: dict[str, Row] = {}
         self._df: DataFrame | None = None
+        self._snapshots: dict[int, tuple[dict, DataFrame | None]] = {}
+        self._next_version = 1
 
     # -- write path ------------------------------------------------------
 
@@ -89,6 +91,29 @@ class ModelStore:
 
     def __len__(self) -> int:
         return len(self._dict)
+
+    # -- versioned serving -------------------------------------------------
+
+    def snapshot(self) -> int:
+        """Freeze the current serving state; returns a version number a
+        later :meth:`rollback` can restore INSTANTLY (driver-side
+        pointer flip on the model-scale dict — no recompute, no scan).
+        The operational story this enables: upsert the new model,
+        validate (e.g. the streaming-MSE ledger), and roll back in O(1)
+        if the new model regresses."""
+        v = self._next_version
+        self._next_version += 1
+        self._snapshots[v] = (dict(self._dict), self._df)
+        return v
+
+    def rollback(self, version: int) -> None:
+        """Restore a snapshot — lookups and view() flip atomically from
+        the caller's perspective (single-threaded driver mutation)."""
+        if version not in self._snapshots:
+            raise KeyError(f"no snapshot {version} in store {self.name!r}")
+        d, df = self._snapshots[version]
+        self._dict = dict(d)
+        self._df = df
 
 
 def latest_per_key(df: DataFrame, key_col: str = "key", ordinal_col: str = "_ord") -> DataFrame:

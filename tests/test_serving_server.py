@@ -71,3 +71,33 @@ def test_server_reflects_upserts(spark):
         assert query_model(server.host, server.port, "2-U")["factors"] == [9.0]
     finally:
         server.stop()
+
+
+def test_snapshot_rollback_serving(spark):
+    """Versioned serving: upsert a new model, validate, roll back in
+    O(1) — lookups and the join view flip atomically."""
+    store = _populated_store(spark)
+    v1 = store.snapshot()
+
+    # "deploy" a regressed model for key 1-U and add a new key
+    bad = spark.createDataFrame(
+        [("1-U", "1", "U", [9.0, 9.0]), ("2-U", "2", "U", [5.0, 5.0])],
+        "key STRING, id STRING, kind STRING, factors ARRAY<DOUBLE>",
+    )
+    store.upsert_batch(bad)
+    assert list(store.lookup("1-U").factors) == [9.0, 9.0]
+    assert store.lookup("2-U") is not None
+    v2 = store.snapshot()
+
+    store.rollback(v1)
+    assert list(store.lookup("1-U").factors) == [1.0, 2.0]  # restored
+    assert store.lookup("2-U") is None  # new key gone with the rollback
+    assert store.view().where("key = '2-U'").count() == 0
+
+    store.rollback(v2)  # roll FORWARD works too
+    assert list(store.lookup("1-U").factors) == [9.0, 9.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        store.rollback(99)
