@@ -351,7 +351,6 @@ def q_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.expr(f"CAST((cum - n_tokens) * {_N_SHARDS} div total AS INT)"),
     )
-    avg_budget = F.lit(1.0) * F.sum("n_tokens").cast("double")
     per = a.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),

@@ -24,7 +24,7 @@ ordinal (source offset order), mirroring Flink's per-key arrival order
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
