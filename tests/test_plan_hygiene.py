@@ -41,6 +41,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "mom_growth": "monthly series",
     "zipf_slope": "top-k vocab ranks",
     "cumulative_distinct_users": "daily first-seen series",
+    "token_balanced_shards": "bucket-offset prefix table (weighted two-phase cum)",
+    "vocab_coverage_curve": "rank window over the LIMIT-1000 top-vocab frame",
 }
 
 _UNPART_WINDOW = re.compile(r"windowspecdefinition\([a-zA-Z_]+#\d+L? (ASC|DESC)")
