@@ -150,6 +150,7 @@ HEADLINE = [
     "lang_confusion",
     "vocab_coverage_curve",
     "recs_ranking_eval",
+    "quality_calibration",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

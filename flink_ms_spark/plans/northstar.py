@@ -149,6 +149,79 @@ def q_quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# quality-model calibration — decile reliability table: predicted
+# probability vs empirical weak-label rate (the ML-ops audit that says
+# whether 0.8 MEANS 80%). Buckets on the rounded prob; both engines
+# compute identical bucket ids and integer counts.
+
+
+def _quality_calibration_oracle() -> str:
+    from flink_ms_spark.ml.quality import FROZEN_WEIGHTS
+
+    w0, w1, w2, w3, w4, w5 = FROZEN_WEIGHTS
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id, toks, text,
+  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks), 6)
+    AS avg_token_len,
+  round(len(list_filter(toks, x -> list_contains(
+    ['the','a','and','of','to','in','is','it'], lower(x)))) * 1.0 / len(toks), 6)
+    AS stopword_ratio,
+  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+    * 1.0 / length(text), 6) AS upper_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+    * 1.0 / length(text), 6) AS digit_ratio,
+  round(ln(1.0 + len(toks)), 6) AS log_n_tokens
+FROM t),
+z AS (SELECT doc_id,
+  round(1.0 / (1.0 + exp(-round({w0!r} + {w1!r} * avg_token_len
+    + {w2!r} * stopword_ratio + {w3!r} * upper_ratio
+    + {w4!r} * digit_ratio + {w5!r} * log_n_tokens, 6))), 6) AS prob,
+  CASE WHEN stopword_ratio >= 0.03 AND avg_token_len BETWEEN 2.0 AND 12.0
+            AND len(toks) >= 5 THEN 1 ELSE 0 END AS label
+FROM f)
+SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(avg(prob), 6) AS DOUBLE) AS mean_prob,
+       CAST(round(sum(label) * 1.0 / count(*), 6) AS DOUBLE) AS label_rate
+FROM z GROUP BY 1
+"""
+
+
+@register("quality_calibration", oracle=_quality_calibration_oracle)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the frozen quality model: per probability
+    decile, the mean predicted probability vs the empirical weak-label
+    rate. Scan-speed column math + one 10-group aggregate."""
+    from flink_ms_spark.ml.quality import (
+        quality_feature_frame,
+        score_quality,
+        weak_label,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = quality_feature_frame(docs).withColumn("label", weak_label())
+    z = score_quality(docs).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    return (
+        z.select(
+            F.least(F.floor(F.col("quality_prob") * 10), F.lit(9))
+            .cast("int")
+            .alias("bucket"),
+            "quality_prob",
+            "label",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("quality_prob"), 6).alias("mean_prob"),
+            F.round(F.sum("label") / F.count("*"), 6).alias("label_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # curation funnel — the per-stage survivor counts a curation run logs
 # (the funnel view of the corpus_curation capstone, with the
 # model-based quality gate as the final stage)
