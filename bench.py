@@ -151,6 +151,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "recs_ranking_eval",
     "quality_calibration",
+    "dedup_method_agreement",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

@@ -413,6 +413,98 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-method near-dup agreement — how much do MinHash-LSH and SimHash
+# discovery overlap? The triangulation audit a curation run keeps when
+# two independent near-dup families gate the same corpus: high overlap
+# ⇒ the signals corroborate; divergence names the docs one family
+# misses (LSH keys on shared VOCABULARY, SimHash on shared token
+# DISTRIBUTION — they genuinely see different things).
+
+_METHOD_AGREEMENT_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id, unnest(t) AS s FROM toks),
+x AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x
+      FROM sh),
+hs AS (SELECT doc_id, hh.h, ((2 * hh.h + 1) * x + hh.h * 12345 + 7) % 2147483647 AS mh
+       FROM x CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh),
+msigs AS (SELECT doc_id, h, min(mh) AS minhash FROM hs GROUP BY doc_id, h),
+mbands AS (SELECT doc_id, h AS band, CAST(minhash AS VARCHAR) AS band_sig FROM msigs),
+lsh AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM mbands x JOIN mbands y USING (band, band_sig)
+        WHERE x.doc_id < y.doc_id),
+stoks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+          FROM documents),
+th AS (SELECT doc_id, md5(t) AS h FROM stoks),
+votes AS (SELECT doc_id, bb.b,
+            CASE WHEN (strpos('0123456789abcdef', substr(h, bb.b, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END AS v
+          FROM th CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b) bb),
+bits AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN '1' ELSE '0' END AS bit
+         FROM votes GROUP BY doc_id, b),
+ssig AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS s FROM bits GROUP BY doc_id),
+sbands AS (SELECT doc_id, s, bb.band, substr(s, bb.band * 8 + 1, 8) AS band_sig
+           FROM ssig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb),
+scand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.s AS sa, y.s AS sb
+          FROM sbands x JOIN sbands y USING (band, band_sig)
+          WHERE x.doc_id < y.doc_id),
+simp AS (SELECT a, b FROM (
+           SELECT a, b,
+             list_sum(list_transform(generate_series(1, 32),
+               i -> CASE WHEN substr(sa, i, 1) != substr(sb, i, 1)
+                    THEN 1 ELSE 0 END)) AS hamming
+           FROM scand) WHERE hamming <= 2),
+agg AS (SELECT
+  (SELECT count(*) FROM lsh) AS n_lsh,
+  (SELECT count(*) FROM simp) AS n_simhash,
+  (SELECT count(*) FROM lsh JOIN simp USING (a, b)) AS n_both)
+SELECT CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_simhash AS BIGINT) AS n_simhash,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(round(n_both * 1.0 / (n_lsh + n_simhash - n_both), 6) AS DOUBLE)
+         AS pair_jaccard
+FROM agg
+"""
+
+
+@register("dedup_method_agreement", oracle=_METHOD_AGREEMENT_ORACLE)
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row overlap report of the two discovery families: pair
+    counts from MinHash-LSH (4 one-row bands) and SimHash (32-bit,
+    hamming ≤ 2), their intersection, and the pair-set Jaccard. One
+    composed plan; each family's shuffles are its own documented set."""
+    from flink_ms_spark.operators.dedup import simhash_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=4, shingle_n=1), band_size=1
+    )
+    simp = simhash_neardup(docs, bits=32, n_bands=4, max_hamming=2).select(
+        "a", "b"
+    )
+    n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
+    n_sim = simp.agg(F.count("*").cast("long").alias("n_simhash"))
+    n_both = (
+        lsh.join(simp, ["a", "b"])
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        n_lsh.crossJoin(n_sim)
+        .crossJoin(n_both)
+        .select(
+            "n_lsh",
+            "n_simhash",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_lsh") + F.col("n_simhash") - F.col("n_both")),
+                6,
+            ).alias("pair_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash (8-bit, md5-digit votes)
 
 _SIMHASH_ORACLE = """
