@@ -152,6 +152,7 @@ HEADLINE = [
     "recs_ranking_eval",
     "quality_calibration",
     "dedup_method_agreement",
+    "pii_census",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

@@ -889,6 +889,68 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_pii("text").alias("scrubbed"))
 
 
+# PII census — per-type redaction totals, counted in the SAME ordered
+# chain the scrubber applies (email hits counted on raw text, URL hits
+# on the email-scrubbed text, …) so census numbers equal what the
+# scrub actually redacted. One narrow map + one corpus aggregate.
+
+_PII_CENSUS_ORACLE = r"""
+WITH c AS (SELECT
+  len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+FROM documents),
+c2 AS (SELECT n_email,
+  len(regexp_extract_all(t1, 'https?://[^\s]+')) AS n_url,
+  regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+FROM c),
+c3 AS (SELECT n_email, n_url,
+  len(regexp_extract_all(t2,
+    '\+?\(?[0-9]{1,4}\)?[()\-\. ][0-9()\-\. ]{4,}[0-9]')) AS n_phone,
+  regexp_replace(t2,
+    '\+?\(?[0-9]{1,4}\)?[()\-\. ][0-9()\-\. ]{4,}[0-9]', '<PHONE>', 'g') AS t3
+FROM c2),
+c4 AS (SELECT n_email, n_url, n_phone,
+  len(regexp_extract_all(t3, '[0-9]{9,}')) AS n_id
+FROM c3)
+SELECT CAST(sum(n_email) AS BIGINT) AS n_emails,
+       CAST(sum(n_url) AS BIGINT) AS n_urls,
+       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       CAST(sum(n_id) AS BIGINT) AS n_ids,
+       CAST(sum(CASE WHEN n_email + n_url + n_phone + n_id > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+FROM c4
+"""
+
+
+@register("pii_census", oracle=_PII_CENSUS_ORACLE)
+def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII census: total emails/URLs/phones/long-ID runs the
+    scrubber redacts, plus how many docs carried any — the redaction
+    ledger a privacy review asks for."""
+    from flink_ms_spark.operators.text import PII_PATTERNS
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = []
+    for i, (pat, _repl) in enumerate(PII_PATTERNS):
+        counts.append(F.regexp_count(t, F.lit(pat)).alias(f"_c{i}"))
+        t = F.regexp_replace(t, pat, _repl)
+    per = docs.select(*counts)
+    return per.agg(
+        F.sum("_c0").cast("long").alias("n_emails"),
+        F.sum("_c1").cast("long").alias("n_urls"),
+        F.sum("_c2").cast("long").alias("n_phones"),
+        F.sum("_c3").cast("long").alias("n_ids"),
+        F.sum(
+            (
+                (F.col("_c0") + F.col("_c1") + F.col("_c2") + F.col("_c3")) > 0
+            ).cast("int")
+        ).cast("long").alias("docs_with_pii"),
+    )
+
+
 _TOKEN_STATS_ORACLE = """
 SELECT doc_id,
   CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,

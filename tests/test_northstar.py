@@ -357,3 +357,29 @@ def test_allpairs_jaccard_no_false_negatives(spark):
             want[(a, b)] = round(j, 6)
     assert want, "crafted corpus must contain qualifying pairs"
     assert got == want
+
+
+def test_pii_census_counts_crafted_content(spark, tmp_path):
+    """The fixture corpus is PII-free (census = zeros), so pin the
+    counting chain on crafted docs: counts must reflect the ORDERED
+    scrub (an email's digits never double-count as an <ID> run)."""
+    import os
+
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or x@y.io thanks", "en", "s0", 1),
+            (2, "see https://a.io/b?q=1 and http://c.de", "en", "s0", 1),
+            (3, "call +1 (415) 555-0199 now", "en", "s0", 1),
+            (4, "order 123456789012 shipped", "en", "s0", 1),
+            (5, "clean text stays clean", "en", "s0", 1),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    d = str(tmp_path / "pii_fixture")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    row = QUERIES["pii_census"](spark, d).collect()[0]
+    assert (row.n_emails, row.n_urls, row.n_phones, row.n_ids) == (2, 2, 1, 1)
+    assert row.docs_with_pii == 4
