@@ -430,8 +430,11 @@ hs AS (SELECT doc_id, hh.h, ((2 * hh.h + 1) * x + hh.h * 12345 + 7) % 2147483647
        FROM x CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS h) hh),
 msigs AS (SELECT doc_id, h, min(mh) AS minhash FROM hs GROUP BY doc_id, h),
 mbands AS (SELECT doc_id, h AS band, CAST(minhash AS VARCHAR) AS band_sig FROM msigs),
+mkeep AS (SELECT band, band_sig FROM mbands
+          GROUP BY band, band_sig HAVING count(*) BETWEEN 2 AND 64),
 lsh AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM mbands x JOIN mbands y USING (band, band_sig)
+        JOIN mkeep USING (band, band_sig)
         WHERE x.doc_id < y.doc_id),
 stoks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
           FROM documents),
@@ -470,14 +473,21 @@ FROM agg
 @register("dedup_method_agreement", oracle=_METHOD_AGREEMENT_ORACLE)
 def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row overlap report of the two discovery families: pair
-    counts from MinHash-LSH (4 one-row bands) and SimHash (32-bit,
-    hamming ≤ 2), their intersection, and the pair-set Jaccard. One
-    composed plan; each family's shuffles are its own documented set."""
+    counts from capped-bucket MinHash-LSH (4 one-row bands, 64-doc
+    bucket cap) and SimHash (32-bit, hamming ≤ 2), their intersection,
+    and the pair-set Jaccard. One composed plan; each family's
+    shuffles are its own documented set."""
     from flink_ms_spark.operators.dedup import simhash_neardup
 
     docs = load_table(spark, sf_dir, "documents")
+    # capped buckets — the same curation-log form as dedup_report: a
+    # hot boilerplate bucket is dropped, never pair-expanded, so the
+    # audit itself cannot go quadratic at scale (uncapped, this query
+    # measured 24 s at sf0.1; capped, sub-2 s)
     lsh = lsh_candidate_pairs(
-        minhash_signatures(docs, num_hashes=4, shingle_n=1), band_size=1
+        minhash_signatures(docs, num_hashes=4, shingle_n=1),
+        band_size=1,
+        max_bucket_size=64,
     )
     simp = simhash_neardup(docs, bits=32, n_bands=4, max_hamming=2).select(
         "a", "b"
