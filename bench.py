@@ -153,6 +153,12 @@ HEADLINE = [
     "quality_calibration",
     "dedup_method_agreement",
     "pii_census",
+    # round-3 widening, continued: line-granularity dedup, blended
+    # quality percentiles, per-source dup census, embedding drift
+    "line_dedup",
+    "quality_blend",
+    "neardup_rate_by_source",
+    "centroid_drift",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

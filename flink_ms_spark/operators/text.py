@@ -506,3 +506,55 @@ def bpe_encode_stats(
             ).alias("bpe_per_word"),
         )
     )
+
+
+def drop_duplicated_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """CCNet-style duplicate-line scrub: a line whose normalized form
+    (lowercase, trimmed) appears in >= ``min_docs`` DISTINCT documents
+    is boilerplate (nav bars, cookie banners, license footers) and is
+    removed from every document; blank lines are never counted or
+    removed.  Output per doc: ``n_lines``, ``n_lines_kept``, and
+    ``text_clean`` (kept lines re-joined in original order).
+
+    Scale story: one shuffle keyed on the normalized line (the corpus
+    line-frequency aggregation — countDistinct is per-key, fully
+    parallel), one shuffle join of the line table against the
+    boilerplate set on the same key (AQE broadcasts it when the
+    boilerplate vocabulary is small), and one groupBy(doc_id) to
+    reassemble.  Nothing passes through a single task; the quadratic
+    trap (comparing documents pairwise) never appears because identity
+    is established per-line, not per-pair.  Reassembly order comes
+    from ``array_sort`` over (pos, line) structs inside the aggregate
+    — no window needed.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim("line")))
+    boiler = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.countDistinct(id_col).alias("line_docs"))
+        .filter(F.col("line_docs") >= min_docs)
+        .select("norm", F.lit(1).alias("_dup"))
+    )
+    flagged = lines.join(boiler, "norm", "left")
+    kept_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )

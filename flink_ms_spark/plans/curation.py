@@ -505,3 +505,124 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-line scrub (CCNet, Wenzek et al. 2019): a normalized line
+# seen in >= 3 distinct documents is boilerplate and is cut from every
+# document. This is the line-granularity sibling of substring_dedup —
+# the cheapest of the three dedup granularities (line < span < doc)
+# and the one production web pipelines run FIRST, because nav bars and
+# cookie banners dominate raw crawl bytes. Scale notes in
+# operators/text.py:drop_duplicated_lines.
+
+_LINE_DEDUP_ORACLE = """
+WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+lines AS (SELECT doc_id, j AS pos, ls[j] AS line, lower(trim(ls[j])) AS norm
+          FROM l0, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS j) t),
+boiler AS (SELECT norm FROM lines WHERE norm <> ''
+           GROUP BY norm HAVING count(DISTINCT doc_id) >= 3),
+j AS (SELECT l.doc_id, l.pos, l.line, b.norm AS bn
+      FROM lines l LEFT JOIN boiler b USING (norm))
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(count(*) FILTER (WHERE bn IS NULL) AS BIGINT) AS n_lines_kept,
+       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE bn IS NULL),
+                '') AS text_clean
+FROM j GROUP BY doc_id
+"""
+
+
+@register("line_dedup", oracle=_LINE_DEDUP_ORACLE)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal (line in >=3 distinct docs
+    => boilerplate, dropped everywhere; blank lines untouched)."""
+    from flink_ms_spark.operators.text import drop_duplicated_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drop_duplicated_lines(docs, min_docs=3)
+
+
+# --------------------------------------------------------------------------
+# Rank-normalized quality blend: three orthogonal cheap signals
+# (length, word count, alphabetic ratio) are each converted to an
+# exact global percentile and averaged — the standard way to combine
+# incommensurable quality scores without hand-tuned scales (each
+# signal contributes uniformly by construction). Ties broken by
+# doc_id so both engines rank identically. The Spark side computes
+# each EXACT global rank with the two-phase bucketed rank
+# (operators/mixing.py:bucketed_global_rank) — three keyed shuffles +
+# three doc_id joins, never a single-partition `row_number() OVER
+# (ORDER BY ...)` window: at corpus scale that window is one task
+# holding the whole corpus.
+
+_QUALITY_BLEND_ORACLE = """
+WITH sig AS (
+  SELECT doc_id, n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(n_chars, 1) AS alpha_ratio
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS r_len,
+         row_number() OVER (ORDER BY n_words, doc_id) AS r_word,
+         row_number() OVER (ORDER BY alpha_ratio, doc_id) AS r_alpha,
+         count(*) OVER () AS n
+  FROM sig)
+SELECT doc_id,
+  CAST(round((r_len - 1) / CAST(n - 1 AS DOUBLE), 6) AS DOUBLE) AS len_pct,
+  CAST(round((r_word - 1) / CAST(n - 1 AS DOUBLE), 6) AS DOUBLE) AS word_pct,
+  CAST(round((r_alpha - 1) / CAST(n - 1 AS DOUBLE), 6) AS DOUBLE) AS alpha_pct,
+  CAST(round((round((r_len - 1) / CAST(n - 1 AS DOUBLE), 6)
+            + round((r_word - 1) / CAST(n - 1 AS DOUBLE), 6)
+            + round((r_alpha - 1) / CAST(n - 1 AS DOUBLE), 6)) / 3, 6)
+       AS DOUBLE) AS blend
+FROM r
+"""
+
+
+@register("quality_blend", oracle=_QUALITY_BLEND_ORACLE)
+def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-of-percentiles quality score over length / word count /
+    alphabetic ratio, exact global ranks via the two-phase bucketed
+    rank (no single-partition window)."""
+    from flink_ms_spark.operators.mixing import bucketed_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_words"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.greatest("n_chars", F.lit(1))
+        ).alias("alpha_ratio"),
+    )
+
+    def pct(order_col: str, bucket, name: str) -> DataFrame:
+        ranked = bucketed_global_rank(
+            sig,
+            bucket=bucket,
+            order_cols=[F.col(order_col).asc(), F.col("doc_id").asc()],
+        )
+        return ranked.select(
+            "doc_id",
+            F.round(
+                (F.col("pos") - 1) / (F.col("total") - 1).cast("double"), 6
+            ).alias(name),
+        )
+
+    lp = pct("n_chars", F.col("n_chars").cast("long"), "len_pct")
+    wp = pct("n_words", F.col("n_words").cast("long"), "word_pct")
+    ap = pct("alpha_ratio", F.floor(F.col("alpha_ratio") * 100).cast("long"), "alpha_pct")
+    out = lp.join(wp, "doc_id").join(ap, "doc_id")
+    return out.select(
+        "doc_id",
+        "len_pct",
+        "word_pct",
+        "alpha_pct",
+        F.round(
+            (F.col("len_pct") + F.col("word_pct") + F.col("alpha_pct")) / 3, 6
+        ).alias("blend"),
+    )

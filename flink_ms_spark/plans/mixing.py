@@ -1147,3 +1147,63 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_dropped_bucket_docs",
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding centroid drift: split the corpus into two deterministic
+# cohorts (vec_id parity — stand-in for "last month vs this month")
+# and measure, per label, how far the class centroid moved: cosine
+# similarity and L2 shift between cohort centroids. The audit a
+# training pipeline runs on every new snapshot to catch upstream
+# distribution shift BEFORE spending GPU-hours on it. Per-dim means
+# are rounded to 6 dp on both engines before the second-level
+# aggregation so the derived dot/norm math is bit-stable across
+# engines. Scale: one posexplode (narrow), one (label, dim)-keyed
+# partial agg — the shuffled table is |labels|x|dims| rows (model
+# scale), and the final per-label rollup is trivial. No UDFs, no
+# driver collection.
+
+_CENTROID_DRIFT_ORACLE = """
+WITH e AS (SELECT label, vec_id % 2 AS cohort, j AS pos,
+                  CAST(embedding[j] AS DOUBLE) AS v
+           FROM embeddings,
+                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) t),
+pd AS (SELECT label, pos,
+              round(avg(v) FILTER (WHERE cohort = 0), 6) AS a,
+              round(avg(v) FILTER (WHERE cohort = 1), 6) AS b
+       FROM e GROUP BY label, pos)
+SELECT label,
+  CAST(round(sum(a * b) / sqrt(sum(a * a) * sum(b * b)), 6) AS DOUBLE) AS cos_sim,
+  CAST(round(sqrt(sum((a - b) * (a - b))), 6) AS DOUBLE) AS l2_shift
+FROM pd GROUP BY label
+"""
+
+
+@register("centroid_drift", oracle=_CENTROID_DRIFT_ORACLE)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift between the two vec_id-parity cohorts:
+    cosine similarity + L2 distance of the cohort mean embeddings."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "v"),
+    )
+    pd_ = e.groupBy("label", "pos").agg(
+        F.round(F.avg(F.when(F.col("cohort") == 0, F.col("v"))), 6).alias("a"),
+        F.round(F.avg(F.when(F.col("cohort") == 1, F.col("v"))), 6).alias("b"),
+    )
+    return pd_.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("a") * F.col("b"))
+            / F.sqrt(F.sum(F.col("a") * F.col("a")) * F.sum(F.col("b") * F.col("b"))),
+            6,
+        ).alias("cos_sim"),
+        F.round(F.sqrt(F.sum((F.col("a") - F.col("b")) * (F.col("a") - F.col("b")))), 6).alias(
+            "l2_shift"
+        ),
+    )

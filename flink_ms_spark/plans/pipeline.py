@@ -1330,3 +1330,52 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source duplication census: join the LSH connected-component map
+# back onto the corpus and report, per source, how many documents are
+# non-canonical members of a near-dup cluster (the rows a
+# cluster-dedup pass would drop). This is the curation-log view a
+# data engineer reads before deciding which crawl snapshot to
+# re-scrape — the reference for "which source is polluting the mix".
+# Scale: reuses the bipartite min-label components (no pair
+# materialization); the only new work is a doc_id-keyed join of the
+# component map against the corpus and a per-source rollup.
+
+_NEARDUP_RATE_ORACLE = _CC_CORE + """
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE c.doc_id IS NOT NULL
+                             AND c.doc_id <> c.component) AS BIGINT) AS n_dups,
+       CAST(round(count(*) FILTER (WHERE c.doc_id IS NOT NULL
+                                   AND c.doc_id <> c.component)
+                  / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS dup_rate
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+GROUP BY d.source
+"""
+
+
+@register("neardup_rate_by_source", oracle=_NEARDUP_RATE_ORACLE)
+def q_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplicate rate: fraction of each source's docs
+    that are non-canonical members of an LSH dup cluster."""
+    cc = _lsh_components(spark, sf_dir)
+    dups = (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("_dup"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(dups, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_dups"),
+            F.round(
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -43,6 +43,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "cumulative_distinct_users": "daily first-seen series",
     "token_balanced_shards": "bucket-offset prefix table (weighted two-phase cum)",
     "vocab_coverage_curve": "rank window over the LIMIT-1000 top-vocab frame",
+    "quality_blend": "bucket-offset prefix tables (3x two-phase percentile)",
 }
 
 _UNPART_WINDOW = re.compile(r"windowspecdefinition\([a-zA-Z_]+#\d+L? (ASC|DESC)")
