@@ -174,3 +174,34 @@ def salted_join(
     )
     out = salted_big.join(replicated_small, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def partitioned_write(
+    df: DataFrame,
+    out_path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-style partitioned parquet layout (``out/col=value/...``) —
+    the directory-level complement to bucketing and Z-order: a filter
+    on a partition column is resolved at FILE LISTING time (partition
+    pruning), before any parquet footer is opened.
+
+    At 100 TB this is the difference between listing one ``lang=de``
+    directory and scanning the full corpus for a per-language job; the
+    per-partition repartition keeps each directory at
+    ``files_per_partition`` files instead of one-file-per-task
+    fragments (the small-files trap ``compact_parquet`` exists to
+    repair). Partition columns must be low-cardinality (lang, source,
+    date) — a high-cardinality partition column creates millions of
+    directories and moves the bottleneck to the metastore/listing
+    layer, which is why doc_id-grained layout goes through
+    ``write_bucketed`` instead.
+    """
+    cols = [F.col(c) for c in partition_cols]
+    (
+        df.repartition(files_per_partition, *cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(out_path)
+    )

@@ -367,3 +367,81 @@ def test_round2_plan_shapes(spark, sf_smoke):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_line_dedup_semantics(spark):
+    """Pinned micro-fixture: a line in >=3 distinct docs is cut from
+    every doc; blank lines and <3-doc lines survive; a doc reduced to
+    nothing still appears with empty text_clean; order is preserved."""
+    from flink_ms_spark.operators.text import drop_duplicated_lines
+
+    boiler = "Accept cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nalpha one\n\nbeta two"),
+            (2, f"{boiler}\ngamma three"),
+            (3, f"shared twice\n{boiler}"),
+            (4, boiler),  # only boilerplate -> empty doc survives as row
+            (5, "shared twice\nunique line"),  # 'shared twice' in 2 docs: kept
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in drop_duplicated_lines(docs, min_docs=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].text_clean == "alpha one\n\nbeta two"  # blank line preserved
+    assert out[1].n_lines == 4 and out[1].n_lines_kept == 3
+    assert out[2].text_clean == "gamma three"
+    assert out[3].text_clean == "shared twice"
+    assert out[4].text_clean == "" and out[4].n_lines_kept == 0
+    assert out[5].text_clean == "shared twice\nunique line"
+
+
+def test_line_dedup_normalization_case_insensitive(spark):
+    """Frequency counting is on the lowercased/trimmed form, removal
+    applies to every casing/padding variant."""
+    from flink_ms_spark.operators.text import drop_duplicated_lines
+
+    docs = spark.createDataFrame(
+        [(1, "FOOTER \nkeep a"), (2, "footer\nkeep b"), (3, "  Footer\nkeep c")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.text_clean for r in drop_duplicated_lines(docs, min_docs=3).collect()}
+    assert out == {1: "keep a", 2: "keep b", 3: "keep c"}
+
+
+def test_quality_blend_is_uniform_percentile(spark, sf_smoke):
+    """Each signal's percentile column is a permutation of the exact
+    uniform grid k/(n-1) — the defining property of rank
+    normalization (no mass-distorting ties by construction of the
+    doc_id tiebreak)."""
+    rows = QUERIES["quality_blend"](spark, sf_smoke).collect()
+    n = len(rows)
+    assert n > 3
+    grid = sorted(round(k / (n - 1), 6) for k in range(n))
+    for col in ("len_pct", "word_pct", "alpha_pct"):
+        assert sorted(getattr(r, col) for r in rows) == grid
+    for r in rows:
+        assert abs(r.blend - round((r.len_pct + r.word_pct + r.alpha_pct) / 3, 6)) < 1e-9
+
+
+def test_centroid_drift_self_similarity(spark):
+    """Identical cohorts => cos_sim 1.0 and l2_shift 0.0 per label."""
+    from flink_ms_spark.plans.catalog import QUERIES as Q
+    import flink_ms_spark.plans.mixing as mixing
+
+    # build a tiny embeddings fixture where parity cohorts are identical
+    rows = []
+    for label in (0, 1):
+        for base in range(3):
+            vec = [float(label + 1), float(base), 1.0]
+            rows.append((2 * (label * 3 + base), vec, label))      # cohort 0
+            rows.append((2 * (label * 3 + base) + 1, vec, label))  # cohort 1
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = Q["centroid_drift"](spark, d).collect()
+    assert {r.label for r in out} == {0, 1}
+    for r in out:
+        assert r.cos_sim == 1.0 and r.l2_shift == 0.0

@@ -185,3 +185,33 @@ def test_fixture_guard_covers_every_epoch_and_arith_column(spark, sf_smoke):
     # the columns the synthetic-model `% N` arithmetic touches
     assert "event_id" in _CRITICAL_TYPES["events"]
     assert "user_id" in _CRITICAL_TYPES["events"]
+
+
+def test_partitioned_write_prunes_at_listing_time(spark, tmp_path):
+    """A filter on the hive-partition column must become a
+    PartitionFilter on the scan (resolved at file listing, zero
+    footers opened for other partitions) and the directory layout must
+    be one file per partition value — not one-file-per-task
+    fragments."""
+    import glob
+
+    from flink_ms_spark.partitioning import partitioned_write
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+    out = str(tmp_path / "part")
+    partitioned_write(df, out, ["lang"], files_per_partition=1)
+
+    # layout: exactly one parquet file under each lang=value directory
+    for v in range(4):
+        files = glob.glob(f"{out}/lang={v}/*.parquet")
+        assert len(files) == 1, files
+
+    scan = spark.read.parquet(out).filter(F.col("lang") == "2")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:80]
+    # the data filter list must NOT carry the partition predicate —
+    # pruning happened above the parquet reader
+    assert scan.count() == 2500
