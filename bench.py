@@ -159,6 +159,8 @@ HEADLINE = [
     "quality_blend",
     "neardup_rate_by_source",
     "centroid_drift",
+    "ann_recall",
+    "recs_ndcg",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

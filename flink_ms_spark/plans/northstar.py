@@ -1090,3 +1090,69 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(token_count("s")).cast("bigint").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality audit: recall@5 of the IVF index against the brute-force
+# truth — the acceptance gate a pipeline runs before trusting an
+# approximate index for semantic dedup/decontamination at scale.
+# Micro recall is an exact integer ratio (hits / (k * queries)), so
+# the cross-engine hash never rides float-mean ordering. Scale: the
+# brute tier is the audit's cost and runs on a SAMPLE in production
+# (the operator takes any input DF); the comparison itself is one
+# (a, b)-keyed join of two k-row-per-query lists.
+
+_ANN_RECALL_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+norms AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+bpairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DOUBLE)
+               AS cos_sim
+           FROM norms a CROSS JOIN norms b WHERE a.vec_id <> b.vec_id),
+brute AS (SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (PARTITION BY a
+                   ORDER BY cos_sim DESC, b) AS rk FROM bpairs) WHERE rk <= 5),
+cells AS (SELECT vec_id, v, nrm,
+            (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+             CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+             CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) AS cell
+          FROM norms),
+ipairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DOUBLE)
+               AS cos_sim
+           FROM cells a JOIN cells b USING (cell) WHERE a.vec_id <> b.vec_id),
+ivf AS (SELECT a, b FROM (
+          SELECT a, b, row_number() OVER (PARTITION BY a
+                 ORDER BY cos_sim DESC, b) AS rk FROM ipairs) WHERE rk <= 5),
+hits AS (SELECT brute.a, count(ivf.b) AS n_hits
+         FROM brute LEFT JOIN ivf USING (a, b) GROUP BY brute.a)
+SELECT CAST(5 AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       CAST(round(sum(n_hits) * 1.0 / (5 * count(*)), 6) AS DOUBLE) AS recall_at_k
+FROM hits
+"""
+
+
+@register("ann_recall", oracle=_ANN_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged recall@5 of ivf_topk against the brute-force
+    cosine truth — one row, exact integer ratio."""
+    brute = q_cosine_topk(spark, sf_dir).select("a", "b")
+    approx = (
+        q_ivf_topk(spark, sf_dir)
+        .select("a", "b")
+        .withColumn("_hit", F.lit(1))
+    )
+    hits = (
+        brute.join(approx, ["a", "b"], "left")
+        .groupBy("a")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+    )
+    return hits.agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.round(F.sum("n_hits") / (F.lit(5) * F.count("*")), 6).alias("recall_at_k"),
+    )

@@ -678,3 +678,84 @@ def q_sgd_step_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("int").alias("pos"),
         F.round("v", 6).alias("value"),
     )
+
+# --------------------------------------------------------------------------
+# NDCG@3 — the graded-ranking complement of precision/recall@3: hits
+# earn position-discounted credit 1/log2(rk+1), normalized by the
+# ideal DCG for the user's relevant-set size. Per-user ndcg is pinned
+# to 6 dp before the macro mean (3-term sums — cross-engine float
+# order is a non-issue at that precision).
+
+_NDCG_ORACLE = f"""
+WITH {_RATINGS_CTE},
+users AS (SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS user_id),
+items AS (SELECT CAST(unnest(generate_series(0, {N_ITEMS - 1})) AS INT) AS item_id),
+scored AS (
+  SELECT u.user_id, i.item_id,
+    CAST(round(list_sum(list_transform(generate_series(1, {K}),
+      j -> ({duck_factor("u.user_id", "j", "U")})
+           * ({duck_factor("i.item_id", "j", "I")}))), 6) AS DOUBLE)
+      AS prediction
+  FROM users u CROSS JOIN items i),
+rk AS (SELECT user_id, item_id,
+         row_number() OVER (PARTITION BY user_id
+              ORDER BY prediction DESC, item_id) AS rk
+       FROM scored),
+recs AS (SELECT user_id, item_id, rk FROM rk WHERE rk <= 3),
+rel AS (SELECT DISTINCT user_id, item_id FROM ratings
+        WHERE rating >= 4.0 AND user_id < 20),
+dcg AS (SELECT recs.user_id,
+          sum(CASE WHEN rel.item_id IS NOT NULL
+                   THEN 1.0 / log2(recs.rk + 1) ELSE 0 END) AS dcg
+        FROM recs LEFT JOIN rel USING (user_id, item_id)
+        GROUP BY recs.user_id),
+relc AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY user_id),
+per AS (SELECT relc.user_id,
+          round(coalesce(d.dcg, 0)
+                / (1.0 / log2(2.0)
+                   + CASE WHEN n_rel >= 2 THEN 1.0 / log2(3.0) ELSE 0 END
+                   + CASE WHEN n_rel >= 3 THEN 1.0 / log2(4.0) ELSE 0 END),
+                6) AS ndcg
+        FROM relc LEFT JOIN dcg d USING (user_id))
+SELECT CAST(3 AS INT) AS k, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(round(avg(ndcg), 6) AS DOUBLE) AS mean_ndcg
+FROM per
+"""
+
+
+@register("recs_ndcg", oracle=_NDCG_ORACLE)
+def q_recs_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged NDCG@3 of the served top-3 recs against
+    rating >= 4 relevance (users with at least one relevant item)."""
+    recs = q_als_topn_recs(spark, sf_dir).select("user_id", "item_id", "rk")
+    ratings = ratings_from_events(spark, sf_dir)
+    rel = (
+        ratings.where((F.col("rating") >= 4.0) & (F.col("user_id") < 20))
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    dcg = (
+        recs.join(rel.withColumn("_hit", F.lit(1)), ["user_id", "item_id"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_hit").isNotNull(), 1.0 / F.log2(F.col("rk") + 1))
+                .otherwise(F.lit(0.0))
+            ).alias("dcg")
+        )
+    )
+    relc = rel.groupBy("user_id").agg(F.count("*").alias("n_rel"))
+    idcg = (
+        F.lit(1.0) / F.log2(F.lit(2.0))
+        + F.when(F.col("n_rel") >= 2, 1.0 / F.log2(F.lit(3.0))).otherwise(0.0)
+        + F.when(F.col("n_rel") >= 3, 1.0 / F.log2(F.lit(4.0))).otherwise(0.0)
+    )
+    per = relc.join(dcg, "user_id", "left").select(
+        "user_id",
+        F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6).alias("ndcg"),
+    )
+    return per.agg(
+        F.lit(3).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+    )
