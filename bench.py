@@ -161,6 +161,8 @@ HEADLINE = [
     "centroid_drift",
     "ann_recall",
     "recs_ndcg",
+    "benford_audit",
+    "lang_source_chi2",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

@@ -900,3 +900,91 @@ register_sql(
         tokens="unnest(string_split_regex(lower(text), '[^a-z]+'))"
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-data screen for a
+# positive, scale-spanning measure (order totals). First digit is
+# taken from the INTEGER cents string (round(x*100) -> BIGINT ->
+# substr), never from float log10 math or float-to-string rendering,
+# both of which differ across engines at boundaries. One scan + a
+# 9-row rollup; expected shares are closed-form log10(1 + 1/d).
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+  CAST(round(count(*) / CAST((SELECT count(*) FROM d) AS DOUBLE), 6) AS DOUBLE)
+    AS obs_share,
+  CAST(round(log10(1.0 + 1.0 / digit), 6) AS DOUBLE) AS benford_share
+FROM d GROUP BY digit
+"""
+
+
+@register("benford_audit", oracle=_BENFORD_ORACLE)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation log10(1 + 1/d)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))  # 9-row input
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("t"), 6).alias("obs_share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lang x source independence audit — the contingency table + per-cell
+# chi-square contribution that tells a curation run whether corpus
+# composition shifted (a source suddenly dominating one language).
+# Expected counts are exact integer-ratio doubles (identical IEEE on
+# both engines); contributions are rounded at 6 dp only on output.
+# Scale: one |langs|x|sources| rollup plus two broadcast marginals.
+
+_CHI2_ORACLE = """
+WITH cell AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+rowm AS (SELECT lang, sum(n) AS rn FROM cell GROUP BY lang),
+colm AS (SELECT source, sum(n) AS cn FROM cell GROUP BY source),
+tot AS (SELECT sum(n) AS t FROM cell)
+SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+  CAST(round(rn * cn / CAST(t AS DOUBLE), 6) AS DOUBLE) AS expected,
+  CAST(round(pow(c.n - rn * cn / CAST(t AS DOUBLE), 2)
+             / (rn * cn / CAST(t AS DOUBLE)), 6) AS DOUBLE) AS chi2_contrib
+FROM cell c JOIN rowm USING (lang) JOIN colm USING (source) CROSS JOIN tot
+"""
+
+
+@register("lang_source_chi2", oracle=_CHI2_ORACLE)
+def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table of lang x source with expected counts and
+    per-cell chi-square contributions."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    rowm = cell.groupBy("lang").agg(F.sum("n").alias("rn"))
+    colm = cell.groupBy("source").agg(F.sum("n").alias("cn"))
+    tot = cell.agg(F.sum("n").cast("double").alias("t"))
+    e = F.col("rn") * F.col("cn") / F.col("t")
+    return (
+        cell.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.round(e, 6).alias("expected"),
+            F.round(F.pow(F.col("n") - e, 2) / e, 6).alias("chi2_contrib"),
+        )
+    )
