@@ -163,6 +163,7 @@ HEADLINE = [
     "recs_ndcg",
     "benford_audit",
     "lang_source_chi2",
+    "key_skew_report",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

@@ -988,3 +988,45 @@ def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.col("n") - e, 2) / e, 6).alias("chi2_contrib"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew census — the audit run BEFORE picking a shuffle
+# strategy for a 100 TB join: the 20 hottest keys with their row share
+# and the share of the single hottest key. Top-k goes through
+# sort+limit (TakeOrdered partial top-k on every partition — never a
+# global rank window); the total rides a broadcast one-row aggregate.
+# If hot_share x rows-per-reducer exceeds executor memory, the join
+# needs `salted_join` (partitioning.py) or AQE skew splitting.
+
+_KEY_SKEW_ORACLE = """
+WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT sum(n) AS t, max(n) AS hot FROM k)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  CAST(round(n / CAST(t AS DOUBLE), 6) AS DOUBLE) AS share,
+  CAST(round(hot / CAST(t AS DOUBLE), 6) AS DOUBLE) AS hot_share
+FROM k CROSS JOIN tot
+ORDER BY n DESC, user_id LIMIT 20
+"""
+
+
+@register("key_skew_report", oracle=_KEY_SKEW_ORACLE)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest event join keys with row share and the global
+    hottest-key share — the pre-join skew diagnosis."""
+    events = load_table(spark, sf_dir, "events")
+    k = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("double").alias("t"), F.max("n").alias("hot")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+            F.round(F.col("hot") / F.col("t"), 6).alias("hot_share"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(20)
+    )
