@@ -442,6 +442,49 @@ def cmd_dedup_ingest(args: argparse.Namespace) -> None:
     print(f"ingested into {args.output}")
 
 
+def cmd_build_ann_index(args: argparse.Namespace) -> None:
+    """Build-once half of the ANN lifecycle: train PQ codebooks on the
+    embedding parquet and persist codebooks + codes (see
+    operators/similarity.py:build_pq_index). Serving jobs then run
+    against the code table without retraining or touching raw
+    vectors."""
+    from flink_ms_spark.operators.similarity import build_pq_index
+
+    spark = _spark("[ANN] build-index")
+    df = spark.read.parquet(args.input)
+    cb = build_pq_index(
+        df,
+        args.index,
+        n_subspaces=args.subspaces,
+        n_codes=args.codes,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        seed=args.seed,
+    )
+    n = spark.read.parquet(f"{args.index}/codes").count()
+    print(
+        f"index {args.index}: {cb.shape[0]} subspaces x {cb.shape[1]} codes, "
+        f"{n} vectors encoded"
+    )
+
+
+def cmd_ann_query(args: argparse.Namespace) -> None:
+    """Serve half: ADC top-k against a persisted PQ index for one
+    query vector (comma-separated floats). Prints ``id<TAB>ad2`` rows,
+    nearest first."""
+    from flink_ms_spark.operators.similarity import load_pq_codebooks, pq_topk_codes
+
+    spark = _spark("[ANN] query")
+    cb = load_pq_codebooks(spark, args.index)
+    codes = spark.read.parquet(f"{args.index}/codes")
+    vec = [float(x) for x in args.vector.split(",")]
+    q = spark.createDataFrame([(-1, vec)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = pq_topk_codes(codes, cb, q, k=args.k)
+    for r in out.orderBy("rk").collect():
+        print(f"{r.b}\t{r.ad2:.6f}")
+
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_ms_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -554,6 +597,22 @@ def build_parser() -> argparse.ArgumentParser:
     qs.add_argument("--threshold", type=float, default=0.5)
     qs.add_argument("--retrain", action="store_true")
     qs.set_defaults(func=cmd_quality_score)
+
+    bi = sub.add_parser("build-ann-index")
+    bi.add_argument("--input", required=True, help="embeddings parquet")
+    bi.add_argument("--index", required=True, help="index output dir")
+    bi.add_argument("--subspaces", type=int, default=16)
+    bi.add_argument("--codes", type=int, default=32)
+    bi.add_argument("--id-col", default="vec_id")
+    bi.add_argument("--vec-col", default="embedding")
+    bi.add_argument("--seed", type=int, default=42)
+    bi.set_defaults(func=cmd_build_ann_index)
+
+    aq = sub.add_parser("ann-query")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--vector", required=True, help="comma-separated floats")
+    aq.add_argument("-k", type=int, default=5)
+    aq.set_defaults(func=cmd_ann_query)
 
     return p
 

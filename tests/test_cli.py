@@ -272,3 +272,40 @@ def test_cli_quality_score_writes_scores(spark, tmp_path, capsys):
     assert {"doc_id", "quality_logit", "quality_prob", "kept"} <= cols
     kept = scored.where("kept = 1").count()
     assert 0 < kept < 500  # the gate separates, neither degenerate
+
+
+def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
+    """build-ann-index persists codebooks+codes; ann-query serves ADC
+    top-k from the persisted index and the nearest neighbor matches
+    the brute-force L2 answer for a query vector sitting on a corpus
+    point."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    src = tmp_path / "emb"
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(src))
+
+    idx = tmp_path / "idx"
+    cli.main([
+        "build-ann-index", "--input", str(src), "--index", str(idx),
+        "--subspaces", "4", "--codes", "16",
+    ])
+    built = capsys.readouterr().out
+    assert "4 subspaces x 16 codes" in built and "60 vectors encoded" in built
+
+    probe = 17
+    vec_arg = ",".join(f"{x:.8f}" for x in vecs[probe])
+    cli.main(["ann-query", "--index", str(idx), f"--vector={vec_arg}", "-k", "3"])
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(out_lines) == 3
+    got = [int(l.split("\t")[0]) for l in out_lines]
+    # ADC distance of the probe's own cell must rank its exact point
+    # first: PQ quantizes, but the self-point shares every code word.
+    assert got[0] == probe
+    # distances ascend
+    d = [float(l.split("\t")[1]) for l in out_lines]
+    assert d == sorted(d)
