@@ -38,6 +38,10 @@ _CRITICAL_TYPES: dict[str, dict[str, tuple[str, ...]]] = {
         "text": ("string",),
         "lang": ("string",),
         "source": ("string",),
+        # quality_blend's length percentile reads the materialized
+        # count; a fixture regen that turns it float would silently
+        # shift rank ties
+        "n_chars": ("bigint", "int"),
     },
     "embeddings": {
         "vec_id": ("bigint", "int"),

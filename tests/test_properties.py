@@ -113,3 +113,49 @@ def test_unimax_waterfill_matches_iterative_reference(spark, token_counts, frac)
         assert got[lang] == pytest.approx(round(a, 4), abs=1e-3), (
             lang, token_counts, frac,
         )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["Accept cookies", "accept COOKIES ", "alpha",
+                             "beta beta", "", "  ", "unique %d"]),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_line_dedup_matches_python_reference(spark, doc_lines):
+    """drop_duplicated_lines == the obvious sequential implementation:
+    count normalized non-blank lines across distinct docs, drop those
+    in >= 3 docs, keep everything else in order."""
+    from flink_ms_spark.operators.text import drop_duplicated_lines
+
+    docs = [
+        (i, "\n".join(line if "%d" not in line else line % i for line in lines))
+        for i, lines in enumerate(doc_lines)
+    ]
+
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for doc_id, text in docs:
+        for line in text.split("\n"):
+            norm = line.strip().lower()
+            if norm:
+                seen[norm].add(doc_id)
+    boiler = {n for n, ids in seen.items() if len(ids) >= 3}
+
+    want = {}
+    for doc_id, text in docs:
+        lines = text.split("\n")
+        kept = [l for l in lines if l.strip().lower() not in boiler]
+        want[doc_id] = (len(lines), len(kept), "\n".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_kept, r.text_clean)
+        for r in drop_duplicated_lines(df, min_docs=3).collect()
+    }
+    assert got == want
