@@ -1,0 +1,31 @@
+"""The driver parses ONE JSON line from bench.py and records it as
+BENCH_r{N}.json — a renamed catalog query or duplicate headline entry
+would only surface as a mid-bench KeyError in the driver's run. Pin
+the name-list integrity here instead."""
+
+from __future__ import annotations
+
+
+def test_bench_names_are_registered_and_unique():
+    import bench
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    missing = [n for n in bench.HEADLINE + bench.ITERATIVE if n not in QUERIES]
+    assert not missing, f"bench names not in catalog: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
+    assert not set(bench.HEADLINE) & set(bench.ITERATIVE), (
+        "a query must not be timed in both tiers"
+    )
+
+
+def test_bench_headline_covers_every_prior_round_name():
+    """Names once benched must stay benched (regressions need a
+    round-over-round series): every query key in the committed
+    bench_full.json is still in HEADLINE."""
+    import json
+
+    import bench
+
+    full = json.load(open("bench_full.json"))
+    gone = [n for n in full["queries"] if n not in bench.HEADLINE]
+    assert not gone, f"benched names dropped from HEADLINE: {gone}"
