@@ -164,6 +164,7 @@ HEADLINE = [
     "benford_audit",
     "lang_source_chi2",
     "key_skew_report",
+    "media_audio_stats",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

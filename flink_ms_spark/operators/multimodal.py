@@ -20,6 +20,7 @@ import struct
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -524,3 +525,131 @@ def pixel_stats(media: DataFrame) -> DataFrame:
 #: Back-compat alias: the stats operator now routes PPM + PNG by
 #: payload signature; the original name predates the PNG kernel.
 ppm_pixel_stats = pixel_stats
+
+
+def synthesize_wav_media(
+    docs: DataFrame, n_samples: int = 64, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic REAL audio: one RIFF/WAVE file (PCM16 mono) per
+    document whose samples are the doc-id's md5 stream read as
+    little-endian int16 pairs (repeat-extended). The payload is a
+    byte-complete WAV — canonical 44-byte header + data chunk — so
+    any standard reader opens it. Map-only; payloads stay on the
+    executors."""
+    import hashlib
+    import struct as _struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = n_samples * 2
+        byte_rate = sample_rate * 2
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                seed = hashlib.md5(str(int(did)).encode()).digest()
+                data = (seed * (need // len(seed) + 1))[:need]
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + _struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                   byte_rate, 2, 16)
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("mime", T.StringType(), False),
+        ]
+    )
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Pure-stdlib RIFF walker + PCM16 decode: validates RIFF/WAVE,
+    walks chunks (not fixed offsets — real files carry LIST/fact
+    chunks), requires PCM (format 1) 16-bit, returns (sample_rate,
+    int16 samples). Raises ValueError on anything malformed — media
+    rot should fail loudly, not feed garbage stats downstream."""
+    import struct as _struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, bits, fmt, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt, _ch, sr, _br, _ba, bits = _struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt != 1 or bits != 16 or sr is None or data is None:
+        raise ValueError("unsupported WAV (need PCM16 with fmt+data chunks)")
+    return sr, np.frombuffer(data, dtype="<i2")
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-payload PCM16 audio statistics: sample count, duration,
+    RMS level, absolute peak, zero crossings. Same Arrow-batch shape
+    as ``pixel_stats`` — decode and reduce inside the task, emit only
+    the model-scale stats row."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("duration_s", T.DoubleType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+            T.StructField("peak", T.IntegerType(), False),
+            T.StructField("zero_crossings", T.IntegerType(), False),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, x = decode_wav_pcm16(bytes(payload))
+                xf = x.astype(np.float64)
+                n = len(x)
+                rms = float(np.sqrt(np.dot(xf, xf) / n)) if n else 0.0
+                zc = int(np.sum(xf[:-1] * xf[1:] < 0)) if n > 1 else 0
+                rows.append(
+                    (
+                        int(mid),
+                        int(sr),
+                        n,
+                        round(n / sr, 6),
+                        round(rms, 6),
+                        int(np.max(np.abs(xf))) if n else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(scan, schema=out_schema)

@@ -1207,3 +1207,61 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l2_shift"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL audio decode lane: RIFF/WAVE PCM16 generate → stdlib chunk-walk
+# decode → level/crossing stats (operators/multimodal.py). Oracle =
+# independent numpy-free Python replay (manual little-endian int16 +
+# integer sums — int16² sums over 64 samples stay exact in float64,
+# so sqrt/round agree bit-for-bit with the numpy path).
+
+
+def _wav_stats_oracle() -> str:
+    import hashlib
+    import math
+
+    import pyarrow.parquet as papq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    t = papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n, sr = 64, 8000
+    rows = []
+    for did in t.column("doc_id").to_pylist():
+        seed = hashlib.md5(str(int(did)).encode()).digest()
+        data = (seed * (2 * n // len(seed) + 1))[: 2 * n]
+        v = []
+        for i in range(n):
+            x = data[2 * i] | (data[2 * i + 1] << 8)
+            v.append(x - 65536 if x >= 32768 else x)
+        rms = round(math.sqrt(sum(s * s for s in v) / n), 6)
+        zc = sum(1 for i in range(n - 1) if v[i] * v[i + 1] < 0)
+        rows.append((did, sr, n, round(n / sr, 6), rms, max(abs(s) for s in v), zc))
+    vals = ", ".join(
+        f"({d}, {s}, {k}, {du!r}, {r!r}, {p}, {z})"
+        for d, s, k, du, r, p, z in rows
+    )
+    return (
+        "SELECT media_id, CAST(sample_rate AS INT) AS sample_rate, "
+        "CAST(n_samples AS INT) AS n_samples, "
+        "CAST(duration_s AS DOUBLE) AS duration_s, CAST(rms AS DOUBLE) AS rms, "
+        "CAST(peak AS INT) AS peak, CAST(zero_crossings AS INT) AS zero_crossings "
+        f"FROM (VALUES {vals}) t(media_id, sample_rate, n_samples, duration_s, "
+        "rms, peak, zero_crossings)"
+    )
+
+
+@register("media_audio_stats", oracle=_wav_stats_oracle)
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully REAL audio lane: RIFF/WAVE PCM16 payloads synthesized
+    per document, decoded by the stdlib chunk walker, reduced to
+    level/crossing stats — the audio sibling of media_pixel_stats."""
+    from flink_ms_spark.operators.multimodal import (
+        audio_stats,
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(synthesize_wav_media(docs))

@@ -383,3 +383,67 @@ def test_pii_census_counts_crafted_content(spark, tmp_path):
     row = QUERIES["pii_census"](spark, d).collect()[0]
     assert (row.n_emails, row.n_urls, row.n_phones, row.n_ids) == (2, 2, 1, 1)
     assert row.docs_with_pii == 4
+
+
+def test_wav_decoder_walks_chunks_and_rejects_garbage():
+    """The RIFF walker must survive real-world chunk layouts (LIST
+    before fmt, odd-length word-aligned chunks) and fail loudly on
+    non-WAV bytes or non-PCM16 formats."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_ms_spark.operators.multimodal import decode_wav_pcm16
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 7], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    info = b"INFOxy\x00"  # 7 bytes: odd length forces alignment padding
+    body = (
+        b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    sr, x = decode_wav_pcm16(wav)
+    assert sr == 8000 and list(x) == list(samples)
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"not audio at all")
+    # PCM8 (bits=8) must be refused, not mis-decoded
+    bad_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + bad_fmt
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    )
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(bad)
+
+
+def test_audio_stats_known_signal(spark):
+    """A hand-built square wave through the full Spark lane: RMS equal
+    to the amplitude, one crossing per half-period."""
+    import struct
+
+    import numpy as np
+
+    from flink_ms_spark.operators.multimodal import audio_stats
+
+    amp = 1000
+    samples = np.array([amp, amp, -amp, -amp] * 16, dtype="<i2")  # 64 samples
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id LONG, payload BINARY"
+    )
+    r = audio_stats(media).collect()[0]
+    assert r.sample_rate == 8000 and r.n_samples == 64
+    assert r.rms == float(amp) and r.peak == amp
+    assert r.zero_crossings == 31  # sign flips between the 32 half-periods
+    assert r.duration_s == 0.008
