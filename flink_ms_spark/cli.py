@@ -485,6 +485,47 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
 
 
 
+def cmd_sql(args: argparse.Namespace) -> None:
+    """Ad-hoc SQL over the fixture tables (region nation customer
+    supplier part orders lineitem events documents embeddings,
+    registered as temp views). Results print as TSV (header first) or
+    land in parquet with --output — the query-engine front door for a
+    user who just wants to run SQL."""
+    from flink_ms_spark.sources.tables import register_views
+
+    spark = _spark("[SQL]")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    if args.explain:
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+        return
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+        return
+    rows = df.limit(args.max_rows).collect()
+    print("\t".join(df.columns))
+    for r in rows:
+        print("\t".join("" if v is None else str(v) for v in r))
+
+
+def cmd_tables(args: argparse.Namespace) -> None:
+    """List the fixture tables with their schemas and row counts."""
+    from flink_ms_spark.sources.tables import load_table
+
+    spark = _spark("[SQL] tables")
+    names = ("region nation customer supplier part orders lineitem "
+             "events documents embeddings").split()
+    for name in names:
+        df = load_table(spark, args.sf_dir, name)
+        print(f"{name}\t{df.count()} rows\t{df.schema.simpleString()}")
+
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_ms_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -613,6 +654,19 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--vector", required=True, help="comma-separated floats")
     aq.add_argument("-k", type=int, default=5)
     aq.set_defaults(func=cmd_ann_query)
+
+    sq = sub.add_parser("sql")
+    sq.add_argument("query", help="SQL over the fixture views")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--output", help="parquet output dir (default: print TSV)")
+    sq.add_argument("--max-rows", type=int, default=100)
+    sq.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead")
+    sq.set_defaults(func=cmd_sql)
+
+    tb = sub.add_parser("tables")
+    tb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    tb.set_defaults(func=cmd_tables)
 
     return p
 

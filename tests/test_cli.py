@@ -309,3 +309,43 @@ def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
     # distances ascend
     d = [float(l.split("\t")[1]) for l in out_lines]
     assert d == sorted(d)
+
+
+def test_cli_sql_runs_over_fixture_views(sf_smoke, capsys):
+    cli.main([
+        "sql",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+        "--sf-dir", sf_smoke,
+    ])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "l_returnflag\tn"
+    flags = [l.split("\t")[0] for l in out[1:]]
+    assert flags == sorted(flags) and len(flags) >= 2
+    for l in out[1:]:
+        assert int(l.split("\t")[1]) > 0
+
+
+def test_cli_sql_output_and_explain(spark, sf_smoke, tmp_path, capsys):
+    out = tmp_path / "res"
+    cli.main([
+        "sql", "SELECT doc_id, lang FROM documents WHERE doc_id < 10",
+        "--sf-dir", sf_smoke, "--output", str(out),
+    ])
+    assert "wrote" in capsys.readouterr().out
+    back = spark.read.parquet(str(out))
+    assert back.count() == back.where("doc_id < 10").count()
+
+    cli.main([
+        "sql", "SELECT count(*) FROM orders", "--sf-dir", sf_smoke, "--explain",
+    ])
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan
+
+
+def test_cli_tables_lists_all_fixtures(sf_smoke, capsys):
+    cli.main(["tables", "--sf-dir", sf_smoke])
+    out = capsys.readouterr().out.splitlines()
+    names = {l.split("\t")[0] for l in out}
+    assert {"orders", "lineitem", "documents", "embeddings"} <= names
+    assert all(int(l.split("\t")[1].split()[0]) > 0 for l in out)
