@@ -1017,8 +1017,10 @@ a AS (SELECT count(*) AS total,
 SELECT CAST(10 AS INT) AS vocab_k, CAST(total AS BIGINT) AS n_tokens,
        CAST(o10 AS BIGINT) AS n_oov,
        CAST(round(o10 * 1.0 / total, 6) AS DOUBLE) AS oov_rate FROM a
-UNION ALL SELECT 100, total, o100, CAST(round(o100 * 1.0 / total, 6) AS DOUBLE) FROM a
-UNION ALL SELECT 1000, total, o1000, CAST(round(o1000 * 1.0 / total, 6) AS DOUBLE) FROM a
+UNION ALL SELECT CAST(100 AS INT), CAST(total AS BIGINT), CAST(o100 AS BIGINT),
+       CAST(round(o100 * 1.0 / total, 6) AS DOUBLE) FROM a
+UNION ALL SELECT CAST(1000 AS INT), CAST(total AS BIGINT), CAST(o1000 AS BIGINT),
+       CAST(round(o1000 * 1.0 / total, 6) AS DOUBLE) FROM a
 """
 
 
