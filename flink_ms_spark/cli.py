@@ -526,6 +526,37 @@ def cmd_tables(args: argparse.Namespace) -> None:
 
 
 
+def cmd_verify(args: argparse.Namespace) -> None:
+    """Run one catalog query on Spark AND its DuckDB oracle over the
+    same parquet, compare canonically (row count, schema shape,
+    order-insensitive value hash) — the single-command correctness
+    check a user runs when adopting or upgrading the engine. Exits
+    non-zero on mismatch."""
+    from flink_ms_spark.plans.catalog import ORACLE_SQL, QUERIES
+
+    names = sorted(QUERIES) if args.query == "all" else args.query.split(",")
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {', '.join(unknown)}")
+    spark = _spark("[VERIFY]")
+    from flink_ms_spark.oracle import compare
+
+    failed = []
+    for name in names:
+        oracle = ORACLE_SQL.get(name)
+        if oracle is None:
+            print(f"{name}: SKIP (no oracle registered)")
+            continue
+        if callable(oracle):
+            oracle = oracle()
+        ok, msg = compare(QUERIES[name](spark, args.sf_dir), oracle, args.sf_dir)
+        print(f"{name}: {'OK' if ok else 'MISMATCH — ' + msg}")
+        if not ok:
+            failed.append(name)
+    if failed:
+        raise SystemExit(f"{len(failed)} mismatched: {', '.join(failed)}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_ms_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -667,6 +698,11 @@ def build_parser() -> argparse.ArgumentParser:
     tb = sub.add_parser("tables")
     tb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     tb.set_defaults(func=cmd_tables)
+
+    vf = sub.add_parser("verify")
+    vf.add_argument("query", help="catalog query name, comma list, or 'all'")
+    vf.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    vf.set_defaults(func=cmd_verify)
 
     return p
 

@@ -1,58 +1,8 @@
-"""Spark-vs-DuckDB comparison harness mirroring the driver's gate:
-row-count + schema-shape + order-insensitive value comparison, with
-floats canonicalized to 9 significant digits."""
+"""Compatibility shim: the harness moved into the package so the
+`verify` CLI shares it; tests keep their historical import path."""
 
-from __future__ import annotations
-
-import math
-import os
-from datetime import datetime
-
-import duckdb
-
-
-def _canon(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == 0:
-            return "0"
-        return f"{v:.9g}"
-    if isinstance(v, datetime):
-        return v.isoformat()
-    return str(v)
-
-
-def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
-
-
-def duckdb_result(sql: str, sf_dir: str):
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
-        )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
-
-
-def compare(spark_df, duck_sql: str, sf_dir: str) -> tuple[bool, str]:
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols, d_rows = duckdb_result(duck_sql, sf_dir)
-    if sorted(s_cols) != sorted(d_cols):
-        return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
-    cs, cd = canonical_rows(s_cols, s_rows), canonical_rows(d_cols, d_rows)
-    if cs != cd:
-        diff = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
-        return False, f"value mismatch, first diffs: {diff}"
-    return True, "ok"
+from flink_ms_spark.oracle import (  # noqa: F401
+    canonical_rows,
+    compare,
+    duckdb_result,
+)

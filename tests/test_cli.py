@@ -349,3 +349,14 @@ def test_cli_tables_lists_all_fixtures(sf_smoke, capsys):
     names = {l.split("\t")[0] for l in out}
     assert {"orders", "lineitem", "documents", "embeddings"} <= names
     assert all(int(l.split("\t")[1].split()[0]) > 0 for l in out)
+
+
+def test_cli_verify_runs_oracle_gate(sf_smoke, capsys):
+    cli.main(["verify", "pricing_summary,upper_trim", "--sf-dir", sf_smoke])
+    out = capsys.readouterr().out
+    assert "pricing_summary: OK" in out and "upper_trim: OK" in out
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["verify", "no_such_query", "--sf-dir", sf_smoke])
