@@ -71,11 +71,24 @@ _EXPORTS = {
     "scrub_pii": "flink_ms_spark.operators.text",
     "decode_image_meta": "flink_ms_spark.operators.multimodal",
     "extract_features": "flink_ms_spark.operators.multimodal",
+    "synthesize_wav_media": "flink_ms_spark.operators.multimodal",
+    "audio_stats": "flink_ms_spark.operators.multimodal",
+    "drop_duplicated_lines": "flink_ms_spark.operators.text",
+    # ANN index lifecycle
+    "build_pq_index": "flink_ms_spark.operators.similarity",
+    "load_pq_codebooks": "flink_ms_spark.operators.similarity",
+    "pq_topk_codes": "flink_ms_spark.operators.similarity",
+    "StreamingAnnIngest": "flink_ms_spark.streaming.ann_ingest",
+    "load_codes": "flink_ms_spark.streaming.ann_ingest",
     # physical layout
     "fan_out": "flink_ms_spark.partitioning",
     "write_bucketed": "flink_ms_spark.partitioning",
     "salted_join": "flink_ms_spark.partitioning",
     "compact_parquet": "flink_ms_spark.partitioning",
+    "partitioned_write": "flink_ms_spark.partitioning",
+    "zorder_write": "flink_ms_spark.partitioning",
+    # correctness harness
+    "compare": "flink_ms_spark.oracle",
 }
 
 __all__ = ["get_spark", *sorted(_EXPORTS)]
