@@ -165,6 +165,7 @@ HEADLINE = [
     "lang_source_chi2",
     "key_skew_report",
     "media_audio_stats",
+    "hard_negatives",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round

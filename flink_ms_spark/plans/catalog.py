@@ -29,17 +29,17 @@ from flink_ms_spark.plans.registry import ORACLE_SQL, QUERIES  # noqa: F401
 # families plus the relational tail. The previously-checked sets stay
 # protected by the identical local gate (tests/test_oracle.py, all 180).
 #
-# ROUND-4 PLAN: 82 names will still lack a driver row after this round
+# ROUND-4 PLAN: 83 names will still lack a driver row after this round
 # (the relational/TPC-H/analytics tail — distinct_segments, monthly
 # revenue pack, set ops, LATERAL/RECURSIVE/PIVOT, CEP, pagerank, LOCF,
-# the asof/range-join pack, log_histogram — plus this round's 22
+# the asof/range-join pack, log_histogram — plus this round's 23
 # new queries: quality_logit_scores, bpe_fertility, curation_funnel,
 # simhash_neardup, semantic_decontaminate, token_balanced_shards,
 # lang_confusion, vocab_coverage_curve, recs_ranking_eval,
 # quality_calibration, dedup_method_agreement, pii_census, line_dedup,
 # quality_blend, neardup_rate_by_source, centroid_drift, ann_recall,
 # recs_ndcg, benford_audit, lang_source_chi2, key_skew_report,
-# media_audio_stats). Rotate 50 of them next round; the final ~32 (plus any round-4 additions) close out in
+# media_audio_stats, hard_negatives). Rotate 50 of them next round; the final ~33 (plus any round-4 additions) close out in
 # round 5 — full catalog driver coverage by round 5.
 _PRIORITY = [
     # Mixing / sampling / curriculum (plans/mixing.py)

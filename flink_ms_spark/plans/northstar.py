@@ -1156,3 +1156,65 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").cast("long").alias("n_hits"),
         F.round(F.sum("n_hits") / (F.lit(5) * F.count("*")), 6).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training companion of the ANN
+# family: for every anchor vector, the highest-ranked SAME-neighborhood
+# neighbor with a DIFFERENT label (top-5 cosine). These are the pairs
+# a metric-learning run trains against; anchors whose whole
+# neighborhood shares their label emit nothing (no hard negative that
+# close). Scale: rides cosine_topk's candidates-only shuffle; the
+# label attach is two broadcast-size joins at fixture scale and plain
+# keyed joins at corpus scale; per-anchor argmin is a keyed window.
+
+_HARD_NEG_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+norms AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DOUBLE)
+              AS cos_sim
+          FROM norms a CROSS JOIN norms b WHERE a.vec_id <> b.vec_id),
+rk AS (SELECT a, b, cos_sim,
+         CAST(row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS INT) AS rk
+       FROM pairs QUALIFY rk <= 5),
+lab AS (SELECT vec_id, label FROM embeddings),
+cand AS (SELECT rk.a, la.label AS label_a, rk.b, lb.label AS label_b,
+                rk.cos_sim, rk.rk
+         FROM rk JOIN lab la ON rk.a = la.vec_id
+                 JOIN lab lb ON rk.b = lb.vec_id
+         WHERE la.label <> lb.label)
+SELECT a, CAST(label_a AS INT) AS label_a, b, CAST(label_b AS INT) AS label_b,
+       cos_sim, rk
+FROM cand QUALIFY row_number() OVER (PARTITION BY a ORDER BY rk) = 1
+"""
+
+
+@register("hard_negatives", oracle=_HARD_NEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per anchor: the closest different-label neighbor inside its
+    top-5 cosine neighborhood — the mined pair set for contrastive /
+    metric training."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = cosine_topk(emb, k=5)
+    lab = emb.select("vec_id", "label")
+    cand = (
+        topk.join(
+            lab.select(F.col("vec_id").alias("a"), F.col("label").alias("label_a")),
+            "a",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("b"), F.col("label").alias("label_b")),
+            "b",
+        )
+        .where(F.col("label_a") != F.col("label_b"))
+    )
+    w = Window.partitionBy("a").orderBy(F.col("rk").asc())
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("a", "label_a", "b", "label_b", "cos_sim", "rk")
+    )
