@@ -365,11 +365,7 @@ def cmd_explain(args: argparse.Namespace) -> None:
         )
     spark = _spark("[EXPLAIN]")
     df = QUERIES[args.query](spark, args.sf_dir)
-    print(
-        df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), args.mode
-        )
-    )
+    df.explain(mode=args.mode)
 
 
 def cmd_tokenize(args: argparse.Namespace) -> None:
@@ -497,20 +493,23 @@ def cmd_sql(args: argparse.Namespace) -> None:
     register_views(spark, args.sf_dir)
     df = spark.sql(args.query)
     if args.explain:
-        print(
-            df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-        )
+        df.explain(mode="formatted")
         return
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")
         return
-    rows = df.limit(args.max_rows).collect()
+    rows = df.limit(args.max_rows + 1).collect()
+    truncated = len(rows) > args.max_rows
     print("\t".join(df.columns))
-    for r in rows:
+    for r in rows[: args.max_rows]:
         print("\t".join("" if v is None else str(v) for v in r))
+    if truncated:
+        print(
+            f"... truncated at {args.max_rows} rows (raise --max-rows "
+            "or use --output)",
+            file=sys.stderr,
+        )
 
 
 def cmd_tables(args: argparse.Namespace) -> None:
@@ -538,6 +537,11 @@ def cmd_verify(args: argparse.Namespace) -> None:
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {', '.join(unknown)}")
+    # Deferred oracles (fixture-trained literals, numpy replays) read
+    # SPARK_GRAFT_SF_ORACLE to know which fixture to replay — align it
+    # with the Spark side or every deferred oracle mismatches at any
+    # non-default --sf-dir.
+    os.environ["SPARK_GRAFT_SF_ORACLE"] = args.sf_dir
     spark = _spark("[VERIFY]")
     from flink_ms_spark.oracle import compare
 

@@ -593,8 +593,18 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, "np.ndarray"]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (clen,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + clen > len(payload):
+            # a declared length past EOF is media rot — refuse rather
+            # than silently decoding the truncated tail into
+            # plausible-but-wrong stats
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {clen} bytes, "
+                f"payload ends {pos + 8 + clen - len(payload)} short"
+            )
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAV: fmt chunk under 16 bytes")
             fmt, _ch, sr, _br, _ba, bits = _struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -535,7 +535,14 @@ def drop_duplicated_lines(
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("norm", F.lower(F.trim("line")))
+    ).withColumn(
+        # \s-class strip, not trim(): CRLF corpora split on \n leave a
+        # trailing \r, and tab-padded copies must collapse onto the
+        # same key — trim() strips only ASCII spaces and would let
+        # those variants escape the frequency count
+        "norm",
+        F.lower(F.regexp_replace("line", r"^\s+|\s+$", "")),
+    )
     boiler = (
         lines.filter(F.col("norm") != "")
         .groupBy("norm")

@@ -189,7 +189,7 @@ def partitioned_write(
 
     At 100 TB this is the difference between listing one ``lang=de``
     directory and scanning the full corpus for a per-language job; the
-    per-partition repartition keeps each directory at
+    salted repartition bounds each directory at
     ``files_per_partition`` files instead of one-file-per-task
     fragments (the small-files trap ``compact_parquet`` exists to
     repair). Partition columns must be low-cardinality (lang, source,
@@ -197,10 +197,20 @@ def partitioned_write(
     directories and moves the bottleneck to the metastore/listing
     layer, which is why doc_id-grained layout goes through
     ``write_bucketed`` instead.
+
+    The shuffle key is (partition cols, salt in [0, files_per_partition)):
+    every partition value spreads over up to ``files_per_partition``
+    reducers (each writes at most one file per value it holds), and
+    distinct values land on DIFFERENT reducers — never
+    ``repartition(n, *cols)``, which caps the WHOLE write at n tasks
+    (n=1 would funnel 100 TB through a single task).
     """
     cols = [F.col(c) for c in partition_cols]
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
     (
-        df.repartition(files_per_partition, *cols)
+        df.withColumn("_file_salt", salt)
+        .repartition(*cols, F.col("_file_salt"))
+        .drop("_file_salt")
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(out_path)

@@ -518,7 +518,8 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LINE_DEDUP_ORACLE = """
 WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
-lines AS (SELECT doc_id, j AS pos, ls[j] AS line, lower(trim(ls[j])) AS norm
+lines AS (SELECT doc_id, j AS pos, ls[j] AS line,
+                 lower(regexp_replace(ls[j], '^\\s+|\\s+$', '', 'g')) AS norm
           FROM l0, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS j) t),
 boiler AS (SELECT norm FROM lines WHERE norm <> ''
            GROUP BY norm HAVING count(DISTINCT doc_id) >= 3),

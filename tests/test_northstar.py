@@ -411,6 +411,10 @@ def test_wav_decoder_walks_chunks_and_rejects_garbage():
 
     with pytest.raises(ValueError):
         decode_wav_pcm16(b"not audio at all")
+    # a chunk declaring more bytes than the payload holds is media rot:
+    # refuse, never silently decode the truncated tail
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(wav[:-4])
     # PCM8 (bits=8) must be refused, not mis-decoded
     bad_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
     bad = (

@@ -209,6 +209,25 @@ def test_partitioned_write_prunes_at_listing_time(spark, tmp_path):
         files = glob.glob(f"{out}/lang={v}/*.parquet")
         assert len(files) == 1, files
 
+    # files_per_partition must FAN OUT the write (the salt spreads
+    # each value over up to k reducers), never funnel it: with k=4 the
+    # total file count across the 4 values exceeds one-per-value, and
+    # no directory exceeds k files. AQE's partition coalescing re-merges
+    # this TINY shuffle into few tasks (correct at this size — the salt
+    # matters when partitions are big enough to survive coalescing), so
+    # pin the mechanism with coalescing off.
+    out4 = str(tmp_path / "part4")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        partitioned_write(df, out4, ["lang"], files_per_partition=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    per_dir = [len(glob.glob(f"{out4}/lang={v}/*.parquet")) for v in range(4)]
+    assert all(1 <= n <= 4 for n in per_dir), per_dir
+    assert sum(per_dir) > 4, per_dir
+    back = spark.read.parquet(out4)
+    assert back.count() == 10_000 and back.where("lang = '2'").count() == 2500
+
     scan = spark.read.parquet(out).filter(F.col("lang") == "2")
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:80]

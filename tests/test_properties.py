@@ -120,7 +120,8 @@ def test_unimax_waterfill_matches_iterative_reference(spark, token_counts, frac)
     st.lists(
         st.lists(
             st.sampled_from(["Accept cookies", "accept COOKIES ", "alpha",
-                             "beta beta", "", "  ", "unique %d"]),
+                             "beta beta", "", "  ", "unique %d",
+                             "Accept cookies\r", "\taccept cookies"]),
             min_size=1, max_size=6,
         ),
         min_size=1, max_size=8,
