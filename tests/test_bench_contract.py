@@ -18,10 +18,11 @@ def test_bench_names_are_registered_and_unique():
     )
 
 
-def test_bench_headline_covers_every_prior_round_name():
+def test_bench_record_and_headline_agree_exactly():
     """Names once benched must stay benched (regressions need a
-    round-over-round series): every query key in the committed
-    bench_full.json is still in HEADLINE."""
+    round-over-round series), AND every headline name must have a
+    recorded timing — a query added to HEADLINE without re-running
+    bench.py leaves a record that silently understates coverage."""
     import json
 
     import bench
@@ -29,3 +30,7 @@ def test_bench_headline_covers_every_prior_round_name():
     full = json.load(open("bench_full.json"))
     gone = [n for n in full["queries"] if n not in bench.HEADLINE]
     assert not gone, f"benched names dropped from HEADLINE: {gone}"
+    unbenched = [n for n in bench.HEADLINE if n not in full["queries"]]
+    assert not unbenched, (
+        f"HEADLINE names with no recorded timing (re-run bench.py): {unbenched}"
+    )
