@@ -540,23 +540,32 @@ def cmd_verify(args: argparse.Namespace) -> None:
     # Deferred oracles (fixture-trained literals, numpy replays) read
     # SPARK_GRAFT_SF_ORACLE to know which fixture to replay — align it
     # with the Spark side or every deferred oracle mismatches at any
-    # non-default --sf-dir.
+    # non-default --sf-dir. Restore afterward: an in-process caller
+    # (the test suite drives cli.main directly) must not inherit a
+    # poisoned fixture pointer for ITS later deferred-oracle runs.
+    prev = os.environ.get("SPARK_GRAFT_SF_ORACLE")
     os.environ["SPARK_GRAFT_SF_ORACLE"] = args.sf_dir
-    spark = _spark("[VERIFY]")
-    from flink_ms_spark.oracle import compare
+    try:
+        spark = _spark("[VERIFY]")
+        from flink_ms_spark.oracle import compare
 
-    failed = []
-    for name in names:
-        oracle = ORACLE_SQL.get(name)
-        if oracle is None:
-            print(f"{name}: SKIP (no oracle registered)")
-            continue
-        if callable(oracle):
-            oracle = oracle()
-        ok, msg = compare(QUERIES[name](spark, args.sf_dir), oracle, args.sf_dir)
-        print(f"{name}: {'OK' if ok else 'MISMATCH — ' + msg}")
-        if not ok:
-            failed.append(name)
+        failed = []
+        for name in names:
+            oracle = ORACLE_SQL.get(name)
+            if oracle is None:
+                print(f"{name}: SKIP (no oracle registered)")
+                continue
+            if callable(oracle):
+                oracle = oracle()
+            ok, msg = compare(QUERIES[name](spark, args.sf_dir), oracle, args.sf_dir)
+            print(f"{name}: {'OK' if ok else 'MISMATCH — ' + msg}")
+            if not ok:
+                failed.append(name)
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_SF_ORACLE", None)
+        else:
+            os.environ["SPARK_GRAFT_SF_ORACLE"] = prev
     if failed:
         raise SystemExit(f"{len(failed)} mismatched: {', '.join(failed)}")
 
