@@ -67,25 +67,46 @@ _STATS_STATE = StructType(
 
 
 def latest_per_key_changelog(
-    stream: DataFrame, key_col: str = "key", payload_col: str = "payload"
+    stream: DataFrame,
+    key_col: str = "key",
+    payload_col: str = "payload",
+    ord_col: str | None = None,
 ) -> DataFrame:
     """Latest-wins ValueState upsert: state holds the newest payload
     per key; each micro-batch emits (key, payload) for keys it
-    touched. Within a batch the LAST row (input order) wins, matching
-    the reference consumer's overwrite semantics."""
+    touched. Pass ``ord_col`` (an offset/sequence column) to make the
+    within-batch winner deterministic — without it the LAST row in
+    arrival order wins, which matches the reference consumer's
+    single-partition overwrite semantics but is chunk-order-dependent
+    once a key's updates span source partitions (the engine does not
+    guarantee row order across the shuffle; the
+    ``transformWithStateInPandas`` sibling in ``value_state.py``
+    carries ``ord`` for exactly this reason)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # columns were canonicalized to payload/_ord by the selectExpr
         latest = state.get[0] if state.exists else None
+        best_ord = None
         for pdf in pdfs:
-            if len(pdf):
-                latest = pdf[payload_col].iloc[-1]
+            if not len(pdf):
+                continue
+            if ord_col is None:
+                latest = pdf["payload"].iloc[-1]
+            else:
+                i = pdf["_ord"].idxmax()
+                o = pdf["_ord"].loc[i]
+                if best_ord is None or o >= best_ord:
+                    best_ord, latest = o, pdf["payload"].loc[i]
         state.update((latest,))
         yield pd.DataFrame({"key": [key[0]], "payload": [latest]})
 
+    cols = [f"{key_col} AS key", f"{payload_col} AS payload"]
+    if ord_col is not None:
+        cols.append(f"{ord_col} AS _ord")
     return (
-        stream.selectExpr(f"{key_col} AS key", f"{payload_col} AS payload")
+        stream.selectExpr(*cols)
         .groupBy("key")
         .applyInPandasWithState(
             fn, CHANGELOG_SCHEMA, _LATEST_STATE, "update", GroupStateTimeout.NoTimeout
@@ -106,7 +127,7 @@ def running_stats_state(
         n, total = (state.get if state.exists else (0, 0.0))
         for pdf in pdfs:
             n += int(len(pdf))
-            total += float(pdf[value_col].sum())
+            total += float(pdf["value"].sum())  # canonicalized name
         state.update((n, total))
         yield pd.DataFrame(
             {
@@ -188,13 +209,20 @@ def session_close_state(
         for t in sorted(ts_all):
             if start is None:
                 start, last, n = t, t, 1
+            elif t < start - gap_seconds:
+                # stale event: it belongs to a session that closed
+                # before this one opened (its owner's state is gone) —
+                # emit it as a degenerate closed session rather than
+                # folding it in, which would fabricate a session
+                # spanning a silence longer than the gap
+                closed.append((t, t, 1))
             elif t - last > gap_seconds:
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                # late event across micro-batches (t may precede the
-                # stored `last`): extend the count but never rewind the
-                # session bounds, or subsequent gap comparisons corrupt
+                # late event within gap of the open session: extend the
+                # count; bounds may widen by at most gap_seconds (the
+                # stale branch above caps how far start can rewind)
                 start, last, n = min(start, t), max(last, t), n + 1
         state.update((start, last, n))
         state.setTimeoutDuration(int(gap_seconds * 1000))

@@ -50,9 +50,14 @@ class StreamingIngest:
         rules_path: str | None = None,
         drift_threshold_bits: float = 4.0,
         quality_threshold: float | None = None,
+        n_buckets: int = 64,
     ):
         self.out_dir = out_dir
         self.baseline = baseline
+        # the batch profile and the KL comparison MUST hash into the
+        # same bucket space as the caller's baseline — a baseline built
+        # with a different n_buckets would silently compare garbage
+        self.n_buckets = n_buckets
         self.rules_path = rules_path
         self.drift_threshold_bits = drift_threshold_bits
         self.quality_threshold = quality_threshold
@@ -72,9 +77,17 @@ class StreamingIngest:
                 F.col("quality_prob") >= self.quality_threshold
             ).select("doc_id")
             gated = gated.join(ok, "doc_id", "left_semi")
+        # the gate+score plan feeds four consumers (count, drift
+        # profile, near-dup probe, survivor write) — persist so the
+        # per-batch hot path pays it once
+        gated = gated.persist()
         n_gated = gated.count()
 
-        kl = kl_bits(bucket_profile(gated), self.baseline)
+        kl = kl_bits(
+            bucket_profile(gated, n_buckets=self.n_buckets),
+            self.baseline,
+            n_buckets=self.n_buckets,
+        )
         if kl > self.drift_threshold_bits:
             # quarantine the whole batch: distribution shift means the
             # content shouldn't silently join the training corpus
@@ -102,6 +115,7 @@ class StreamingIngest:
                 "action": "ingested",
                 "n_written": n_written,
             }
+        gated.unpersist()
         self.manifest.append(entry)
         tmp = os.path.join(self.out_dir, "_manifest.json.tmp")
         os.makedirs(self.out_dir, exist_ok=True)

@@ -52,25 +52,21 @@ def band_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, band, band_sig): LSH band signatures — same minhash
-    math as the batch operator, bands of ``band_size`` rows each."""
+    """(doc_id, band, band_sig): LSH band signatures — delegates to
+    the batch operator's ``_band_signatures`` so streaming- and
+    batch-produced signatures are BYTE-identical (an earlier local
+    reimplementation sorted band rows numerically while the batch path
+    sorts the "h:minhash" strings lexically — the two diverge once
+    ``num_hashes`` reaches 10, silently breaking registry probes
+    against batch-built signatures). Also inherits the batch
+    ``band_size == 1`` fast path."""
+    from flink_ms_spark.operators.dedup import _band_signatures
+
     sigs = minhash_signatures(
         docs, num_hashes=num_hashes, shingle_n=shingle_n,
         id_col=id_col, text_col=text_col,
     )
-    return (
-        sigs.withColumn("band", ((F.col("h") - 1) / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                    lambda s: F.concat_ws(":", s["h"], s["minhash"]),
-                ),
-            ).alias("band_sig")
-        )
-    )
+    return _band_signatures(sigs, id_col, band_size)
 
 
 def compact_registry(

@@ -92,8 +92,14 @@ class StreamingQuantiles:
         its own partition) cannot double-count."""
         try:
             persisted = spark.read.parquet(self.state_path)
-        except Exception:  # first run: nothing persisted yet
-            return
+        except Exception as e:
+            # ONLY a missing path means first run. Anything else
+            # (corrupt footer, transient FS error) must surface: the
+            # checkpoint will skip committed batches, so restarting
+            # with silently-empty bins loses history for good.
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return
+            raise
         for r in persisted.groupBy("bin").agg(F.sum("n").alias("n")).collect():
             if r["bin"] == -(2**31):
                 self._nonpos += r["n"]

@@ -49,7 +49,13 @@ def apply_rules(batch_df: DataFrame, rules: dict) -> DataFrame:
     out = batch_df
     banned = rules.get("banned_sources") or []
     if banned:
-        out = out.where(~F.col("source").isin(banned))
+        # NULL-source rows must survive a ban list: NULL.isin(...) is
+        # NULL, ~NULL is NULL, and WHERE drops NULL — so without the
+        # isNull arm, adding ANY ban silently discards every document
+        # with unset provenance
+        out = out.where(
+            F.col("source").isNull() | ~F.col("source").isin(banned)
+        )
     min_tokens = int(rules.get("min_tokens") or 0)
     if min_tokens > 0:
         out = out.where(token_count("text") >= min_tokens)

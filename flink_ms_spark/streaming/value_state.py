@@ -66,6 +66,14 @@ class LatestPerKeyProcessor(StatefulProcessor):
                 last_ord, last_payload = top["ord"], top["payload"]
         if last_payload is not None:
             self._state.update((last_payload,))
+        else:
+            # the winning row carried a NULL payload: emit what the
+            # state RETAINS, never (key, None) — a changelog mirror
+            # replaying the emission would otherwise overwrite the key
+            # to None while the checkpointed state keeps the old value,
+            # and the two views diverge permanently after restart
+            existing = self._state.get()
+            last_payload = existing[0] if existing is not None else None
         yield pd.DataFrame({"key": [key[0]], "payload": [last_payload]})
 
     def close(self) -> None:

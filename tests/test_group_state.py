@@ -198,3 +198,63 @@ def test_dynamic_rules_take_effect_between_batches(spark, tmp_path):
     q = dbg.run(stream, str(tmp_path / "ckpt_r"))
     q.awaitTermination(120)
     assert [r.doc_id for r in dbg.kept] == [5]
+
+
+def test_changelog_and_stats_honor_nondefault_column_names(spark, tmp_path):
+    """The public key_col/payload_col/value_col parameters must work
+    with non-default names (they are canonicalized before the stateful
+    fn runs — a regression here crashes on the executor)."""
+    import json
+
+    from flink_ms_spark.streaming.group_state import (
+        latest_per_key_changelog,
+        running_stats_state,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"k": "u1", "model_line": "old", "seq": 1, "rating": 2.0},
+        {"k": "u1", "model_line": "new", "seq": 2, "rating": 4.0},
+        {"k": "u2", "model_line": "only", "seq": 1, "rating": 1.0},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "k STRING, model_line STRING, seq LONG, rating DOUBLE"
+
+    got = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[r.key] = r.payload
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    (
+        latest_per_key_changelog(
+            stream, key_col="k", payload_col="model_line", ord_col="seq"
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert got == {"u1": "new", "u2": "only"}  # ord-deterministic winner
+
+    stats = {}
+
+    def sink2(df, _bid):
+        for r in df.collect():
+            stats[r.key] = (r.n, r.total)
+
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    (
+        running_stats_state(stream2, key_col="k", value_col="rating")
+        .writeStream.outputMode("update")
+        .foreachBatch(sink2)
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert stats == {"u1": (2, 6.0), "u2": (1, 1.0)}

@@ -756,3 +756,17 @@ def test_streaming_mse_ledger(spark, tmp_path):
     rows = {r.batch_id: r for r in ev.ledger(spark).collect()}
     assert set(rows) == {0, 1}
     assert rows[1].n == 1 and rows[1].mse == 1.0
+
+
+def test_rules_ban_keeps_null_source_rows(spark):
+    """A ban list must not silently drop rows with NULL provenance:
+    NULL.isin(...) is NULL and a bare negation filters the row out."""
+    from flink_ms_spark.streaming.rules import apply_rules
+
+    df = spark.createDataFrame(
+        [(1, "keep me here ok", "spamsite"), (2, "keep me here ok", None),
+         (3, "keep me here ok", "good")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    kept = {r.doc_id for r in apply_rules(df, {"banned_sources": ["spamsite"]}).collect()}
+    assert kept == {2, 3}  # banned dropped, NULL-source SURVIVES
