@@ -61,6 +61,17 @@ def connected_components(
         labels = proposed.select("u", "comp")
         if changed == 0:
             break
+    else:
+        # never silently return partial labels: min-label propagation
+        # moves one hop per round, so a chain longer than max_iter
+        # would otherwise split one real cluster into phantom clusters
+        # with no signal — the docstring's smallest-id guarantee is a
+        # contract, raise when it can't be met
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter — raise it, or densify the "
+            "edge list)"
+        )
     return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
 
 
@@ -173,6 +184,11 @@ def connected_components_bipartite(
         labels = proposed.select(node_col, "comp")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"bipartite connected components did not converge in "
+            f"{max_iter} rounds (graph diameter exceeds max_iter)"
+        )
     return labels.select(
         F.col(node_col).alias("node"), F.col("comp").alias("component")
     )

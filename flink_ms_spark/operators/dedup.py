@@ -355,6 +355,11 @@ def simhash(
     to ``2·ones_b > n_tokens`` (ones − (n − ones) > 0), which is what
     the column form tests — ties still emit '0', matching the oracle.
     """
+    if not 1 <= bits <= 32:
+        # md5 hex has exactly 32 digits; substring(h, 33..) would
+        # silently emit a CONSTANT bit (empty string never odd) — a
+        # corpus-wide collision in any band covering those positions
+        raise ValueError(f"simhash bits must be 1..32, got {bits}")
     tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
     ).withColumn("h", F.md5("t"))
@@ -402,8 +407,10 @@ def simhash_neardup(
         raise ValueError("pigeonhole needs n_bands > max_hamming")
     if bits % n_bands:
         raise ValueError("bits must divide evenly into bands")
-    if bits > 62:
-        raise ValueError("bit-parallel hamming needs the sig in a BIGINT")
+    if bits > 32:
+        # simhash() draws bits from md5's 32 hex digits; beyond 32 the
+        # extra positions would be corpus-wide constants (see its guard)
+        raise ValueError("simhash signatures support at most 32 bits")
     width = bits // n_bands
     sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits).withColumn(
         "_sl", F.conv("simhash", 2, 10).cast("long")

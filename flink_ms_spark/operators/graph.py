@@ -108,7 +108,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     n_e = edges.agg(F.count("*").alias("n_edges"))
-    return n_e.crossJoin(tri)
+    # materialize the 1-row summary, then release both caches — a
+    # resident engine answering many graph queries must not leak one
+    # orphaned cached edge set per call (localCheckpoint blocks are
+    # GC-managed, persist blocks are not)
+    out = n_e.crossJoin(tri).localCheckpoint(eager=True)
+    o.unpersist()
+    edges.unpersist()
+    return out
 
 
 def pagerank_iterative(
@@ -151,6 +158,8 @@ def pagerank_iterative(
     out = rank.select(
         "node", F.round("pr", 6).cast("double").alias("pagerank")
     ).orderBy(F.col("pagerank").desc(), "node")
+    out = out.localCheckpoint(eager=True)  # |nodes| rows
+    edges.unpersist()
     return out
 
 
@@ -192,4 +201,6 @@ def lpa_communities(
                 "negc"
             ]).alias("community")
         )
+    labels = labels.localCheckpoint(eager=True)  # |nodes| rows
+    adj.unpersist()
     return labels

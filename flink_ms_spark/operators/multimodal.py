@@ -68,6 +68,16 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:
+            # 0xFF fill byte before a marker — step one byte, not a
+            # bogus "segment length" unpacked from the marker itself
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            # RST0-7 / SOI / EOI / TEM carry NO length field — skipping
+            # a phantom length here desynchronizes the whole scan
+            i += 2
+            continue
         if marker in (0xC0, 0xC2):
             h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
             return w, h
@@ -169,8 +179,11 @@ def extract_features(
     Without a decoder this raises NotImplementedError at execution time
     (clearly-marked stub — real image/audio libs are not installed);
     pass ``fake_image_decoder`` (tests do) to exercise the full path.
-    ``batch_budget_rows`` caps Arrow batch size because media rows are
-    large — set via spark.sql.execution.arrow.maxRecordsPerBatch.
+    ``batch_budget_rows`` bounds peak memory for large media rows by
+    SLICING inside the UDF — never by mutating
+    spark.sql.execution.arrow.maxRecordsPerBatch, which is
+    session-global and would silently shrink every later Arrow job's
+    batches (an earlier version did exactly that).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,15 +193,17 @@ def extract_features(
                     "media decode requires codec libraries not present in "
                     "this environment; pass decoder=fake_image_decoder"
                 )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "features": pdf["payload"].map(lambda p: decoder(p if p is not None else b"")),
-                }
-            )
+            for lo in range(0, len(pdf), batch_budget_rows):
+                chunk = pdf.iloc[lo : lo + batch_budget_rows]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "features": chunk["payload"].map(
+                            lambda p: decoder(p if p is not None else b"")
+                        ),
+                    }
+                )
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_budget_rows))
     return fan_out(df).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

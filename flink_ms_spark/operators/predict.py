@@ -104,12 +104,23 @@ def recommend_topn(
         import numpy as np
         import pandas as pd
 
-        u = users.withColumn(
+        # per-side factor renames BEFORE blocking: users and items
+        # usually derive from ONE model frame, so both sides share the
+        # `factors` attribute id — a projection added above the
+        # cogroup then lets the optimizer dedup/prune the shared
+        # attribute out of one side's UDF input (KeyError in the
+        # worker). Distinct names make the two inputs unambiguous,
+        # exactly as the broadcast branch already does.
+        u = users.select(
+            "user_id", F.col("factors").alias("_uf")
+        ).withColumn(
             "_ub", F.pmod(F.col("user_id"), n_user_blocks).cast("int")
         ).withColumn(
             "_ib", F.explode(F.sequence(F.lit(0), F.lit(n_item_blocks - 1)))
         )
-        i = items.withColumn(
+        i = items.select(
+            "item_id", F.col("factors").alias("_if")
+        ).withColumn(
             "_ib", F.pmod(F.col("item_id"), n_item_blocks).cast("int")
         ).withColumn(
             "_ub", F.explode(F.sequence(F.lit(0), F.lit(n_user_blocks - 1)))
@@ -119,20 +130,25 @@ def recommend_topn(
             cols = ["user_id", "item_id", "prediction"]
             if u_pdf.empty or i_pdf.empty:
                 return pd.DataFrame(columns=cols)
-            mat_u = np.asarray(u_pdf["factors"].tolist(), dtype=np.float64)
-            mat_i = np.asarray(i_pdf["factors"].tolist(), dtype=np.float64)
+            mat_u = np.asarray(u_pdf["_uf"].tolist(), dtype=np.float64)
+            mat_i = np.asarray(i_pdf["_if"].tolist(), dtype=np.float64)
             s = mat_u @ mat_i.T
-            # HALF_UP round-6 — the same contract as F.round, applied
-            # BEFORE the in-cell top-n so block-local pruning breaks
-            # ties exactly like the global (rounded desc, item_id) rank
-            r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+            # emit RAW scores and prune with a margin; the ONE F.round
+            # below applies Spark's exact HALF_UP-on-shortest-repr to
+            # both physical forms. (A numpy emulation —
+            # sign*floor(abs*1e6+0.5) — rounds the BINARY value, which
+            # diverges from BigDecimal.valueOf on 2.675-style doubles,
+            # so the two forms could return different item sets.) The
+            # margin keeps every candidate whose rounded score could
+            # still reach the in-cell top-n across a 1e-6 boundary.
             item_ids = i_pdf["item_id"].to_numpy()
+            margin = n + 8
             out = []
-            for row in range(r.shape[0]):
-                keep = np.lexsort((item_ids, -r[row]))[:n]
+            for row in range(s.shape[0]):
+                keep = np.lexsort((item_ids, -s[row]))[:margin]
                 uid = int(u_pdf["user_id"].iloc[row])
                 out.extend(
-                    (uid, int(item_ids[j]), float(r[row, j])) for j in keep
+                    (uid, int(item_ids[j]), float(s[row, j])) for j in keep
                 )
             return pd.DataFrame(out, columns=cols)
 
@@ -144,6 +160,10 @@ def recommend_topn(
             )
         )
 
+    # one JVM-side HALF_UP for BOTH physical forms (identity where the
+    # broadcast branch already rounded) — rank on the rounded value so
+    # tie-breaks agree between forms
+    scored = scored.withColumn("prediction", F.round("prediction", 6))
     w = Window.partitionBy("user_id").orderBy(
         F.col("prediction").desc(), F.col("item_id")
     )

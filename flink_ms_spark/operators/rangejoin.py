@@ -34,7 +34,19 @@ def banded_range_join(
     """All (left × right) rows with ``right_ts`` in the half-open band
     ``[left_ts + lower, left_ts + upper)`` — timestamps and bounds in
     the same integer unit (e.g. epoch micros). Column names must be
-    disjoint (pre-alias). ``bucket`` defaults to the band width."""
+    disjoint (pre-alias). ``bucket`` defaults to the band width.
+
+    Inner join only: the bucket explode duplicates left rows and the
+    post-join band predicate drops null-extended rows, so a naive
+    ``how='left'`` would silently degenerate to inner semantics (and
+    duplicate matched rows). An outer band join is this inner join
+    plus a left_anti complement of the unmatched left rows —
+    compose it explicitly if needed."""
+    if how != "inner":
+        raise NotImplementedError(
+            "banded_range_join supports inner only; for left semantics "
+            "union this result with left.join(matches, keys, 'left_anti')"
+        )
     bucket = bucket or max(upper - lower, 1)
     lo_b = F.expr(f"({left_ts} + {lower}) div {bucket}")
     hi_b = F.expr(f"({left_ts} + {upper}) div {bucket}")

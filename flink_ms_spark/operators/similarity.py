@@ -81,8 +81,14 @@ def cosine_topk(
     """
     q_df = (queries or df).select(id_col, vec_col)
     q_rows = [(r[0], list(r[1])) for r in q_df.collect()]
-    dim = len(q_rows[0][1])
     spark = df.sparkSession
+    if not q_rows:
+        # an empty query frame (e.g. knn_classify sampling selects no
+        # ids) is a valid request with an empty answer, not a crash
+        return spark.createDataFrame(
+            [], "a LONG, b LONG, cos_sim DOUBLE, rk INT"
+        )
+    dim = len(q_rows[0][1])
     bq = spark.sparkContext.broadcast(_normalized_matrix(q_rows, dim))
     margin = 2 * k + 8
 
@@ -403,35 +409,17 @@ def embedding_neardup(
     tradeoff; raise cell_dims for cheaper+lower-recall, 0 cells for
     exact).
 
-    Per-cell upper-triangular matmul via applyInPandas; the only
-    shuffle is groupBy(cell). Pair expansion is bounded by the cell
-    population, never |corpus|².
+    Delegates to ``pairwise_cos_within`` over the sign-bit cell column
+    (one shared per-bucket matmul/threshold kernel — this function and
+    ``hyperplane_neardup`` differ ONLY in how they bucket; a divergent
+    local copy of the kernel is how eps/zero-norm fixes get missed).
+    Pair expansion is bounded by the cell population, never |corpus|².
     """
-
     with_cell = df.select(
         F.col(id_col), F.col(vec_col), ivf_cell(vec_col, cell_dims).alias("cell")
     )
-    # raw-sim prefilter with epsilon margin; exact decision on the
-    # rounded value below (oracle contract)
-    eps = 1e-6
-
-    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        m = np.array(list(pdf[vec_col]), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0.0] = 1.0
-        m = m / norms[:, None]
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold - eps
-        lo, hi = np.minimum(ids[iu[keep]], ids[ju[keep]]), np.maximum(
-            ids[iu[keep]], ids[ju[keep]]
-        )
-        return pd.DataFrame({"a": lo, "b": hi, "sim": sims[iu[keep], ju[keep]]})
-
-    cands = with_cell.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
-    return cands.select("a", "b", F.round("sim", 6).alias("cos_sim")).where(
-        F.col("cos_sim") >= threshold
+    return pairwise_cos_within(
+        with_cell, "cell", threshold, id_col=id_col, vec_col=vec_col
     )
 
 

@@ -331,8 +331,14 @@ def bpe_merges(
     # pure scheduling overhead, so collect (word, wc) and run the
     # bit-identical Python loop (parity pinned in tests). Above it,
     # the distributed round loop below is the scale path.
-    if local_threshold and wc_df.limit(local_threshold + 1).count() <= local_threshold:
-        wc = {r["word"]: int(r["wc"]) for r in wc_df.collect()}
+    sample = (
+        wc_df.limit(local_threshold + 1).collect() if local_threshold else []
+    )
+    if local_threshold and len(sample) <= local_threshold:
+        # the probe rows ARE the vocabulary (limit exceeded the full
+        # table) — reuse them instead of re-running the corpus-scale
+        # word_counts aggregate a second time for the collect
+        wc = {r["word"]: int(r["wc"]) for r in sample}
         rows = [
             (step, a, b, m, cnt)
             for step, (a, b, m, cnt) in enumerate(
