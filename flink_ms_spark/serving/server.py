@@ -101,8 +101,11 @@ def query_model(
     """Client helper: point-query a served model; miss ⇒ None. The 5 s
     default timeout mirrors QueryClientHelper.java's query timeout."""
     from urllib.error import HTTPError
+    from urllib.parse import quote
 
-    url = f"http://{host}:{port}/lookup?key={key}"
+    # keys are arbitrary parsed strings — encode, or '&'/'#'/'+'/' '
+    # inside a key queries the wrong key (or malforms the request)
+    url = f"http://{host}:{port}/lookup?key={quote(key, safe='')}"
     try:
         with urlopen(url, timeout=timeout) as resp:
             return json.loads(resp.read())

@@ -70,7 +70,24 @@ class ModelStore:
         self._rebuild_df(latest.schema)
 
     def _rebuild_df(self, schema) -> None:
-        rows = [Row(key=k, **v.asDict()) for k, v in self._dict.items()]
+        # align EVERY accumulated row to the CURRENT schema BY NAME:
+        # createDataFrame maps Row objects positionally, so a later
+        # upsert batch with the same columns in a different order would
+        # silently swap same-typed fields (id <-> kind) for every
+        # pre-existing key; a missing field is a loud error instead
+        field_names = [f.name for f in schema.fields]
+
+        def aligned(k: str, v: Row) -> tuple:
+            d = {"key": k, **v.asDict()}
+            missing = [n for n in field_names if n not in d]
+            if missing:
+                raise ValueError(
+                    f"store {self.name!r}: upsert batch schema drops "
+                    f"column(s) {missing} that earlier batches carried"
+                )
+            return tuple(d[n] for n in field_names)
+
+        rows = [aligned(k, v) for k, v in self._dict.items()]
         self._df = self.spark.createDataFrame(rows, schema=schema)
 
     # -- read path -------------------------------------------------------

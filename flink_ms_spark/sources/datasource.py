@@ -102,23 +102,17 @@ class ModelFileReader(DataSourceReader):
                 line = line.strip()
                 if not line:
                     continue
-                if self.kind == "svm":
-                    tok = line.split(",")
-                    if len(tok) < 2:
-                        yield None, None
-                    else:
-                        yield _try_int(tok[0]), _try_float(tok[1])
-                else:
-                    tok = line.split(",", 2)
-                    rid = tok[0] if tok else None
-                    kind = tok[1] if len(tok) > 1 else None
-                    facs = (
-                        [_try_float(x) for x in tok[2].split(";")]
-                        if len(tok) > 2
-                        else None
-                    )
-                    key = f"{rid}-{kind}" if rid is not None and kind else None
-                    yield key, rid, kind, facs
+                # one shared parser for batch AND stream reads — a
+                # divergent inline copy here once risked the two paths
+                # drifting on format tweaks
+                yield _parse_line(line, self.kind)
+
+
+class _FileCommit(WriterCommitMessage):
+    """Carries the task's temp-file path to the driver-side commit."""
+
+    def __init__(self, tmp_path: str | None):
+        self.tmp_path = tmp_path
 
 
 class ModelFileWriter(DataSourceWriter):
@@ -129,26 +123,59 @@ class ModelFileWriter(DataSourceWriter):
         self.kind = options.get("kind", "als")
         self.overwrite = overwrite
 
-    def write(self, rows: Iterator[Row]) -> WriterCommitMessage:
+    def write(self, rows: Iterator[Row]) -> "_FileCommit":
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.txt")
+        # task-temp file, promoted to its final name only in the
+        # driver-side commit(): a failed/speculative attempt leaves a
+        # _tmp- file that abort()/the next overwrite clears, never a
+        # half-written part- file that a reader would ingest
+        final = f"part-{uuid.uuid4().hex}.txt"
+        tmp = os.path.join(self.path, f"_tmp-{final}")
         n = 0
-        with open(out, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8") as fh:
             for r in rows:
                 if self.kind == "svm":
+                    if r["feature_id"] is None or r["weight"] is None:
+                        continue  # malformed-read residue: unserializable
                     fh.write(f"{r['feature_id']},{r['weight']}\n")
                 else:
+                    facs_raw = r["factors"]
+                    if (
+                        r["id"] is None
+                        or r["kind"] is None
+                        or facs_raw is None
+                        or any(f is None for f in facs_raw)
+                    ):
+                        # rows the READER yields for malformed lines
+                        # (null id/factors) have no text form; writing
+                        # them would emit 'None' literals the
+                        # reference's Double.parseDouble chokes on
+                        continue
                     # repr() output is parseable by the reference's
                     # consumers (InputFactor-style split on ';').
                     # NOT byte-identical to Java Double.toString for
                     # exponent forms (repr(1e-07)='1e-07' vs '1.0E-7');
                     # round-trip parity is what the tests pin.
-                    facs = ";".join(repr(f) for f in r["factors"])
+                    facs = ";".join(repr(f) for f in facs_raw)
                     fh.write(f"{r['id']},{r['kind']},{facs}\n")
                 n += 1
         if n == 0:
-            os.remove(out)
-        return WriterCommitMessage()
+            os.remove(tmp)
+            return _FileCommit(None)
+        return _FileCommit(tmp)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
+                base = os.path.basename(m.tmp_path)[len("_tmp-"):]
+                os.replace(
+                    m.tmp_path, os.path.join(os.path.dirname(m.tmp_path), base)
+                )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 def _parse_line(line: str, kind: str) -> tuple:
@@ -203,8 +230,9 @@ class ModelFileStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple:
         now = _list_files(self.path)
-        new = [p for p in now if p not in set(start["seen"])]
-        end = {"seen": sorted(set(start["seen"]) | set(now))}
+        seen = set(start["seen"])  # build ONCE, not per listed file
+        new = [p for p in now if p not in seen]
+        end = {"seen": sorted(seen | set(now))}
         return iter(self._read_files(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:

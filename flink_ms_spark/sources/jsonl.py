@@ -34,15 +34,20 @@ def read_jsonl_corpus(
     schema: T.StructType = CORPUS_SCHEMA,
     recursive: bool = True,
 ) -> DataFrame:
-    """Read a JSONL document corpus with a pinned schema. Corrupt
-    lines land in no row rather than poisoning the schema
-    (PERMISSIVE + explicit schema drops unparseable fields to null);
-    use ``columnNameOfCorruptRecord`` downstream if quarantining is
-    needed."""
+    """Read a JSONL document corpus with a pinned schema. PERMISSIVE
+    mode turns a corrupt line into an all-NULL row (it does NOT drop
+    it), which would silently inflate doc counts, mixing weights and
+    dedup denominators — so rows with a NULL ``doc_id`` (the required
+    key; no valid corpus line lacks it) are filtered out here. For a
+    quarantine flow, add a ``_corrupt STRING`` field to the schema and
+    pass ``columnNameOfCorruptRecord=_corrupt`` (the option only works
+    when the corrupt-record column exists in the schema)."""
+    from pyspark.sql import functions as F
+
     reader = spark.read.schema(schema)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    return reader.json(path)
+    return reader.json(path).where(F.col("doc_id").isNotNull())
 
 
 def write_jsonl_corpus(

@@ -82,7 +82,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         for col, allowed in expected.items():
             got = actual.get(col)
-            if got is not None and got not in allowed:
+            if got is None:
+                # the WORST drift — a load-bearing column renamed or
+                # dropped — must fail here, not as a deep-plan
+                # AnalysisException three operators later
+                raise TypeError(
+                    f"fixture drift: {name}.{col} is MISSING from the "
+                    f"regenerated fixture (have: {sorted(actual)})"
+                )
+            if got not in allowed:
                 raise TypeError(
                     f"fixture drift: {name}.{col} is {got}, catalog assumes "
                     f"{'/'.join(allowed)} — regenerated testdata changed "

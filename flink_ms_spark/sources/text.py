@@ -63,8 +63,15 @@ def collection_source(spark: SparkSession, n: int, parallelism: int | None = Non
 
 def parse_rating_lines(lines: DataFrame, sep: str = "\t", col: str = "value") -> DataFrame:
     """T1 — parse map ``user<sep>item<sep>rating`` → typed columns
-    (reference SGD.java:96-110 InputParser; tab default)."""
-    parts = F.split(F.col(col), sep)
+    (reference SGD.java:96-110 InputParser; tab default). ``sep`` is a
+    LITERAL separator: F.split takes a Java regex, so metachar
+    delimiters ('|', '.', '+') are escaped here — a bare '|' would
+    split at every position and every parse would come back NULL
+    (which the streaming loader then silently filters: an empty model,
+    no error)."""
+    import re
+
+    parts = F.split(F.col(col), re.escape(sep))
     return lines.select(
         parts.getItem(0).try_cast("int").alias("user_id"),
         parts.getItem(1).try_cast("int").alias("item_id"),

@@ -99,21 +99,29 @@ def corpus_diff(
     join on the id with digest comparison — the incremental-processing
     primitive (downstream jobs reprocess added ∪ changed only).
     """
-    def keyed(v: int) -> DataFrame:
+    def keyed(v: int, side: str) -> DataFrame:
+        # presence comes from an explicit marker, NOT digest nullness:
+        # md5(normalize(NULL text)) is NULL, so a null-text doc present
+        # in both versions would otherwise classify as 'added' (and a
+        # removed one as 'added' too), duplicating rows downstream in
+        # incremental_rescore
         return read_version(spark, root, v).select(
             F.col(id_col).alias("doc_id"),
-            F.md5(normalize_text(text_col)).alias("digest"),
+            F.md5(normalize_text(text_col)).alias(f"d_{side}"),
+            F.lit(1).alias(f"in_{side}"),
         )
 
-    o = keyed(v_old).withColumnRenamed("digest", "d_old")
-    n = keyed(v_new).withColumnRenamed("digest", "d_new")
+    o = keyed(v_old, "old")
+    n = keyed(v_new, "new")
     j = o.join(n, "doc_id", "full_outer")
     return (
         j.select(
             "doc_id",
-            F.when(F.col("d_old").isNull(), "added")
-            .when(F.col("d_new").isNull(), "removed")
-            .when(F.col("d_old") != F.col("d_new"), "changed")
+            F.when(F.col("in_old").isNull(), "added")
+            .when(F.col("in_new").isNull(), "removed")
+            .when(
+                ~F.col("d_old").eqNullSafe(F.col("d_new")), "changed"
+            )
             .alias("change"),
         )
         .where(F.col("change").isNotNull())
