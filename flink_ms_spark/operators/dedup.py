@@ -45,11 +45,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as ARRAY<STRING> (positions 1..len-n+1)."""
+    """Word n-gram shingles as ARRAY<STRING> (positions 1..len-n+1).
+
+    Documents shorter than ``n`` tokens yield ONE truncated shingle of
+    whatever tokens exist: ``try_element_at`` (NULL past the end, vs
+    ``element_at`` which THROWS under Spark 4's ANSI default) +
+    ``concat_ws`` (skips NULLs) — and the DuckDB oracles mirror it
+    with ``concat_ws(' ', t[i], ...)``, whose out-of-range list index
+    is NULL-skipped the same way. A bare ``||`` chain on the oracle
+    side would instead NULL-propagate the whole shingle."""
     toks = tokens(text)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
     )
 
 

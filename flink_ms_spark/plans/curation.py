@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from flink_ms_spark.operators.dedup import exact_substring_dedup
 from flink_ms_spark.operators.text import char_trigram_lm_score
-from flink_ms_spark.plans.registry import register
+from flink_ms_spark.plans.registry import register, values_clause
 from flink_ms_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -428,7 +428,7 @@ def _bpe_oracle() -> str:
     return (
         "SELECT CAST(step AS INT) AS step, left_, right_, merged, "
         "CAST(pair_count AS BIGINT) AS pair_count "
-        f"FROM (VALUES {rows}) t(step, left_, right_, merged, pair_count)"
+        + values_clause(rows, "t(step, left_, right_, merged, pair_count)")
     )
 
 

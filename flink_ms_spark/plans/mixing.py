@@ -22,7 +22,7 @@ from flink_ms_spark.operators.mixing import (
     temperature_mix,
     unimax_alloc,
 )
-from flink_ms_spark.plans.registry import register
+from flink_ms_spark.plans.registry import register, values_clause
 from flink_ms_spark.sources.tables import load_table
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -325,7 +325,7 @@ def _ivf_pq_oracle() -> str:
     rows = ", ".join(f"({a}, {b}, {d!r}, {rk})" for a, b, d, rk in out)
     return (
         "SELECT a, b, CAST(ad2 AS DOUBLE) AS ad2, CAST(rk AS INT) AS rk "
-        f"FROM (VALUES {rows}) t(a, b, ad2, rk)"
+        + values_clause(rows, "t(a, b, ad2, rk)")
     )
 
 
@@ -399,7 +399,7 @@ def _bpe_encode_oracle() -> str:
     return (
         "SELECT doc_id, CAST(n_words AS INT) AS n_words, "
         "CAST(n_bpe AS INT) AS n_bpe, CAST(bpe_per_word AS DOUBLE) AS bpe_per_word "
-        f"FROM (VALUES {vals}) t(doc_id, n_words, n_bpe, bpe_per_word)"
+        + values_clause(vals, "t(doc_id, n_words, n_bpe, bpe_per_word)")
     )
 
 
@@ -476,7 +476,7 @@ def _bpe_fertility_oracle() -> str:
     return (
         "SELECT lang, CAST(n_words AS BIGINT) AS n_words, "
         "CAST(n_bpe AS BIGINT) AS n_bpe, CAST(fertility AS DOUBLE) AS fertility "
-        f"FROM (VALUES {vals}) t(lang, n_words, n_bpe, fertility)"
+        + values_clause(vals, "t(lang, n_words, n_bpe, fertility)")
     )
 
 
@@ -668,8 +668,10 @@ def _ppm_stats_oracle() -> str:
         "CAST(height AS INT) AS height, CAST(mean_r AS DOUBLE) AS mean_r, "
         "CAST(mean_g AS DOUBLE) AS mean_g, CAST(mean_b AS DOUBLE) AS mean_b, "
         "CAST(mean_gray AS DOUBLE) AS mean_gray "
-        f"FROM (VALUES {vals}) t(media_id, width, height, mean_r, mean_g, "
-        "mean_b, mean_gray)"
+        + values_clause(
+            vals,
+            "t(media_id, width, height, mean_r, mean_g, mean_b, mean_gray)",
+        )
     )
 
 
@@ -1250,8 +1252,11 @@ def _wav_stats_oracle() -> str:
         "CAST(n_samples AS INT) AS n_samples, "
         "CAST(duration_s AS DOUBLE) AS duration_s, CAST(rms AS DOUBLE) AS rms, "
         "CAST(peak AS INT) AS peak, CAST(zero_crossings AS INT) AS zero_crossings "
-        f"FROM (VALUES {vals}) t(media_id, sample_rate, n_samples, duration_s, "
-        "rms, peak, zero_crossings)"
+        + values_clause(
+            vals,
+            "t(media_id, sample_rate, n_samples, duration_s, "
+            "rms, peak, zero_crossings)",
+        )
     )
 
 

@@ -361,7 +361,7 @@ _MINHASH_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest(list_transform(
          generate_series(1, greatest(len(t) - 2, 1)),
-         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
        FROM toks),
 x AS (SELECT doc_id,
         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x

@@ -24,7 +24,7 @@ from flink_ms_spark.operators.cluster import (
 )
 from flink_ms_spark.operators.dedup import minhash_signatures
 from flink_ms_spark.plans.northstar import _MINHASH_ORACLE
-from flink_ms_spark.plans.registry import register
+from flink_ms_spark.plans.registry import register, values_clause
 from flink_ms_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -907,7 +907,7 @@ def _pq_oracle() -> str:
     rows = ", ".join(f"({a}, {b}, {d!r}, {rk})" for a, b, d, rk in out)
     return (
         "SELECT a, b, CAST(ad2 AS DOUBLE) AS ad2, CAST(rk AS INT) AS rk "
-        f"FROM (VALUES {rows}) t(a, b, ad2, rk)"
+        + values_clause(rows, "t(a, b, ad2, rk)")
     )
 
 
@@ -1138,7 +1138,7 @@ def _compression_oracle() -> str:
     return (
         "SELECT doc_id, CAST(zlib_ratio AS DOUBLE) AS zlib_ratio, "
         "CAST(n_chars AS INT) AS n_chars "
-        f"FROM (VALUES {', '.join(rows)}) t(doc_id, zlib_ratio, n_chars)"
+        + values_clause(', '.join(rows), "t(doc_id, zlib_ratio, n_chars)")
     )
 
 
@@ -1278,7 +1278,7 @@ scored AS (
        CROSS JOIN stats s
   GROUP BY t.doc_id)
 SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25
-FROM scored ORDER BY score DESC, doc_id LIMIT 20
+FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
 """
 
 
@@ -1325,10 +1325,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
+    # frontier on the ROUNDED score (round-before-frontier, like
+    # shipping_priority/top_supplier): raw float sums accumulate in
+    # engine-specific order, so a raw-ordered LIMIT can pick different
+    # rank-20 members per engine even when every emitted rounded value
+    # agrees
     return (
-        scored.orderBy(F.desc("score"), "doc_id")
+        scored.withColumn("bm25", F.round("score", 6))
+        .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
-        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .select("doc_id", "bm25")
     )
 
 

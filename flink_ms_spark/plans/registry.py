@@ -54,3 +54,16 @@ def register_sql(name: str, spark_sql: str, duck_sql: str | None = None) -> None
     fn.__doc__ = spark_sql
     QUERIES[name] = fn
     ORACLE_SQL[name] = duck_sql if duck_sql is not None else spark_sql
+
+
+def values_clause(rows_sql: str, table_alias: str) -> str:
+    """``FROM (VALUES ...) t(cols)`` fragment that stays VALID SQL when
+    the builder produced ZERO rows (a degenerate regenerated fixture):
+    ``VALUES`` with an empty list is a parse error, so an empty build
+    becomes a one-NULL-row VALUES filtered back out with WHERE 1=0 —
+    the gate then compares two empty results instead of crashing."""
+    if rows_sql.strip():
+        return f"FROM (VALUES {rows_sql}) {table_alias}"
+    n_cols = table_alias.split("(", 1)[1].count(",") + 1
+    nulls = ", ".join(["NULL"] * n_cols)
+    return f"FROM (VALUES ({nulls})) {table_alias} WHERE 1 = 0"
