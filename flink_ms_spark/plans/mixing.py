@@ -827,17 +827,28 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ms_spark.operators.graph import cooccurrence_edges, lpa_communities
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
-    labels = lpa_communities(edges, n_iters=3).persist()
+    # materialize the edge set ONCE (three consumers: LPA, the
+    # intra-community count, the degree table) — localCheckpoint blocks
+    # are GC-released, unlike a bare persist; and keep m / e_int as
+    # 1-row frames crossJoined into ONE composed job instead of two
+    # eager .count() driver actions per invocation (the dedup_report
+    # composition rule)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").localCheckpoint(
+        eager=True
+    )
+    labels = lpa_communities(edges, n_iters=3)  # eager, model-scale
     la = labels.withColumnRenamed("node", "u").withColumnRenamed(
         "community", "cu"
     )
     lb = labels.withColumnRenamed("node", "v").withColumnRenamed(
         "community", "cv"
     )
-    m = edges.count()
-    e_int = (
-        edges.join(la, "u").join(lb, "v").where(F.col("cu") == F.col("cv")).count()
+    m_df = edges.agg(F.count("*").cast("long").alias("m"))
+    e_int_df = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .agg(F.count("*").cast("double").alias("e_int"))
     )
     adj = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -852,14 +863,19 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_communities"),
         F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"),
     )
-    return agg.select(
-        "n_communities",
-        F.lit(m).cast("long").alias("m"),
-        F.round(
-            F.lit(float(e_int)) / F.lit(m)
-            - F.col("sum_dc2").cast("double") / (F.lit(4.0) * m * m),
-            6,
-        ).alias("modularity"),
+    return (
+        agg.crossJoin(F.broadcast(m_df))
+        .crossJoin(F.broadcast(e_int_df))
+        .select(
+            "n_communities",
+            "m",
+            F.round(
+                F.col("e_int") / F.col("m")
+                - F.col("sum_dc2").cast("double")
+                / (F.lit(4.0) * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
     )
 
 

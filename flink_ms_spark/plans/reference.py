@@ -343,8 +343,10 @@ def q_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M6/M7/T7 — one SGD micro-batch (simultaneous update, exploded rows)
 
 _SGD_ORACLE = f"""
-WITH {_RATINGS_CTE},
-r2 AS (
+WITH r2 AS (
+  -- ord must be the raw event_id, which the shared ratings CTE does
+  -- not carry, so the clamp/mod derivation is inlined here (keep in
+  -- sync with sources/ratings.py RATINGS_ORACLE_SQL)
   SELECT event_id AS ord, CAST(user_id AS INT) AS user_id,
          CAST(event_id % 200 AS INT) AS item_id,
          LEAST(GREATEST(value, 0.0), 5.0) AS rating
@@ -621,8 +623,10 @@ def q_recs_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M6 variant — SGDV0's sequential update (item sees post-update user)
 
 _SGD_SEQ_ORACLE = f"""
-WITH {_RATINGS_CTE},
-r2 AS (
+WITH r2 AS (
+  -- ord must be the raw event_id, which the shared ratings CTE does
+  -- not carry, so the clamp/mod derivation is inlined here (keep in
+  -- sync with sources/ratings.py RATINGS_ORACLE_SQL)
   SELECT event_id AS ord, CAST(user_id AS INT) AS user_id,
          CAST(event_id % 200 AS INT) AS item_id,
          LEAST(GREATEST(value, 0.0), 5.0) AS rating

@@ -1225,6 +1225,14 @@ FROM p3 ORDER BY pagerank DESC, node
 # a cumulative-sum window, no recursion. alpha = 1/2 keeps every
 # power-of-two factor exactly representable so both engines compute
 # bit-identical terms; the ordered window sum fixes summation order.
+# DOMAIN BOUND: the linearization carries x·2^t, which overflows
+# double (→ Inf, then NaN) once a per-key series passes ~10³ points —
+# fine for the fixture's day-count spine, but a LONG series (minutes,
+# events) must use the renormalized-block form instead: restart the
+# recurrence every B≈500 rows with carry s_B (per-block windows, same
+# shuffle shape), or the streaming EWMA in streaming/drift-style
+# per-batch folds. Both engines overflow identically, so the parity
+# gate cannot catch this — the bound lives here instead.
 register_sql(
     "ewma_smooth",
     spark_sql="""
