@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from flink_ms_spark.operators.dedup import exact_substring_dedup
 from flink_ms_spark.operators.text import char_trigram_lm_score
+from flink_ms_spark.plans.pipeline import BM25_SCORED_CTES
 from flink_ms_spark.plans.registry import register, values_clause
 from flink_ms_spark.sources.tables import load_table
 
@@ -126,31 +127,11 @@ def q_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60
 
 _RRF_ORACLE = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
-              FROM documents),
-tfd AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
-        GROUP BY doc_id, term),
-dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dlen FROM tfd GROUP BY doc_id),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl),
-q AS (SELECT unnest(['join', 'vector', 'spark']) AS term),
-dfq AS (SELECT q.term, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
-        FROM q JOIN tfd t ON t.term = q.term GROUP BY q.term),
-bm_scored AS (
-  SELECT t.doc_id,
-         sum(((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
-             * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-             / (CAST(t.tf AS DOUBLE)
-                + CAST(1.2 AS DOUBLE)
-                  * (CAST(0.25 AS DOUBLE)
-                     + CAST(0.75 AS DOUBLE) * l.dlen / s.avgdl))) AS score
-  FROM tfd t JOIN dfq d ON t.term = d.term
-       JOIN dl l ON t.doc_id = l.doc_id
-       CROSS JOIN stats s
-  GROUP BY t.doc_id),
+WITH {BM25_SCORED_CTES},
 bm AS (SELECT doc_id,
               CAST(row_number() OVER (
                 ORDER BY round(score, 6) DESC, doc_id) AS INT) AS bm25_rk
-       FROM bm_scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20),
+       FROM bm25_scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20),
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
 norms AS (SELECT vec_id, v,

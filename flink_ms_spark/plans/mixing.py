@@ -351,9 +351,19 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # learn_bpe_merges_local artifact), HALF_UP rounding to match Spark.
 
 
-def _bpe_encode_oracle() -> str:
-    import re
+def _round6_half_up(x: float) -> float:
     from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _bpe_doc_counts(key_col: str) -> list[tuple]:
+    """Exact Python replay of BPE encode over `documents`: per doc with
+    ≥1 word, yield (key_value, n_words, n_bpe) under the 8 learned
+    merges (shared learn_bpe_merges_local artifact). Shared by the
+    bpe_encode and bpe_fertility oracles so the fold-apply replay
+    exists in one place."""
+    import re
 
     import pyarrow.parquet as papq
 
@@ -376,11 +386,11 @@ def _bpe_encode_oracle() -> str:
         return len(syms)
 
     cache: dict[str, int] = {}
-    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"])
+    t = papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key_col, "text"]
+    )
     rows = []
-    for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                            t.column("text").to_pylist()):
+    for key, text in zip(t.column(key_col).to_pylist(), t.column("text").to_pylist()):
         words = [w for w in re.split("[^a-z]+", text.lower()) if w]
         if not words:
             continue
@@ -389,12 +399,15 @@ def _bpe_encode_oracle() -> str:
             if w not in cache:
                 cache[w] = encode_len(w)
             n_bpe += cache[w]
-        bw = float(
-            Decimal(n_bpe / len(words)).quantize(
-                Decimal("0.000001"), rounding=ROUND_HALF_UP
-            )
-        )
-        rows.append((doc_id, len(words), n_bpe, bw))
+        rows.append((key, len(words), n_bpe))
+    return rows
+
+
+def _bpe_encode_oracle() -> str:
+    rows = [
+        (doc_id, n_words, n_bpe, _round6_half_up(n_bpe / n_words))
+        for doc_id, n_words, n_bpe in _bpe_doc_counts("doc_id")
+    ]
     vals = ", ".join(f"({d}, {w}, {n}, {b!r})" for d, w, n, b in rows)
     return (
         "SELECT doc_id, CAST(n_words AS INT) AS n_words, "
@@ -423,55 +436,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_fertility_oracle() -> str:
-    import re
-    from decimal import ROUND_HALF_UP, Decimal
-
-    import pyarrow.parquet as papq
-
-    from flink_ms_spark.operators.text import learn_bpe_merges_local
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
-    merges = learn_bpe_merges_local(sf_dir, n_merges=8)
-
-    def encode_len(word: str) -> int:
-        syms = list(word)
-        for a, b in merges:
-            m = a + b
-            out: list[str] = []
-            for x in syms:
-                if out and out[-1] == a and x == b:
-                    out[-1] = m
-                else:
-                    out.append(x)
-            syms = out
-        return len(syms)
-
-    cache: dict[str, int] = {}
-    t = papq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
-    )
     agg: dict[str, list[int]] = {}
-    for lang, text in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
-        words = [w for w in re.split("[^a-z]+", text.lower()) if w]
-        if not words:
-            continue
-        n_bpe = 0
-        for w in words:
-            if w not in cache:
-                cache[w] = encode_len(w)
-            n_bpe += cache[w]
+    for lang, n_words, n_bpe in _bpe_doc_counts("lang"):
         acc = agg.setdefault(lang, [0, 0])
-        acc[0] += len(words)
+        acc[0] += n_words
         acc[1] += n_bpe
     rows = []
     for lang in sorted(agg):
         n_words, n_bpe = agg[lang]
-        fert = float(
-            Decimal(n_bpe / n_words).quantize(
-                Decimal("0.000001"), rounding=ROUND_HALF_UP
-            )
-        )
-        rows.append((lang, n_words, n_bpe, fert))
+        rows.append((lang, n_words, n_bpe, _round6_half_up(n_bpe / n_words)))
     vals = ", ".join(f"({l!r}, {w}, {n}, {f!r})" for l, w, n, f in rows)
     return (
         "SELECT lang, CAST(n_words AS BIGINT) AS n_words, "
@@ -700,28 +673,37 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # LPA community detection over the co-purchase graph — 3 synchronized
 # min-tie-break rounds, unrolled identically in the DuckDB oracle.
+# The CTE chain is shared with _MODULARITY_ORACLE below (which scores
+# the same partition), so the round-unrolling exists in one place.
 
-_LPA_ORACLE = """
-WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS nd FROM lineitem),
-e AS (SELECT DISTINCT a.nd AS u, b.nd AS v
-      FROM m a JOIN m b USING (g) WHERE a.nd < b.nd),
-adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-l0 AS (SELECT DISTINCT u AS node, u AS community FROM adj),
-r1 AS (SELECT a.u AS node, l.community, count(*) AS n
-       FROM adj a JOIN l0 l ON a.v = l.node GROUP BY a.u, l.community),
-l1 AS (SELECT node, community FROM (
-         SELECT *, row_number() OVER (PARTITION BY node
-             ORDER BY n DESC, community ASC) AS rk FROM r1) WHERE rk = 1),
-r2 AS (SELECT a.u AS node, l.community, count(*) AS n
-       FROM adj a JOIN l1 l ON a.v = l.node GROUP BY a.u, l.community),
-l2 AS (SELECT node, community FROM (
-         SELECT *, row_number() OVER (PARTITION BY node
-             ORDER BY n DESC, community ASC) AS rk FROM r2) WHERE rk = 1),
-r3 AS (SELECT a.u AS node, l.community, count(*) AS n
-       FROM adj a JOIN l2 l ON a.v = l.node GROUP BY a.u, l.community),
-l3 AS (SELECT node, community FROM (
-         SELECT *, row_number() OVER (PARTITION BY node
-             ORDER BY n DESC, community ASC) AS rk FROM r3) WHERE rk = 1)
+
+def _lpa_ctes(n_iters: int) -> str:
+    """CTE chain ending in labels `l{n_iters}(node, community)`, with
+    the undirected edge set available as `e(u, v)` / `adj(u, v)`."""
+    parts = [
+        "m0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS nd FROM lineitem)",
+        "e AS (SELECT DISTINCT a.nd AS u, b.nd AS v\n"
+        "      FROM m0 a JOIN m0 b USING (g) WHERE a.nd < b.nd)",
+        "adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS community FROM adj)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT a.u AS node, l.community, count(*) AS n\n"
+            f"       FROM adj a JOIN l{i - 1} l ON a.v = l.node"
+            f" GROUP BY a.u, l.community)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node, community FROM (\n"
+            f"         SELECT *, row_number() OVER (PARTITION BY node\n"
+            f"             ORDER BY n DESC, community ASC) AS rk FROM r{i})"
+            f" WHERE rk = 1)"
+        )
+    return ",\n".join(parts)
+
+
+_LPA_ORACLE = f"""
+WITH {_lpa_ctes(3)}
 SELECT node, community FROM l3
 """
 
@@ -779,27 +761,8 @@ def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = (Σe_c)/m − (Σd_c²)/(4m²) — both numerator sums are exact integers,
 # so the one double expression at the end is bit-deterministic.
 
-_MODULARITY_ORACLE = """
-WITH m0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS nd FROM lineitem),
-e AS (SELECT DISTINCT a.nd AS u, b.nd AS v
-      FROM m0 a JOIN m0 b USING (g) WHERE a.nd < b.nd),
-adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-l0 AS (SELECT DISTINCT u AS node, u AS community FROM adj),
-r1 AS (SELECT a.u AS node, l.community, count(*) AS n
-       FROM adj a JOIN l0 l ON a.v = l.node GROUP BY a.u, l.community),
-l1 AS (SELECT node, community FROM (
-         SELECT *, row_number() OVER (PARTITION BY node
-             ORDER BY n DESC, community ASC) AS rk FROM r1) WHERE rk = 1),
-r2 AS (SELECT a.u AS node, l.community, count(*) AS n
-       FROM adj a JOIN l1 l ON a.v = l.node GROUP BY a.u, l.community),
-l2 AS (SELECT node, community FROM (
-         SELECT *, row_number() OVER (PARTITION BY node
-             ORDER BY n DESC, community ASC) AS rk FROM r2) WHERE rk = 1),
-r3 AS (SELECT a.u AS node, l.community, count(*) AS n
-       FROM adj a JOIN l2 l ON a.v = l.node GROUP BY a.u, l.community),
-l3 AS (SELECT node, community FROM (
-         SELECT *, row_number() OVER (PARTITION BY node
-             ORDER BY n DESC, community ASC) AS rk FROM r3) WHERE rk = 1),
+_MODULARITY_ORACLE = f"""
+WITH {_lpa_ctes(3)},
 mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
 inte AS (SELECT CAST(count(*) AS BIGINT) AS e_int
          FROM e JOIN l3 a ON e.u = a.node JOIN l3 b ON e.v = b.node

@@ -1255,17 +1255,20 @@ def q_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["join", "vector", "spark"]
 
-_BM25_ORACLE = """
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+# Shared CTE chain ending in `bm25_scored(doc_id, score)` — composed
+# into _BM25_ORACLE here and _RRF_ORACLE (plans/curation.py) so the
+# scoring math exists in exactly one place.
+BM25_SCORED_CTES = f"""
+toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
               FROM documents),
 tfd AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
         GROUP BY doc_id, term),
 dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dlen FROM tfd GROUP BY doc_id),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl),
-q AS (SELECT unnest(['join', 'vector', 'spark']) AS term),
+q AS (SELECT unnest({_BM25_TERMS!r}) AS term),
 dfq AS (SELECT q.term, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
         FROM q JOIN tfd t ON t.term = q.term GROUP BY q.term),
-scored AS (
+bm25_scored AS (
   SELECT t.doc_id,
          sum(((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
              * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
@@ -1276,9 +1279,12 @@ scored AS (
   FROM tfd t JOIN dfq d ON t.term = d.term
        JOIN dl l ON t.doc_id = l.doc_id
        CROSS JOIN stats s
-  GROUP BY t.doc_id)
+  GROUP BY t.doc_id)"""
+
+_BM25_ORACLE = f"""
+WITH {BM25_SCORED_CTES}
 SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25
-FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+FROM bm25_scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
 """
 
 
