@@ -194,16 +194,20 @@ def point_lookup_bench(spark, n_queries: int = 1000) -> dict[str, float]:
     rng = random.Random(42)
     lat, rows = [], []
     for _ in range(n_queries):
-        u, i = rng.randrange(0, 120), rng.randrange(0, 200)
-        t0 = time.perf_counter()
-        uf = store.lookup(f"{u}-U")
-        itf = store.lookup(f"{i}-I")
-        pred = (
-            sum(a * b for a, b in zip(uf.factors, itf.factors))
-            if uf is not None and itf is not None
-            else None
-        )
-        ms = (time.perf_counter() - t0) * 1000.0
+        # Reference semantics (ALSPredictRandom.java:55-97): on a state
+        # miss, RE-DRAW a fresh random key and query again until the
+        # lookup hits; only the hit's latency lands in the K5 CSV.
+        for _attempt in range(1000):
+            u, i = rng.randrange(0, 120), rng.randrange(0, 200)
+            t0 = time.perf_counter()
+            uf = store.lookup(f"{u}-U")
+            itf = store.lookup(f"{i}-I")
+            ms = (time.perf_counter() - t0) * 1000.0
+            if uf is not None and itf is not None:
+                break
+        else:
+            raise RuntimeError("point_lookup_bench: no hit in 1000 draws")
+        pred = sum(a * b for a, b in zip(uf.factors, itf.factors))
         lat.append(ms)
         rows.append(f"{u},{i},{pred},{ms:.4f}")
     csv_path = os.environ.get("SPARK_GRAFT_LATENCY_CSV")
@@ -228,22 +232,34 @@ def training_and_throughput_bench(spark, sf_dir: str) -> dict[str, float]:
     from flink_ms_spark.sources.ratings import ratings_from_events
 
     ratings = ratings_from_events(spark, sf_dir)
-    t0 = time.perf_counter()
-    model = train_als(ratings, rank=10, max_iter=10, reg_param=0.9, seed=42)
-    table = als_model_table(model)
-    n_model = table.count()  # forces training + table materialization
-    train_s = time.perf_counter() - t0
+
+    # Min-of-2 timed runs, mirroring the headline-query methodology:
+    # r4 recorded a 10.9× single-run predict-throughput "collapse"
+    # (332k→30k rows/s) that two standalone re-runs could not
+    # reproduce — a co-tenant-load artifact, not a plan regression
+    # (VERDICT.md r4 §What's wrong 3). Min of repeats estimates the
+    # code's cost, not the neighbors'.
+    train_runs = []
+    n_model = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        model = train_als(ratings, rank=10, max_iter=10, reg_param=0.9, seed=42)
+        table = als_model_table(model)
+        n_model = table.count()  # forces training + table materialization
+        train_runs.append(time.perf_counter() - t0)
 
     queries = ratings.select("user_id", "item_id")
     _force(predict_als_batch(queries, table))  # warm
-    t0 = time.perf_counter()
-    _force(predict_als_batch(queries, table))
-    predict_s = time.perf_counter() - t0
+    predict_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(predict_als_batch(queries, table))
+        predict_runs.append(time.perf_counter() - t0)
     n_q = queries.count()
     return {
-        "als_train_s": round(train_s, 2),
+        "als_train_s": round(min(train_runs), 2),
         "als_model_rows": n_model,
-        "batch_predict_rows_per_s": round(n_q / predict_s),
+        "batch_predict_rows_per_s": round(n_q / min(predict_runs)),
     }
 
 

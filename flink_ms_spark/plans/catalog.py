@@ -3,12 +3,14 @@
 Exposes QUERIES / ORACLE_SQL for __spark_entry__.py.
 
 Registration ORDER is part of the driver contract: the external
-correctness gate checks the first 50 registered queries each round, so
-the catalog front-loads (1) the SURVEY.md §2 reference-parity set,
-(2) the north-star dedup/ANN/text/multimodal set, and (3) the
-analytics queries whose oracles were repaired this round. Everything
-else keeps its module order after the priority block (the local gate
-in tests/test_oracle.py covers all of them every run regardless).
+correctness gate checks the FIRST 50 registered queries each round.
+The catalog therefore maintains a ROTATING WINDOW — the `_PRIORITY`
+block below names the 50 queries the current round puts in front of
+the gate (see its comment for this round's selection rationale);
+everything else keeps module-import order after the priority block.
+The local gate in tests/test_oracle.py covers the full catalog every
+run regardless, so rotation only changes which rows get an EXTERNAL
+driver record, never what is tested.
 """
 
 from __future__ import annotations
@@ -22,71 +24,74 @@ import flink_ms_spark.plans.reference  # noqa: F401
 import flink_ms_spark.plans.relational  # noqa: F401
 from flink_ms_spark.plans.registry import ORACLE_SQL, QUERIES  # noqa: F401
 
-# Round-4 window rotation: rounds 1-3 drove 118 distinct queries
-# through the external gate (all green). This round front-loads 50 of
-# the 83 names that have NEVER had a driver row: round-3's 23 new
-# queries (the newest code) plus the analytics/events tail (ASOF,
-# LOCF, CEP, histogram/quantile, session/funnel/graph families). All
-# previously-checked sets stay protected by the identical local gate
-# (tests/test_oracle.py covers the full catalog every run).
-#
-# ROUND-5 PLAN: 33 names remain after this round (the relational/
-# TPC-H tail — top_customers, set ops, LATERAL/RECURSIVE/PIVOT/
-# GROUPING SETS, the monthly-revenue pack). Those plus round-4's new
-# additions fill the round-5 window → full catalog driver coverage.
+# Round-5 window: closes external-gate coverage of the catalog.
+# (1) The final 33 names that have NEVER had a driver row (the
+#     relational/TPC-H tail — now the most money-dense set, checked
+#     AFTER this round's integer-cents sweep of money aggregates).
+# (2) The two ever-red rows: rfm_segments (r4 float-rounding flip,
+#     fixed with integer-cents arithmetic this round) and
+#     hll_daily_users (last record is r1 `no_oracle`; it has had an
+#     oracle since r2 and verifies green locally).
+# (3) Re-checks of every query whose plan/oracle changed this round
+#     (the money sweep + the EWMA renormalized-block rewrite).
+# (4) Remaining slots: re-checks of the float-aggregate sites the
+#     sweep audit classified safe-by-analysis (on-grid sums / tiny
+#     magnitudes), so the classification itself gets driver evidence.
 _PRIORITY = [
-    # Round-3 additions (curation / quality / dedup-eval families)
-    "quality_logit_scores",
-    "bpe_fertility",
-    "curation_funnel",
-    "simhash_neardup",
-    "semantic_decontaminate",
-    "token_balanced_shards",
-    "lang_confusion",
-    "vocab_coverage_curve",
-    "recs_ranking_eval",
-    "quality_calibration",
-    "dedup_method_agreement",
-    "pii_census",
-    "line_dedup",
-    "quality_blend",
-    "neardup_rate_by_source",
-    "centroid_drift",
-    "ann_recall",
-    "recs_ndcg",
-    "benford_audit",
-    "lang_source_chi2",
-    "key_skew_report",
-    "media_audio_stats",
-    "hard_negatives",
-    # Analytics / events tail never driver-checked
-    "asof_purchase_view",
-    "preceding_5min_count",
-    "log_histogram",
-    "value_histogram",
-    "value_quantiles",
-    "value_stats",
-    "value_deciles",
-    "winsorized_stats",
+    # (2) ever-red rows
+    "rfm_segments",
+    "hll_daily_users",
+    # (1) the 33 never-driver-checked relational/TPC-H names
+    "top_customers",
+    "order_priority",
+    "window_lag",
+    "rollup_orders",
+    "cube_lineitem",
+    "distinct_segments",
+    "topk_orders",
+    "customers_without_orders",
+    "orders_building_segment",
+    "case_agg",
+    "string_funcs",
+    "nations_with_both",
+    "big_orders",
+    "status_pivot",
+    "exists_discounted",
+    "part_small_qty",
+    "nations_intersect",
+    "nations_except",
+    "big_order_customers",
+    "grouping_sets_customer",
+    "lateral_top_customers",
+    "recursive_month_spine",
+    "unpivot_segment_stats",
+    "volume_shipping",
+    "market_share",
+    "promo_revenue",
+    "bracket_revenue",
+    "acctbal_no_orders",
+    "shipping_priority",
+    "returned_items",
+    "customer_orders_dist",
+    "top_supplier",
+    "pivot_order_status",
+    # (3) changed this round (money sweep / EWMA blocks) — re-check
+    "pricing_summary",
+    "region_revenue",
+    "tpch_q5",
     "order_value_cdf",
     "ewma_smooth",
-    "daily_value_locf",
-    "series_correlation",
     "forecast_revenue",
-    "zscore_outliers",
-    "markov_transitions",
-    "event_pagerank",
-    "cep_sequence_match",
-    "session_window_agg",
-    "user_state_intervals",
-    "funnel_conversion",
-    "event_cooccurrence",
-    "cumulative_distinct_users",
-    "rfm_segments",
-    "user_last_event",
-    "sources_per_lang",
-    "events_json",
+    # (4) float sites classified safe-by-analysis — driver evidence
+    "cusum_changepoint",
+    "mom_growth",
+    "power_user_share",
+    "dow_seasonality",
+    "hopping_window_counts",
+    "retention_cohorts",
+    "rolling_7d_revenue",
     "monthly_revenue",
+    "daily_value_locf",
 ]
 
 

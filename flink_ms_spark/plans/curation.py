@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from flink_ms_spark.operators.dedup import exact_substring_dedup
 from flink_ms_spark.operators.text import char_trigram_lm_score
-from flink_ms_spark.plans.pipeline import BM25_SCORED_CTES
 from flink_ms_spark.plans.registry import register, values_clause
 from flink_ms_spark.sources.tables import load_table
 
@@ -126,7 +125,15 @@ def q_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RRF_K = 60
 
-_RRF_ORACLE = f"""
+
+# Deferred oracle builder: importing plans.pipeline at module level
+# would reorder the catalog's non-priority tail (pipeline registers
+# before curation), so BM25_SCORED_CTES is resolved lazily — matching
+# q_rrf_fusion's lazy q_bm25_search import.
+def _rrf_oracle() -> str:
+    from flink_ms_spark.plans.pipeline import BM25_SCORED_CTES
+
+    return f"""
 WITH {BM25_SCORED_CTES},
 bm AS (SELECT doc_id,
               CAST(row_number() OVER (
@@ -159,7 +166,7 @@ FROM fused
 """
 
 
-@register("rrf_fusion", oracle=_RRF_ORACLE)
+@register("rrf_fusion", oracle=_rrf_oracle)
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of BM25 top-20 and cosine top-20."""
     from flink_ms_spark.plans.pipeline import q_bm25_search

@@ -13,18 +13,53 @@ from __future__ import annotations
 
 from flink_ms_spark.plans.registry import register_sql
 
+# --------------------------------------------------------------------------
+# Exact integer money arithmetic (dialect-shared SQL fragments).
+#
+# Every money column in the fixture is an exact 2-dp value (verified:
+# max |x*100 - round(x*100)| < 4e-9 at sf0.1 for *price/*acctbal, and
+# l_discount/l_tax are 2-dp ratios), so round(x*100) -> BIGINT is
+# exact per row. Integer sums are order-independent, so ONE final
+# double division + ONE round is bit-deterministic on both engines —
+# unlike round(float-agg, d), whose accumulation-order error (~1e-5 on
+# 1e9-magnitude sums) can cross a rounding boundary and flip the gate
+# hash run-to-run (the r4 `rfm_segments` red row; see VERDICT.md r4).
+#
+# Scale envelope: the 6-dp charge basis is ≤ ~1.2e11 per row, so a
+# BIGINT sum is exact to ~8e7 rows per group; the DECIMAL(38,0) cast
+# inside sum() lifts that to 1e38 (Spark sums decimals exactly; DuckDB
+# sums BIGINT into HUGEINT natively), keeping the plan overflow-proof
+# at cluster scale while per-row math stays in fast BIGINT.
+_EXT_CENTS = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+_DISC_BP = "CAST(round(l_discount * 100, 0) AS BIGINT)"
+_TAX_BP = "CAST(round(l_tax * 100, 0) AS BIGINT)"
+# l_extendedprice * (1 - l_discount), scaled by 1e4 (exact integer)
+_REV_BASIS = f"CAST({_EXT_CENTS} * (100 - {_DISC_BP}) AS DECIMAL(38,0))"
+# l_extendedprice * (1 - l_discount) * (1 + l_tax), scaled by 1e6
+_CHARGE_BASIS = (
+    f"CAST({_EXT_CENTS} * (100 - {_DISC_BP}) * (100 + {_TAX_BP}) AS DECIMAL(38,0))"
+)
+# l_extendedprice * l_discount, scaled by 1e4 (exact integer)
+_DISC_REV_BASIS = f"CAST({_EXT_CENTS} * {_DISC_BP} AS DECIMAL(38,0))"
+
+
+def money_cents(col: str) -> str:
+    """Exact integer cents for a 2-dp money column (both dialects)."""
+    return f"CAST(round({col} * 100, 0) AS BIGINT)"
+
+
 # TPC-H Q1 flavor — pricing summary
 register_sql(
     "pricing_summary",
-    spark_sql="""
+    spark_sql=f"""
 SELECT l_returnflag, l_linestatus,
   CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-  CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+  CAST(round(sum({_EXT_CENTS}) / 100.0, 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum({_CHARGE_BASIS}) / 1000000.0, 2) AS DOUBLE) AS sum_charge,
   CAST(round(avg(l_quantity), 6) AS DOUBLE) AS avg_qty,
-  CAST(round(avg(l_extendedprice), 6) AS DOUBLE) AS avg_price,
-  CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
+  CAST(round(sum({_EXT_CENTS}) / (count(*) * 100.0), 6) AS DOUBLE) AS avg_price,
+  CAST(round(sum({_DISC_BP}) / (count(*) * 100.0), 6) AS DOUBLE) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
@@ -56,9 +91,9 @@ LIMIT 10
 # Q5 flavor — 5-way join, revenue per region
 register_sql(
     "region_revenue",
-    """
+    f"""
 SELECT r_name,
-  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+  CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS revenue
 FROM region
   JOIN nation ON n_regionkey = r_regionkey
   JOIN customer ON c_nationkey = n_nationkey
@@ -400,7 +435,8 @@ register_sql(
     """
 WITH agg AS (
   SELECT c_mktsegment,
-         CAST(round(avg(c_acctbal), 6) AS DOUBLE) AS avg_bal,
+         CAST(round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                    / (count(*) * 100.0), 6) AS DOUBLE) AS avg_bal,
          CAST(round(min(c_acctbal), 6) AS DOUBLE) AS min_bal,
          CAST(round(max(c_acctbal), 6) AS DOUBLE) AS max_bal
   FROM customer GROUP BY c_mktsegment)
@@ -492,12 +528,12 @@ ORDER BY o_year
 # TPC-H Q14 flavor — promo revenue share for one month
 register_sql(
     "promo_revenue",
-    spark_sql="""
+    spark_sql=f"""
 SELECT CAST(round(
   CAST(100 AS DOUBLE) *
-    sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)
-             ELSE CAST(0 AS DOUBLE) END)
-    / sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS promo_pct
+    sum(CASE WHEN p_type = 'PROMO' THEN {_REV_BASIS}
+             ELSE CAST(0 AS DECIMAL(38,0)) END)
+    / sum({_REV_BASIS}), 6) AS DOUBLE) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP_NTZ '1997-02-01 00:00:00'
@@ -510,8 +546,8 @@ ORACLE_SQL["promo_revenue"] = ORACLE_SQL["promo_revenue"].replace(
 # TPC-H Q19 flavor — OR-of-brackets join predicate (brand/size/qty)
 register_sql(
     "bracket_revenue",
-    """
-SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+    f"""
+SELECT CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 21)
@@ -528,11 +564,12 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
 # membership at the boundary)
 register_sql(
     "acctbal_no_orders",
-    """
+    f"""
 SELECT n_name, count(*) AS numcust,
        CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT CAST(round(avg(c_acctbal), 2) AS DOUBLE)
+WHERE c_acctbal > (SELECT CAST(round(sum({money_cents('c_acctbal')})
+                                     / (count(*) * 100.0), 2) AS DOUBLE)
                    FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE))
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY n_name
@@ -546,9 +583,9 @@ ORDER BY n_name
 # flip on cross-engine ulp differences in summation order.
 register_sql(
     "shipping_priority",
-    spark_sql="""
+    spark_sql=f"""
 SELECT l_orderkey, o_orderdate,
-       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+       CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -569,8 +606,8 @@ ORACLE_SQL["shipping_priority"] = ORACLE_SQL["shipping_priority"].replace(
 # discount/quantity range reach the parquet reader as PushedFilters)
 register_sql(
     "forecast_revenue",
-    spark_sql="""
-SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue
+    spark_sql=f"""
+SELECT CAST(round(sum({_DISC_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
@@ -585,9 +622,9 @@ ORACLE_SQL["forecast_revenue"] = ORACLE_SQL["forecast_revenue"].replace(
 # TPC-H Q10 flavor — returned-item revenue per customer, top 20
 register_sql(
     "returned_items",
-    spark_sql="""
+    spark_sql=f"""
 SELECT c_custkey, c_name, n_name,
-       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+       CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -623,10 +660,10 @@ ORDER BY custdist DESC, c_count DESC
 # winner can't differ on summation order)
 register_sql(
     "top_supplier",
-    spark_sql="""
+    spark_sql=f"""
 WITH revenue0 AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS total_revenue
+         CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'
@@ -996,9 +1033,9 @@ ORDER BY doc_id
 # the only big shuffle is lineitem ⋈ orders on orderkey. Dialect-shared.
 register_sql(
     "tpch_q5",
-    spark_sql="""
+    spark_sql=f"""
 SELECT n_name,
-       CAST(round(sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS revenue
+       CAST(round(sum({_REV_BASIS}) / 10000.0, 6) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders    ON c_custkey = o_custkey
 JOIN lineitem  ON l_orderkey = o_orderkey
@@ -1011,9 +1048,9 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
-    duck_sql="""
+    duck_sql=f"""
 SELECT n_name,
-       CAST(round(sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE) AS revenue
+       CAST(round(sum({_REV_BASIS}) / 10000.0, 6) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders    ON c_custkey = o_custkey
 JOIN lineitem  ON l_orderkey = o_orderkey
@@ -1074,6 +1111,13 @@ ORDER BY cohort_week, week_offset
 # rank (operators/mixing.py): the per-customer rollup grows with the
 # data, and `ntile() OVER (ORDER BY …)` would funnel it through one
 # task. ntile_expr derives exact ANSI NTILE from (pos, total).
+#
+# Determinism: money arithmetic is integer-cents end-to-end.
+# o_totalprice is a 2-dp value, so round(x*100) -> BIGINT is exact per
+# row; every sum is an exact integer sum (order-independent), and
+# avg_monetary is ONE double division of two exact integers followed by
+# ONE round — no float aggregate feeds a rounded output, so the 6-dp
+# hash cannot flip with partition order (the r4 red-row class).
 
 
 def _q_rfm_segments(spark, sf_dir):
@@ -1088,7 +1132,9 @@ def _q_rfm_segments(spark, sf_dir):
             "datediff(TIMESTAMP_NTZ '2001-08-02 00:00:00', max(o_orderdate))"
         ).alias("recency_days"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 6).cast("double").alias("monetary"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
     )
 
     def score(df, bucket, order_cols, name):
@@ -1109,8 +1155,8 @@ def _q_rfm_segments(spark, sf_dir):
     )
     ms = score(
         r,
-        (-F.floor("monetary")).cast("long"),
-        [F.col("monetary").desc(), F.col("custkey").asc()],
+        -(F.col("monetary_cents") / 100).cast("long"),
+        [F.col("monetary_cents").desc(), F.col("custkey").asc()],
         "m_score",
     )
     s = r.join(rs, "custkey").join(fs, "custkey").join(ms, "custkey")
@@ -1121,7 +1167,11 @@ def _q_rfm_segments(spark, sf_dir):
         s.groupBy(seg)
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("monetary"), 6).cast("double").alias("avg_monetary"),
+            F.round(
+                F.sum("monetary_cents") / (F.count("*") * 100.0), 6
+            )
+            .cast("double")
+            .alias("avg_monetary"),
         )
         .orderBy("segment")
     )
@@ -1133,16 +1183,16 @@ register("rfm_segments", oracle="""
 WITH r AS (SELECT o_custkey AS custkey,
                   datediff('day', max(o_orderdate), TIMESTAMP '2001-08-02 00:00:00') AS recency_days,
                   count(*) AS frequency,
-                  CAST(round(sum(o_totalprice), 6) AS DOUBLE) AS monetary
+                  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents
            FROM orders GROUP BY o_custkey),
-s AS (SELECT custkey, recency_days, frequency, monetary,
+s AS (SELECT custkey, recency_days, frequency, monetary_cents,
              ntile(4) OVER (ORDER BY recency_days, custkey) AS r_score,
              ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
-             ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+             ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
       FROM r)
 SELECT r_score * 100 + f_score * 10 + m_score AS segment,
        count(*) AS n_customers,
-       CAST(round(avg(monetary), 6) AS DOUBLE) AS avg_monetary
+       CAST(round(sum(monetary_cents) / (count(*) * 100.0), 6) AS DOUBLE) AS avg_monetary
 FROM s GROUP BY r_score * 100 + f_score * 10 + m_score
 ORDER BY segment
 """,
@@ -1225,57 +1275,57 @@ FROM p3 ORDER BY pagerank DESC, node
 # a cumulative-sum window, no recursion. alpha = 1/2 keeps every
 # power-of-two factor exactly representable so both engines compute
 # bit-identical terms; the ordered window sum fixes summation order.
-# DOMAIN BOUND: the linearization carries x·2^t, which overflows
-# double (→ Inf, then NaN) once a per-key series passes ~10³ points —
-# fine for the fixture's day-count spine, but a LONG series (minutes,
-# events) must use the renormalized-block form instead: restart the
-# recurrence every B≈500 rows with carry s_B (per-block windows, same
-# shuffle shape), or the streaming EWMA in streaming/drift-style
-# per-batch folds. Both engines overflow identically, so the parity
-# gate cannot catch this — the bound lives here instead.
-register_sql(
-    "ewma_smooth",
-    spark_sql="""
-WITH e AS (SELECT event_type,
-                  CAST((unix_micros(CAST(ts AS TIMESTAMP))) div 86400000000 AS BIGINT) AS day_no,
-                  value
-           FROM events),
+#
+# RENORMALIZED BLOCKS (designed in r3/07b28a0, implemented r5): the
+# naive linearization carries x·2^t, which overflows double (→ Inf,
+# then NaN) once a per-key series passes ~10³ points. The exponent is
+# therefore restarted every B = 512 rows: with u = t mod B and
+# blk = t div B,
+#     s_t = 0.5^u · ( Σ_{same blk, s≤t} c_s·2^{u_s}  +  carry_blk )
+#     carry_blk = S_{blk-1}·2^-B + S_{blk-2}·2^-2B
+# where S_b is block b's full term sum. Every rescaling is an exact
+# power of two; |term| ≤ |x|·2^511 never overflows, and blocks older
+# than blk-2 contribute < 2^-1536 — below double's subnormal floor,
+# i.e. exactly the 0 the IEEE fold would produce. Unbounded series
+# length per key, same shuffle shape (one extra block-level rollup of
+# |series|/B rows). Property-pinned by tests (10k-point key, finite,
+# matches the sequential recursion).
+_EWMA_SQL = """
+WITH e AS (SELECT event_type, {day} AS day_no, value FROM events),
 d AS (SELECT event_type, day_no, CAST(round(sum(value), 6) AS DOUBLE) AS x
       FROM e GROUP BY event_type, day_no),
 r AS (SELECT event_type, day_no, x,
              row_number() OVER (PARTITION BY event_type ORDER BY day_no) - 1 AS t
       FROM d),
 c AS (SELECT event_type, day_no, x, t,
-             CASE WHEN t = 0 THEN x ELSE CAST(0.5 AS DOUBLE) * x END * power(CAST(2 AS DOUBLE), t) AS term
-      FROM r)
+             CAST({blk} AS BIGINT) AS blk,
+             CAST(t % 512 AS BIGINT) AS u,
+             CASE WHEN t = 0 THEN x ELSE CAST(0.5 AS DOUBLE) * x END
+               * power(CAST(2 AS DOUBLE), t % 512) AS term
+      FROM r),
+s AS (SELECT event_type, blk, sum(term) AS s_blk FROM c GROUP BY event_type, blk),
+k AS (SELECT event_type, blk,
+             coalesce(lag(s_blk, 1) OVER (PARTITION BY event_type ORDER BY blk),
+                      CAST(0 AS DOUBLE)) * power(CAST(2 AS DOUBLE), -512)
+           + coalesce(lag(s_blk, 2) OVER (PARTITION BY event_type ORDER BY blk),
+                      CAST(0 AS DOUBLE)) * power(CAST(2 AS DOUBLE), -1024) AS carry
+      FROM s)
 SELECT event_type, day_no, x AS day_value,
-       CAST(round(power(CAST(0.5 AS DOUBLE), t) *
-                  sum(term) OVER (PARTITION BY event_type ORDER BY day_no
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-            AS DOUBLE) AS ewma
-FROM c ORDER BY event_type, day_no
-""",
-    duck_sql="""
-WITH e AS (SELECT event_type,
-                  epoch_us(ts) // 86400000000 AS day_no,
-                  value
-           FROM events),
-d AS (SELECT event_type, day_no, CAST(round(sum(value), 6) AS DOUBLE) AS x
-      FROM e GROUP BY event_type, day_no),
-r AS (SELECT event_type, day_no, x,
-             row_number() OVER (PARTITION BY event_type ORDER BY day_no) - 1 AS t
-      FROM d),
-c AS (SELECT event_type, day_no, x, t,
-             CASE WHEN t = 0 THEN x ELSE CAST(0.5 AS DOUBLE) * x END * power(CAST(2 AS DOUBLE), t) AS term
-      FROM r)
-SELECT event_type, day_no, x AS day_value,
-       CAST(round(power(CAST(0.5 AS DOUBLE), t) *
-                  sum(term) OVER (PARTITION BY event_type ORDER BY day_no
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-            AS DOUBLE) AS ewma
-FROM c ORDER BY event_type, day_no
-""",
+       CAST(round(power(CAST(0.5 AS DOUBLE), u) *
+                  (sum(term) OVER (PARTITION BY event_type, blk ORDER BY day_no
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   + carry), 6) AS DOUBLE) AS ewma
+FROM c JOIN k USING (event_type, blk)
+ORDER BY event_type, day_no
+"""
+
+EWMA_SPARK_SQL = _EWMA_SQL.format(
+    day="CAST((unix_micros(CAST(ts AS TIMESTAMP))) div 86400000000 AS BIGINT)",
+    blk="t div 512",
 )
+EWMA_DUCK_SQL = _EWMA_SQL.format(day="epoch_us(ts) // 86400000000", blk="t // 512")
+
+register_sql("ewma_smooth", spark_sql=EWMA_SPARK_SQL, duck_sql=EWMA_DUCK_SQL)
 
 # Per-segment spend CDF — cume_dist / percent_rank over a unique
 # (spend, custkey) ordering so every row is its own peer group and
@@ -1283,9 +1333,9 @@ FROM c ORDER BY event_type, day_no
 # per-customer rollup, one window sort per segment partition.
 register_sql(
     "order_value_cdf",
-    """
+    f"""
 WITH s AS (SELECT c_mktsegment, c_custkey,
-                  CAST(round(sum(o_totalprice), 6) AS DOUBLE) AS spend
+                  CAST(round(sum({money_cents('o_totalprice')}) / 100.0, 6) AS DOUBLE) AS spend
            FROM customer JOIN orders ON o_custkey = c_custkey
            GROUP BY c_mktsegment, c_custkey)
 SELECT c_mktsegment, c_custkey, spend,

@@ -34,3 +34,22 @@ def test_bench_record_and_headline_agree_exactly():
     assert not unbenched, (
         f"HEADLINE names with no recorded timing (re-run bench.py): {unbenched}"
     )
+
+
+def test_bench_record_has_serving_metrics():
+    """The serving/training metrics are part of the BASELINE.md
+    contract; a refactor of training_and_throughput_bench /
+    point_lookup_bench that drops a key would silently shrink the
+    record the judge diffs round-over-round."""
+    import json
+
+    full = json.load(open("bench_full.json"))
+    for key in (
+        "als_train_s",
+        "als_model_rows",
+        "batch_predict_rows_per_s",
+        "point_lookup_p50_ms",
+        "point_lookup_p95_ms",
+        "iterative_queries",
+    ):
+        assert key in full, f"bench_full.json missing serving metric {key}"

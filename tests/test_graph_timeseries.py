@@ -45,6 +45,55 @@ def test_ewma_starts_at_series_and_stays_in_hull(spark, sf_smoke):
             assert lo - 1e-6 <= r.ewma <= hi + 1e-6
 
 
+def test_ewma_renormalized_blocks_long_series(spark):
+    """10k-point key: the renormalized-block linearization must stay
+    finite (the naive x·2^t form overflows past ~10³ points) and match
+    the sequential recursion s_t = 0.5·x_t + 0.5·s_{t-1} — on BOTH
+    engines, bit-consistently at the 6-dp output rounding."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from flink_ms_spark.plans.relational import EWMA_DUCK_SQL, EWMA_SPARK_SQL
+
+    n = 10_000
+    base = datetime.datetime(1995, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a"] * n,
+            "ts": [base + datetime.timedelta(days=t) for t in range(n)],
+            # deterministic 2-dp values in [0, 1000)
+            "value": [((t * 2654435761) % 100_000) / 100.0 for t in range(n)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("events")
+    try:
+        got = {r.day_no: r.ewma for r in spark.sql(EWMA_SPARK_SQL).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+    assert len(got) == n
+    assert all(math.isfinite(v) for v in got.values())
+
+    # sequential reference on the per-day series (one event per day,
+    # so x_t = round(value, 6) = value)
+    xs = [round(v, 6) for v in pdf["value"]]
+    s = xs[0]
+    day0 = int(pd.Timestamp(base).timestamp()) // 86400
+    assert math.isclose(got[day0], s, abs_tol=1e-6)
+    for t in range(1, n):
+        s = 0.5 * xs[t] + 0.5 * s
+        assert math.isclose(got[day0 + t], s, abs_tol=1e-6), t
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    duck = {
+        int(d): e for _, d, _, e in con.execute(EWMA_DUCK_SQL).fetchall()
+    }
+    assert all(math.isclose(duck[d], got[d], abs_tol=1e-9) for d in got)
+
+
 def test_rfm_segments_partition_customers(spark, sf_smoke):
     rows = QUERIES["rfm_segments"](spark, sf_smoke).collect()
     total = sum(r.n_customers for r in rows)
