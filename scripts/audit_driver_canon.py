@@ -32,6 +32,10 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.01")
+# Deferred oracle builders (fixture-derived VALUES/constants) resolve
+# against SPARK_GRAFT_SF_ORACLE — align it with the audited fixture,
+# or every such oracle compares sf0.01 constants to SF_DIR data.
+os.environ.setdefault("SPARK_GRAFT_SF_ORACLE", SF_DIR)
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
