@@ -98,3 +98,57 @@ class StreamingDriftMonitor:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class StreamingEwma:
+    """Per-key EWMA of a metric column, folded per micro-batch — the
+    streaming counterpart of the batch ``ewma_smooth`` query.
+
+    The batch plan must LINEARIZE the recursion to stay declarative
+    (renormalized 2^t blocks, plans/relational.py); a stream gets the
+    recursion for free: batch b contributes each key's mean x_b and
+    the fold is s ← alpha·x_b + (1-alpha)·s (seed s = first observed
+    x). No overflow hazard at any series length — this is the
+    "streaming EWMA per-batch fold" escape hatch SCALING.md names for
+    minute-/event-grain series.
+
+    Scale: per-batch work is one map-side-combined groupBy(key) avg
+    (result rows = |keys|); driver state is one double per key —
+    O(keys), same envelope as every monitor in streaming/. ``history``
+    collects (batch_id, key, x, ewma) for the metrics sink; a restart
+    replays the last unfinished batch, so a production sink should
+    upsert by (batch_id, key) — the idempotent-ledger pattern used by
+    streaming/eval.py — rather than append.
+    """
+
+    def __init__(self, alpha: float = 0.5, key_col: str = "event_type",
+                 value_col: str = "value"):
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+        self.alpha = alpha
+        self.key_col = key_col
+        self.value_col = value_col
+        self.state: dict[str, float] = {}
+        self.history: list[tuple[int, str, float, float]] = []
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy(self.key_col)
+            .agg(F.avg(self.value_col).alias("x"))
+            .collect()
+        )
+        for r in rows:
+            key, x = r[0], float(r.x)
+            prev = self.state.get(key)
+            s = x if prev is None else self.alpha * x + (1 - self.alpha) * prev
+            self.state[key] = s
+            self.history.append((batch_id, key, x, s))
+
+    def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self.update)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

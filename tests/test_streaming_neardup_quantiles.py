@@ -350,3 +350,46 @@ def test_streaming_ingest_capstone_end_to_end(spark, tmp_path):
     assert m[1]["action"] == "quarantined"
     assert (out / "_quarantine" / "batch_id=1").exists()
     assert not (out / "batch_id=1").exists()
+
+
+def test_streaming_ewma_matches_sequential_recursion(spark, tmp_path):
+    """StreamingEwma folds per-key batch means with
+    s <- a*x + (1-a)*s across micro-batches (seed = first x); state is
+    one double per key and history records every (batch, key, x, s)."""
+    from flink_ms_spark.streaming.drift import StreamingEwma
+
+    src = tmp_path / "ewma_in"
+    src.mkdir(parents=True, exist_ok=True)
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for i, vals in enumerate([(10.0, 20.0), (40.0, 60.0), (5.0, 15.0)]):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"event_type": "a", "value": v}) for v in vals
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    mon = StreamingEwma(alpha=0.5)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = mon.run(stream, str(tmp_path / "ckpt_ewma"))
+    q.awaitTermination(120)
+
+    assert len(mon.history) == 3
+    # replay the recursion over the observed batch-mean sequence
+    s = None
+    for _bid, key, x, ewma in mon.history:
+        assert key == "a"
+        s = x if s is None else 0.5 * x + 0.5 * s
+        assert abs(ewma - s) < 1e-12
+    assert abs(mon.state["a"] - s) < 1e-12
+    # batch means were (15, 50, 10) in some file order; the final state
+    # must lie inside the observed value hull either way
+    assert 10.0 <= mon.state["a"] <= 50.0
