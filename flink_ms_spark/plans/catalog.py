@@ -37,6 +37,11 @@ from flink_ms_spark.plans.registry import ORACLE_SQL, QUERIES  # noqa: F401
 # (4) Remaining slots: re-checks of the float-aggregate sites the
 #     sweep audit classified safe-by-analysis (on-grid sums / tiny
 #     magnitudes), so the classification itself gets driver evidence.
+#
+# ROUND-6 CONTRACT: after this round's driver run, every catalog name
+# has a driver record. Future windows rotate by RECORD AGE — front-load
+# the 50 names whose latest green driver row is oldest, plus any name
+# whose plan/oracle changed since its last record, plus any red row.
 _PRIORITY = [
     # (2) ever-red rows
     "rfm_segments",
