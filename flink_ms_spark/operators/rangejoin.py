@@ -30,30 +30,49 @@ def banded_range_join(
     upper: int,
     bucket: int | None = None,
     how: str = "inner",
+    left_keys: list[str] | None = None,
 ) -> DataFrame:
     """All (left × right) rows with ``right_ts`` in the half-open band
     ``[left_ts + lower, left_ts + upper)`` — timestamps and bounds in
     the same integer unit (e.g. epoch micros). Column names must be
     disjoint (pre-alias). ``bucket`` defaults to the band width.
 
-    Inner join only: the bucket explode duplicates left rows and the
-    post-join band predicate drops null-extended rows, so a naive
-    ``how='left'`` would silently degenerate to inner semantics (and
-    duplicate matched rows). An outer band join is this inner join
-    plus a left_anti complement of the unmatched left rows —
-    compose it explicitly if needed."""
-    if how != "inner":
+    ``how='inner'`` (default) keeps matched pairs. ``how='left'``
+    additionally keeps each unmatched left row once, null-extended on
+    the right columns — it REQUIRES ``left_keys`` (columns that
+    uniquely identify a left row) because the bucket explode makes the
+    naive ``.join(..., 'left')`` both duplicate matched rows and drop
+    null-extended ones at the band filter; the correct complement is
+    an anti join of left against the matched key set (one extra
+    equi-shuffle on ``left_keys``, no new scale hazard). A surrogate
+    ``monotonically_increasing_id`` is deliberately NOT used: the
+    complement re-evaluates ``left``, and a recomputed surrogate can
+    renumber rows between the two branches."""
+    if how not in ("inner", "left"):
         raise NotImplementedError(
-            "banded_range_join supports inner only; for left semantics "
-            "union this result with left.join(matches, keys, 'left_anti')"
+            "banded_range_join supports how='inner' and how='left' "
+            f"(with left_keys); got {how!r}"
         )
+    if how == "left" and not left_keys:
+        raise ValueError("how='left' requires left_keys (unique left row id)")
     bucket = bucket or max(upper - lower, 1)
     lo_b = F.expr(f"({left_ts} + {lower}) div {bucket}")
     hi_b = F.expr(f"({left_ts} + {upper}) div {bucket}")
     l = left.withColumn("__b", F.explode(F.sequence(lo_b, hi_b)))
     r = right.withColumn("__b", F.expr(f"{right_ts} div {bucket}"))
-    j = l.join(r, "__b", how).where(
-        (F.col(right_ts) >= F.col(left_ts) + F.lit(lower))
-        & (F.col(right_ts) < F.col(left_ts) + F.lit(upper))
+    inner = (
+        l.join(r, "__b", "inner")
+        .where(
+            (F.col(right_ts) >= F.col(left_ts) + F.lit(lower))
+            & (F.col(right_ts) < F.col(left_ts) + F.lit(upper))
+        )
+        .drop("__b")
     )
-    return j.drop("__b")
+    if how == "inner":
+        return inner
+    unmatched = left.join(
+        inner.select(*left_keys).distinct(), left_keys, "left_anti"
+    )
+    for f in right.schema.fields:
+        unmatched = unmatched.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return inner.unionByName(unmatched)

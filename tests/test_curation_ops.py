@@ -170,6 +170,33 @@ def test_banded_range_join_band_semantics(spark):
     assert got == {(1, 10), (1, 11), (2, 13)}
 
 
+def test_banded_range_join_left_semantics(spark):
+    import pytest
+
+    from flink_ms_spark.operators.rangejoin import banded_range_join
+
+    l = spark.createDataFrame(
+        [(1, 1000), (2, 2000), (3, 9_999_000)], ["lid", "l_ts"]
+    )
+    r = spark.createDataFrame(
+        [(10, 700), (11, 999), (13, 1999)], ["rid", "r_ts"]
+    )
+    out = banded_range_join(
+        l, r, "l_ts", "r_ts", lower=-300, upper=0, how="left",
+        left_keys=["lid"],
+    ).collect()
+    # matched rows appear per match; unmatched left row 3 exactly once,
+    # null-extended on the right columns
+    got = {(x.lid, x.rid) for x in out}
+    assert got == {(1, 10), (1, 11), (2, 13), (3, None)}
+    assert len(out) == 4
+    # guard rails
+    with pytest.raises(ValueError):
+        banded_range_join(l, r, "l_ts", "r_ts", -300, 0, how="left")
+    with pytest.raises(NotImplementedError):
+        banded_range_join(l, r, "l_ts", "r_ts", -300, 0, how="full")
+
+
 def test_compression_ratio_bounds_and_monotonicity(spark, sf_smoke):
     from flink_ms_spark.plans.catalog import QUERIES as Q
 
