@@ -146,6 +146,13 @@ def audit_one(name, fn, oracle, spark) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (no factory conf) — simulates the "
+        "external driver's own session and catches config-dependency "
+        "bugs (timezone, Arrow, broadcast threshold) the factory hides",
+    )
     args = ap.parse_args()
 
     from flink_ms_spark.plans.catalog import QUERIES
@@ -154,7 +161,18 @@ def main() -> int:
 
     ORACLE_SQL = resolve_oracles()
 
-    spark = get_spark("audit-driver-canon")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("audit-driver-canon-vanilla")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("audit-driver-canon")
     names = list(QUERIES)
     if args.only:
         names = [n for n in args.only.split(",") if n in QUERIES]
