@@ -31,6 +31,7 @@ def banded_range_join(
     bucket: int | None = None,
     how: str = "inner",
     left_keys: list[str] | None = None,
+    validate_keys: bool = False,
 ) -> DataFrame:
     """All (left × right) rows with ``right_ts`` in the half-open band
     ``[left_ts + lower, left_ts + upper)`` — timestamps and bounds in
@@ -47,7 +48,19 @@ def banded_range_join(
     equi-shuffle on ``left_keys``, no new scale hazard). A surrogate
     ``monotonically_increasing_id`` is deliberately NOT used: the
     complement re-evaluates ``left``, and a recomputed surrogate can
-    renumber rows between the two branches."""
+    renumber rows between the two branches.
+
+    SILENT-DROP HAZARD if ``left_keys`` is not actually unique: the
+    anti join removes every left row whose KEY matched, so with
+    duplicate keys where one duplicate lands in the band and another
+    does not, the non-matching duplicate is neither in ``inner`` nor
+    in the complement — it vanishes without an error (and matched
+    duplicates each pair with every match of their key). Uniqueness is
+    a precondition, not something the operator can repair.
+    ``validate_keys=True`` verifies it eagerly (count vs distinct
+    count on ``left_keys`` — two cheap keyed aggregates) and raises;
+    leave it off in production plans where the key is known unique
+    (a primary key), turn it on in tests/debug and for derived keys."""
     if how not in ("inner", "left"):
         raise NotImplementedError(
             "banded_range_join supports how='inner' and how='left' "
@@ -55,6 +68,17 @@ def banded_range_join(
         )
     if how == "left" and not left_keys:
         raise ValueError("how='left' requires left_keys (unique left row id)")
+    if how == "left" and validate_keys:
+        n, nd = left.select(
+            F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in left_keys])
+        ).first()
+        if n != nd:
+            raise ValueError(
+                f"how='left' requires unique left_keys {left_keys}: "
+                f"{n} rows but {nd} distinct keys — duplicate keys make "
+                "the anti-join complement silently drop non-matching "
+                "duplicates"
+            )
     bucket = bucket or max(upper - lower, 1)
     lo_b = F.expr(f"({left_ts} + {lower}) div {bucket}")
     hi_b = F.expr(f"({left_ts} + {upper}) div {bucket}")

@@ -24,79 +24,76 @@ import flink_ms_spark.plans.reference  # noqa: F401
 import flink_ms_spark.plans.relational  # noqa: F401
 from flink_ms_spark.plans.registry import ORACLE_SQL, QUERIES  # noqa: F401
 
-# Round-5 window: closes external-gate coverage of the catalog.
-# (1) The final 33 names that have NEVER had a driver row (the
-#     relational/TPC-H tail — now the most money-dense set, checked
-#     AFTER this round's integer-cents sweep of money aggregates).
-# (2) The two ever-red rows: rfm_segments (r4 float-rounding flip,
-#     fixed with integer-cents arithmetic this round) and
-#     hll_daily_users (last record is r1 `no_oracle`; it has had an
-#     oracle since r2 and verifies green locally).
-# (3) Re-checks of every query whose plan/oracle changed this round
-#     (the money sweep + the EWMA renormalized-block rewrite).
-# (4) Remaining slots: re-checks of the float-aggregate sites the
-#     sweep audit classified safe-by-analysis (on-grid sums / tiny
-#     magnitudes), so the classification itself gets driver evidence.
+# Round-6 window: the record-age rotation contracted last round. After
+# round 5, every one of the 201 catalog names has a green driver row;
+# the staleness distribution of latest-green rounds is
+# {r1: 13, r2: 49, r3: 45, r4: 44, r5: 50}. Windows now rotate
+# OLDEST-RECORD-FIRST: all 13 r1-stale names plus the first 37 of the
+# 49 r2-stale names (alphabetical within a round — a deterministic
+# tiebreak so successive rounds never skip a name). Rationale: fixture
+# re-rolls are the one proven source of latent reds (rfm_segments was
+# green for three rounds before r4's flip), so the names that have gone
+# longest without a driver re-check carry the most latent-red risk.
 #
-# ROUND-6 CONTRACT: after this round's driver run, every catalog name
-# has a driver record. Future windows rotate by RECORD AGE — front-load
-# the 50 names whose latest green driver row is oldest, plus any name
-# whose plan/oracle changed since its last record, plus any red row.
+# ROUND-7 CONTRACT: front-load the 12 r2-stale names this window could
+# not fit (serving_upsert, sgd_step, sgd_step_sequential, simhash,
+# svm_predict, svm_predict_ranged, text_quality, tfidf_top_terms,
+# token_stats, union_all, upper_trim, vocab_topk), then continue
+# oldest-first (the r3 cohort), plus any name whose plan/oracle changed
+# since its last record and any red row.
 _PRIORITY = [
-    # (2) ever-red rows
-    "rfm_segments",
-    "hll_daily_users",
-    # (1) the 33 never-driver-checked relational/TPC-H names
-    "top_customers",
-    "order_priority",
-    "window_lag",
-    "rollup_orders",
-    "cube_lineitem",
-    "distinct_segments",
-    "topk_orders",
-    "customers_without_orders",
-    "orders_building_segment",
-    "case_agg",
-    "string_funcs",
-    "nations_with_both",
-    "big_orders",
-    "status_pivot",
-    "exists_discounted",
-    "part_small_qty",
-    "nations_intersect",
-    "nations_except",
-    "big_order_customers",
-    "grouping_sets_customer",
-    "lateral_top_customers",
-    "recursive_month_spine",
-    "unpivot_segment_stats",
-    "volume_shipping",
-    "market_share",
-    "promo_revenue",
-    "bracket_revenue",
-    "acctbal_no_orders",
-    "shipping_priority",
-    "returned_items",
-    "customer_orders_dist",
-    "top_supplier",
-    "pivot_order_status",
-    # (3) changed this round (money sweep / EWMA blocks) — re-check
-    "pricing_summary",
-    "region_revenue",
-    "tpch_q5",
-    "order_value_cdf",
-    "ewma_smooth",
-    "forecast_revenue",
-    # (4) float sites classified safe-by-analysis — driver evidence
-    "cusum_changepoint",
-    "mom_growth",
-    "power_user_share",
-    "dow_seasonality",
-    "hopping_window_counts",
-    "retention_cohorts",
-    "rolling_7d_revenue",
-    "monthly_revenue",
-    "daily_value_locf",
+    # r1-stale (latest green driver row is round 1)
+    "attribution_linear",
+    "column_profile",
+    "equidepth_histogram",
+    "funnel_3step",
+    "heavy_hitter_terms",
+    "item_item_cosine",
+    "readability",
+    "rolling_7d_distinct_users",
+    "session_duration_stats",
+    "ship_delay_stats",
+    "transition_dwell",
+    "triangle_copurchase",
+    "zipf_slope",
+    # r2-stale, first 37 alphabetically (of 49)
+    "allpairs_jaccard",
+    "als_dot",
+    "als_topn_recs",
+    "behavior_entropy",
+    "brand_return_rate",
+    "bucket",
+    "coldstart",
+    "corpus_curation",
+    "cosine_topk",
+    "dedup_exact",
+    "doc_fingerprint",
+    "dup_canonical",
+    "dup_clusters",
+    "embedding_neardup",
+    "ivf_kmeans_topk",
+    "ivf_topk",
+    "lang_id",
+    "lsh_pairs",
+    "mad_outliers",
+    "mean_vector",
+    "media_features",
+    "media_frames",
+    "media_meta",
+    "minhash",
+    "model_codec",
+    "mse",
+    "nan_guard",
+    "new_vs_returning",
+    "ngram_jaccard",
+    "order_backlog",
+    "parse_ratings",
+    "peak_concurrency",
+    "pii_scrub",
+    "posexplode_1idx",
+    "range_concat",
+    "rolling_fingerprints",
+    "semantic_dedup",
 ]
 
 

@@ -119,6 +119,15 @@ class StreamingEwma:
     replays the last unfinished batch, so a production sink should
     upsert by (batch_id, key) — the idempotent-ledger pattern used by
     streaming/eval.py — rather than append.
+
+    RESTART CAVEAT (ADVICE r5): the per-key smoothed values live in an
+    in-memory dict, NOT in the checkpoint — on a checkpointed query
+    restart the dict is empty and every key silently RESEEDS
+    (s = first post-restart x), discontinuing the smoothed series.
+    A restarting job must call :meth:`seed_state_from` on its ledger
+    sink (latest ewma per key) before :meth:`run`; without it the
+    series restarts from scratch, which is only acceptable for
+    monitors that tolerate a re-warmup window.
     """
 
     def __init__(self, alpha: float = 0.5, key_col: str = "event_type",
@@ -130,6 +139,24 @@ class StreamingEwma:
         self.value_col = value_col
         self.state: dict[str, float] = {}
         self.history: list[tuple[int, str, float, float]] = []
+
+    def seed_state_from(self, ledger: DataFrame, batch_col: str = "batch_id",
+                        key_col: str = "key", ewma_col: str = "ewma") -> int:
+        """Re-seed the in-memory state from a persisted (batch_id, key,
+        x, ewma) ledger after a restart: each key resumes from the ewma
+        of its highest batch_id, so the recursion continues instead of
+        reseeding from the first post-restart observation. One keyed
+        aggregate (max_by), result rows = |keys| — the same O(keys)
+        envelope as the state itself. Returns the number of keys
+        seeded."""
+        rows = (
+            ledger.groupBy(key_col)
+            .agg(F.max_by(ewma_col, batch_col).alias("s"))
+            .collect()
+        )
+        for r in rows:
+            self.state[r[0]] = float(r.s)
+        return len(rows)
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         rows = (

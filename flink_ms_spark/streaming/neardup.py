@@ -129,10 +129,19 @@ class StreamingNearDup:
     """Incremental LSH near-dup filter over a document stream.
 
     ``registry_dir`` holds the persisted bucket registry; survivors of
-    each batch are returned by :meth:`process_batch` (and collected in
-    :attr:`kept` when run via :meth:`run`'s foreachBatch loop, which a
-    test or a small job can inspect; a production job would write
-    survivors to its corpus sink inside the same foreachBatch).
+    each batch are returned by :meth:`process_batch`.
+
+    Survivor sink (the streaming/rules.py pattern): with ``out_dir``
+    set, :meth:`run` writes each batch's survivors to
+    ``out_dir/batch_id=N`` parquet INSIDE the batch — an idempotent
+    per-batch overwrite, so survivors never cross the driver and a
+    replayed batch rewrites its own partition. This matters because
+    survivors are the NON-duplicates, i.e. nearly the whole stream at
+    typical dup rates; collecting them driver-side is an unbounded
+    memory sink at ingest scale. ``debug_keep`` opts into the
+    driver-side collect for tests/small jobs; without ``out_dir`` that
+    collect is the only sink and the filter is inspection-only by
+    construction.
     """
 
     def __init__(
@@ -141,11 +150,15 @@ class StreamingNearDup:
         num_hashes: int = 8,
         band_size: int = 2,
         shingle_n: int = 3,
+        out_dir: str | None = None,
+        debug_keep: bool = False,
     ):
         self.registry_dir = registry_dir
         self.num_hashes = num_hashes
         self.band_size = band_size
         self.shingle_n = shingle_n
+        self.out_dir = out_dir
+        self.debug_keep = debug_keep or out_dir is None
         self.kept: list[tuple] = []
 
     def _registry(self, spark: SparkSession) -> DataFrame | None:
@@ -235,13 +248,23 @@ class StreamingNearDup:
         """See :func:`compact_registry`."""
         return compact_registry(spark, self.registry_dir)
 
-    def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            rows = self.process_batch(batch_df, batch_id).collect()
-            self.kept.extend(rows)
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body — separate so tests can fire a replayed
+        batch_id directly and assert the rewrite is idempotent."""
+        survivors = self.process_batch(batch_df, batch_id)
+        if self.out_dir is not None:
+            # distributed sink: per-batch overwrite is idempotent
+            # under replay, like the registry write above it — a
+            # re-fired batch_id rewrites its own partition
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"batch_id={batch_id}")
+            )
+        if self.debug_keep:
+            self.kept.extend(survivors.collect())
 
+    def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
         writer = (
-            stream_df.writeStream.foreachBatch(sink)
+            stream_df.writeStream.foreachBatch(self._sink)
             .option("checkpointLocation", checkpoint)
         )
         if available_now:

@@ -72,6 +72,27 @@ HAZARDS = {
     ),
 }
 
+# Python-DSL (pyspark.sql.functions) forms of the same hazards, scanned
+# over flink_ms_spark/plans/*.py source. Round-6 extension (ADVICE r5):
+# the r4 red row's exact shape was a plain STRING-arg float sum —
+# F.round(F.sum('o_totalprice'), 6) — which the original regex (only
+# F.avg/F.mean and F.sum(F.col(...) * ...)) did not match, so that
+# class could be reintroduced in DSL form without tripping the CI gate.
+# Now flagged: any bare F.sum of a raw money column (string or F.col
+# form, with or without a product) and any F.round(F.sum(...)) whose
+# sum argument names a raw money column. The sanctioned integer-cents
+# pattern — F.sum(F.round(F.col(money) * 100, 0).cast("long")) — stays
+# unflagged: its sum argument starts with F.round(, and the post-sum
+# division sites reference *_cents columns that don't match COL.
+PY_DSL_HAZARD = re.compile(
+    rf"F\.(?:avg|mean)\(\s*[\"']{COL}[\"']\s*\)"
+    rf"|F\.(?:avg|mean)\(\s*F\.col\([\"']{COL}[\"']\)\s*\)"
+    rf"|F\.sum\(\s*[\"']{COL}[\"']\s*\)"
+    rf"|F\.sum\(\s*F\.col\([\"']{COL}[\"']\)\s*[)*]"
+    rf"|F\.round\(\s*F\.sum\([^()]*{COL}",
+    re.IGNORECASE,
+)
+
 
 def main() -> int:
     from flink_ms_spark.plans.catalog import QUERIES
@@ -99,11 +120,7 @@ def main() -> int:
         "flink_ms_spark",
         "plans",
     )
-    py_rx = re.compile(
-        rf"F\.(?:avg|mean)\(\s*[\"']{COL}[\"']\s*\)"
-        rf"|F\.sum\(\s*F\.col\([\"']{COL}[\"']\)\s*\*",
-        re.IGNORECASE,
-    )
+    py_rx = PY_DSL_HAZARD
     for fname in sorted(os.listdir(plan_dir)):
         if not fname.endswith(".py"):
             continue

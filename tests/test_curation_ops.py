@@ -196,6 +196,26 @@ def test_banded_range_join_left_semantics(spark):
     with pytest.raises(NotImplementedError):
         banded_range_join(l, r, "l_ts", "r_ts", -300, 0, how="full")
 
+    # validate_keys (ADVICE r5): duplicate left_keys silently drop the
+    # non-matching duplicate — lid=1 at ts 1000 matches, its duplicate
+    # at ts 9_999_000 does not, and the anti-join complement loses it
+    dup = spark.createDataFrame([(1, 1000), (1, 9_999_000)], ["lid", "l_ts"])
+    silent = banded_range_join(
+        dup, r, "l_ts", "r_ts", -300, 0, how="left", left_keys=["lid"]
+    ).collect()
+    assert {(x.lid, x.rid) for x in silent} == {(1, 10), (1, 11)}  # row lost
+    with pytest.raises(ValueError, match="unique left_keys"):
+        banded_range_join(
+            dup, r, "l_ts", "r_ts", -300, 0, how="left",
+            left_keys=["lid"], validate_keys=True,
+        )
+    # unique keys pass validation with identical output
+    ok = banded_range_join(
+        l, r, "l_ts", "r_ts", -300, 0, how="left",
+        left_keys=["lid"], validate_keys=True,
+    ).collect()
+    assert {(x.lid, x.rid) for x in ok} == got
+
 
 def test_compression_ratio_bounds_and_monotonicity(spark, sf_smoke):
     from flink_ms_spark.plans.catalog import QUERIES as Q

@@ -59,6 +59,66 @@ def test_streaming_neardup_drops_cross_batch_duplicates(spark, tmp_path):
     assert kept2 == [11]  # cross-batch dup suppressed by the registry
 
 
+def test_streaming_neardup_parquet_survivor_sink(spark, tmp_path):
+    """With ``out_dir`` set, survivors land in ``out_dir/batch_id=N``
+    parquet inside each batch and NEVER cross the driver (``kept``
+    stays empty) — survivors are the non-duplicates, i.e. nearly the
+    whole stream, so a driver collect is an unbounded memory sink at
+    ingest scale. Replaying a batch_id rewrites its own partition
+    (idempotent, like the registry write)."""
+    src = tmp_path / "docs_in_sink"
+    reg = tmp_path / "registry_sink"
+    out = tmp_path / "survivors"
+    ckpt = tmp_path / "ckpt_sink"
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content about spark partition shuffles here"
+    _write_docs(src, [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},          # within-batch dup of 1
+        {"doc_id": 3, "text": uniq},
+    ])
+
+    nd = StreamingNearDup(str(reg), out_dir=str(out))
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    nd.run(stream, str(ckpt)).awaitTermination(120)
+
+    assert nd.kept == []  # no driver-side accumulation
+    batch0 = out / "batch_id=0"
+    assert batch0.is_dir()
+    got0 = sorted(r.doc_id for r in spark.read.parquet(str(batch0)).collect())
+    assert got0 == [1, 3]
+
+    # second micro-batch appends its own partition; registry suppresses
+    # the cross-batch dup
+    _write_docs(src, [
+        {"doc_id": 10, "text": base},          # dup of registered doc 1
+        {"doc_id": 11, "text": "fresh novel text with no earlier overlap at all"},
+    ])
+    nd.run(stream, str(ckpt)).awaitTermination(120)
+    assert nd.kept == []
+    all_ids = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert all_ids == [1, 3, 11]
+
+    # replay batch 0 (foreachBatch redelivery after a failure): the
+    # partition is REWRITTEN, not appended — corpus stays [1, 3, 11]
+    replay = spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq)], DOC_SCHEMA
+    )
+    nd._sink(replay, batch_id=0)
+    assert nd.kept == []
+    after = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert after == [1, 3, 11]
+
+    # opt-in debug collect still works for small/test jobs
+    nd_dbg = StreamingNearDup(
+        str(tmp_path / "reg_dbg"), out_dir=str(tmp_path / "out_dbg"),
+        debug_keep=True,
+    )
+    nd_dbg._sink(replay, batch_id=0)
+    assert sorted(r.doc_id for r in nd_dbg.kept) == [1, 3]
+
+
 def test_streaming_neardup_batch_replay_is_idempotent(spark, tmp_path):
     reg = tmp_path / "registry2"
     nd = StreamingNearDup(str(reg))
@@ -393,3 +453,45 @@ def test_streaming_ewma_matches_sequential_recursion(spark, tmp_path):
     # batch means were (15, 50, 10) in some file order; the final state
     # must lie inside the observed value hull either way
     assert 10.0 <= mon.state["a"] <= 50.0
+
+
+def test_streaming_ewma_reseed_from_ledger_continues_series(spark):
+    """Restart continuity (ADVICE r5): state is an in-memory dict that
+    does NOT survive a checkpointed restart — a restarting job must
+    seed_state_from its persisted ledger or every key silently reseeds.
+    Pin that a reseeded instance continues the recursion exactly where
+    a continuous run would be, and that an unseeded one does not."""
+    from flink_ms_spark.streaming.drift import StreamingEwma
+
+    def batch(vals):
+        return spark.createDataFrame(
+            [("a", float(v)) for v in vals], "event_type STRING, value DOUBLE"
+        )
+
+    # continuous run: three batches with means 15, 50, 10
+    cont = StreamingEwma(alpha=0.5)
+    for bid, vals in enumerate([(10.0, 20.0), (40.0, 60.0), (5.0, 15.0)]):
+        cont.update(batch(vals), bid)
+    want = cont.state["a"]  # 0.5*10 + 0.5*(0.5*50 + 0.5*15)
+
+    # crashed-after-batch-1 run: its ledger holds batches 0 and 1
+    first = StreamingEwma(alpha=0.5)
+    first.update(batch((10.0, 20.0)), 0)
+    first.update(batch((40.0, 60.0)), 1)
+    ledger = spark.createDataFrame(
+        first.history, "batch_id LONG, key STRING, x DOUBLE, ewma DOUBLE"
+    )
+
+    # restarted instance: empty dict, seeded from the ledger (max_by
+    # batch_id picks batch 1's ewma, not batch 0's), then batch 2
+    restarted = StreamingEwma(alpha=0.5)
+    assert restarted.seed_state_from(ledger) == 1
+    assert abs(restarted.state["a"] - first.state["a"]) < 1e-12
+    restarted.update(batch((5.0, 15.0)), 2)
+    assert abs(restarted.state["a"] - want) < 1e-12
+
+    # without the seed, the key reseeds (s = first post-restart x = 10)
+    unseeded = StreamingEwma(alpha=0.5)
+    unseeded.update(batch((5.0, 15.0)), 2)
+    assert abs(unseeded.state["a"] - 10.0) < 1e-12
+    assert abs(unseeded.state["a"] - want) > 1.0
