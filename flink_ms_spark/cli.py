@@ -417,23 +417,13 @@ def cmd_dedup_ingest(args: argparse.Namespace) -> None:
     from flink_ms_spark.streaming.neardup import StreamingNearDup
 
     spark = _spark("[DEDUP-INGEST]")
-    nd = StreamingNearDup(os.path.join(args.output, "_registry"))
-    stream = spark.readStream.schema(CORPUS_SCHEMA).json(args.input_dir)
-
-    def sink(batch_df, batch_id):
-        kept = nd.process_batch(batch_df, batch_id)
-        (
-            kept.write.mode("overwrite")
-            .partitionBy()
-            .parquet(os.path.join(args.output, f"batch_id={batch_id}"))
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(args.output, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
+    # out_dir engages run()'s distributed survivor sink (batch_id=N
+    # parquet written inside each batch); nothing crosses the driver
+    nd = StreamingNearDup(
+        os.path.join(args.output, "_registry"), out_dir=args.output
     )
+    stream = spark.readStream.schema(CORPUS_SCHEMA).json(args.input_dir)
+    q = nd.run(stream, os.path.join(args.output, "_checkpoint"))
     q.awaitTermination()
     print(f"ingested into {args.output}")
 
