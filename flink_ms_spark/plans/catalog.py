@@ -11,6 +11,11 @@ everything else keeps module-import order after the priority block.
 The local gate in tests/test_oracle.py covers the full catalog every
 run regardless, so rotation only changes which rows get an EXTERNAL
 driver record, never what is tested.
+
+`scripts/rotate_window.py` GENERATES the next window from the
+CORRECTNESS_r*.json record (red rows first, --changed names second,
+then oldest-latest-green-first, alphabetical within a round) — run it
+at the start of each round and paste its output here.
 """
 
 from __future__ import annotations
