@@ -46,6 +46,7 @@ def test_bench_record_has_serving_metrics():
     full = json.load(open("bench_full.json"))
     for key in (
         "als_train_s",
+        "als_train_first_s",  # cold-vs-warm split, recorded since r6
         "als_model_rows",
         "batch_predict_rows_per_s",
         "point_lookup_p50_ms",
