@@ -92,7 +92,14 @@ class ModelStore:
     def _spill(self) -> None:
         """Key count exceeded ``max_dict_keys``: drop the dict layer.
         The just-rebuilt view already holds every key; pin it
-        executor-side so point filters don't recompute lineage."""
+        executor-side so point filters don't recompute lineage.
+
+        Fault-tolerance tradeoff: localCheckpoint truncates lineage, so
+        an executor loss can invalidate the pinned blocks. For a
+        serving store that is the right default (the upsert source —
+        the model stream/table — replays; a lost view rebuilds), but a
+        cluster deployment that cannot tolerate a rebuild window should
+        persist the view to a parquet table per upsert instead."""
         self._df = self._df.localCheckpoint(eager=True)
         self._dict = {}
         self._spilled = True
