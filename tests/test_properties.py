@@ -160,3 +160,158 @@ def test_line_dedup_matches_python_reference(spark, doc_lines):
         for r in drop_duplicated_lines(df, min_docs=3).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # left rows: (id, ts)
+        st.integers(min_value=0, max_value=400),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # right timestamps
+        st.integers(min_value=0, max_value=400),
+        min_size=0, max_size=25,
+    ),
+    st.integers(min_value=-50, max_value=0),   # lower
+    st.integers(min_value=1, max_value=60),    # upper - lower offset
+    st.integers(min_value=1, max_value=80),    # bucket width
+)
+def test_banded_range_join_matches_bruteforce(spark, lts, rts, lower, width, bucket):
+    """banded_range_join(inner + left) == the O(n·m) reference on
+    arbitrary integer timestamps, band bounds, and bucket widths — the
+    bucket quantization must never change the matched-pair set."""
+    from flink_ms_spark.operators.rangejoin import banded_range_join
+
+    upper = lower + width
+    l = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lts)], "lid LONG, l_ts LONG"
+    )
+    r = spark.createDataFrame(
+        [(100 + j, t) for j, t in enumerate(rts)], "rid LONG, r_ts LONG"
+    )
+    want_inner = {
+        (i, 100 + j)
+        for i, lt in enumerate(lts)
+        for j, rt in enumerate(rts)
+        if lt + lower <= rt < lt + upper
+    }
+    got_inner = {
+        (x.lid, x.rid)
+        for x in banded_range_join(
+            l, r, "l_ts", "r_ts", lower, upper, bucket=bucket
+        ).collect()
+    }
+    assert got_inner == want_inner, (lts, rts, lower, upper, bucket)
+
+    matched_left = {i for i, _ in want_inner}
+    want_left = want_inner | {
+        (i, None) for i in range(len(lts)) if i not in matched_left
+    }
+    got_left = {
+        (x.lid, x.rid)
+        for x in banded_range_join(
+            l, r, "l_ts", "r_ts", lower, upper, bucket=bucket,
+            how="left", left_keys=["lid"],
+        ).collect()
+    }
+    assert got_left == want_left, (lts, rts, lower, upper, bucket)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # membership rows: (node, group)
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1, max_size=50,
+    )
+)
+def test_bipartite_cc_matches_union_find(spark, members):
+    """connected_components_bipartite == plain union-find over the
+    'share a group' projection, for arbitrary bipartite memberships —
+    including single-member groups (excluded by contract: they imply
+    no candidate pair) and nodes in many groups (transitive chains)."""
+    from flink_ms_spark.operators.cluster import connected_components_bipartite
+
+    members = list(set(members))
+    df = spark.createDataFrame(members, "node LONG, grp LONG")
+    got = {
+        (r.node, r.component)
+        for r in connected_components_bipartite(
+            df, node_col="node", group_col="grp"
+        ).collect()
+    }
+
+    # reference: union-find over nodes, joined within each multi-node group
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for n, g in members:
+        groups[g].add(n)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    covered = set()
+    for g, nodes in groups.items():
+        if len(nodes) < 2:
+            continue  # no candidate pair -> outside the working set
+        covered |= nodes
+        first = min(nodes)
+        for n in nodes:
+            union(first, n)
+    # min-label components: re-find until stable, then take min per root
+    comp = defaultdict(set)
+    for n in covered:
+        comp[find(n)].add(n)
+    want = {(n, min(ns)) for ns in comp.values() for n in ns}
+    assert got == want, members
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # a sequence of upsert batches of (key, value) rows
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=-1000, max_value=1000),
+            ),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=4,
+    ),
+    st.integers(min_value=0, max_value=6),  # dict cap
+)
+def test_store_spill_parity_under_random_upserts(spark, batches, cap):
+    """For ANY upsert sequence and ANY max_dict_keys cap, the spilled
+    DataFrame backend and the uncapped dict backend answer identically
+    (every key's latest value, misses, len) — the spill point must be
+    semantically invisible."""
+    from flink_ms_spark.serving.store import ModelStore
+
+    capped = ModelStore(spark, "P_CAP", max_dict_keys=cap)
+    plain = ModelStore(spark, "P_REF")
+    expected = {}
+    for rows in batches:
+        df = spark.createDataFrame(
+            [(str(k), i, v) for i, (k, v) in enumerate(rows)],
+            "key STRING, ord LONG, v LONG",
+        )
+        capped.upsert_batch(df, ordinal_col="ord")
+        plain.upsert_batch(df, ordinal_col="ord")
+        for k, v in rows:  # input order == ordinal order
+            expected[str(k)] = v
+    assert len(capped) == len(plain) == len(expected)
+    for k, v in expected.items():
+        assert capped.lookup(k).v == plain.lookup(k).v == v
+    assert capped.lookup("miss") is None and plain.lookup("miss") is None
