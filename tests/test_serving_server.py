@@ -101,3 +101,24 @@ def test_snapshot_rollback_serving(spark):
 
     with _pytest.raises(KeyError):
         store.rollback(99)
+
+
+def test_lookup_over_http_from_spilled_store(spark):
+    """X2 façade against a SPILLED store (max_dict_keys exceeded): the
+    HTTP lookup path goes store.lookup → DataFrame point filter instead
+    of the dict, with identical hit/miss payloads — the network surface
+    must not care which backend answers."""
+    store = ModelStore(spark, "ALS_MODEL", max_dict_keys=1)
+    batch = spark.createDataFrame(
+        [("1-U", "1", "U", [1.0, 2.0]), ("7-I", "7", "I", [3.0, 4.0])],
+        "key STRING, id STRING, kind STRING, factors ARRAY<DOUBLE>",
+    )
+    store.upsert_batch(batch)
+    assert store._spilled  # 2 keys > cap of 1
+    server = ModelStoreServer(store).start()
+    try:
+        hit = query_model(server.host, server.port, "1-U")
+        assert hit["found"] and hit["factors"] == [1.0, 2.0]
+        assert query_model(server.host, server.port, "99-U") is None  # miss
+    finally:
+        server.stop()
