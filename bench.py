@@ -176,6 +176,16 @@ ITERATIVE = [
     "triangle_copurchase",
 ]
 
+# Arrow-mapInPandas decode queries — the only headline rows whose wall
+# is dominated by the Python worker fleet rather than JVM codegen.
+MEDIA_QUERIES = {
+    "media_meta",
+    "media_pixel_stats",
+    "media_audio_stats",
+    "media_features",
+    "media_frames",
+}
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -207,7 +217,7 @@ def point_lookup_bench(spark, n_queries: int = 1000) -> dict[str, float]:
         )
         return hit, pred, (time.perf_counter() - t0) * 1000.0
 
-    lat, rows = [], []
+    lat, lat_min2, rows = [], [], []
     for _ in range(n_queries):
         # Reference semantics (ALSPredictRandom.java:55-97): on a state
         # miss, RE-DRAW a fresh random key and query again until the
@@ -219,25 +229,33 @@ def point_lookup_bench(spark, n_queries: int = 1000) -> dict[str, float]:
                 break
         else:
             raise RuntimeError("point_lookup_bench: no hit in 1000 draws")
-        # Min-of-2 per hit, same discipline as every other metric in
-        # this harness: a single ~µs dict lookup is small enough that
-        # one GC/co-tenant pause landing inside it defines the p95 of
-        # the whole run (the r5 driver run recorded p95 110 µs against
-        # a 3–6 µs band while p50 stayed in band — VERDICT.md r5 §What's
-        # wrong 2). The lookup is a stateless dict hit, so re-timing
-        # the same key measures identical work.
-        _, _, ms2 = _timed_query(u, i)
-        ms = min(ms, ms2)
+        # PRIMARY metric = the single-shot timing, matching the
+        # reference harness (ALSPredictRandom.java:62-94 times each
+        # query exactly once) — a p95 built from min-of-repeats
+        # structurally excludes the tail events p95 exists to measure
+        # (ADVICE r6 high). The K5 CSV rows carry the single-shot ms.
         lat.append(ms)
         rows.append(f"{u},{i},{pred},{ms:.4f}")
+        # SECONDARY smoothed metric under its own key: re-time the same
+        # key and keep the min. A ~µs dict hit is small enough that one
+        # GC/co-tenant pause landing inside it defines the p95 of the
+        # whole run (r5 driver run: p95 110 µs against a 3–6 µs band
+        # while p50 stayed in band); min-of-2 estimates the code's
+        # cost. Published as *_min2_ms so it never masquerades as the
+        # reference-parity tail.
+        _, _, ms2 = _timed_query(u, i)
+        lat_min2.append(min(ms, ms2))
     csv_path = os.environ.get("SPARK_GRAFT_LATENCY_CSV")
     if csv_path:
         with open(csv_path, "w") as f:
             f.write("\n".join(rows) + "\n")
     lat.sort()
+    lat_min2.sort()
     return {
         "point_lookup_p50_ms": round(lat[len(lat) // 2], 4),
         "point_lookup_p95_ms": round(lat[int(len(lat) * 0.95)], 4),
+        "point_lookup_p50_min2_ms": round(lat_min2[len(lat_min2) // 2], 4),
+        "point_lookup_p95_min2_ms": round(lat_min2[int(len(lat_min2) * 0.95)], 4),
     }
 
 
@@ -300,6 +318,21 @@ def main() -> None:
     # warm-up: JVM, file listing, catalog imports (not counted)
     _force(QUERIES["distinct_segments"](spark, sf_dir))
 
+    # Python-worker fleet pre-warm (not counted): the media queries run
+    # Arrow mapInPandas, and spawning the 32-worker Python fleet under
+    # co-tenant load has spiked a media query in three consecutive
+    # driver runs (r4-r6; r6: media_pixel_stats 6.58 s vs 1.24 s
+    # committed min). One untimed no-op over cpus partitions forces the
+    # daemon + worker pool up before anything is timed; workers are
+    # reused afterwards (spark.python.worker.reuse defaults true).
+    def _noop_batches(it):
+        for batch in it:
+            yield batch
+
+    spark.range(0, cpus * 4, 1, cpus).mapInPandas(
+        _noop_batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     # Per-query: one untimed warm-up run, then MIN of two timed runs.
     # First executions are dominated by whole-stage-codegen compilation
     # and JIT (5-10× on sub-second queries — measured, see BASELINE.md);
@@ -312,7 +345,12 @@ def main() -> None:
     for name in HEADLINE:
         _force(QUERIES[name](spark, sf_dir))
         walls = []
-        for _ in range(2):
+        # Media (Arrow mapInPandas) queries get min-of-3: their one
+        # observed failure mode is a Python-worker respawn landing in
+        # BOTH timed runs (r6 driver run), and a third sample at ~1 s
+        # each is cheap insurance against it.
+        reps = 3 if name in MEDIA_QUERIES else 2
+        for _ in range(reps):
             t0 = time.perf_counter()
             _force(QUERIES[name](spark, sf_dir))
             walls.append(time.perf_counter() - t0)
@@ -347,8 +385,12 @@ def main() -> None:
         "sf": sf_val,
         **extra,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_full.json")
+    # SPARK_GRAFT_BENCH_OUT redirects the full map (used by
+    # scripts/build_bench_record.py to collect N runs without
+    # clobbering the committed record).
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 

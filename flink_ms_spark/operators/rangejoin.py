@@ -69,10 +69,29 @@ def banded_range_join(
     if how == "left" and not left_keys:
         raise ValueError("how='left' requires left_keys (unique left row id)")
     if how == "left" and validate_keys:
-        n, nd = left.select(
-            F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in left_keys])
+        # count(DISTINCT ...) ignores NULL-keyed rows, so lump them
+        # with duplicates and the message misleads — and a NULL key is
+        # its own hazard (it never equi-matches, so the anti-join
+        # complement silently keeps/drops it by NULL semantics, not by
+        # band membership). Count the two failure modes separately.
+        null_pred = None
+        for k in left_keys:
+            c = F.col(k).isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        n, nd, nnull = left.select(
+            F.count(F.lit(1)),
+            F.count_distinct(*[F.col(k) for k in left_keys]),
+            F.sum(F.when(null_pred, 1).otherwise(0)),
         ).first()
-        if n != nd:
+        nnull = nnull or 0
+        if nnull:
+            raise ValueError(
+                f"how='left' requires non-NULL left_keys {left_keys}: "
+                f"{nnull} row(s) carry a NULL key column — a NULL key "
+                "never equi-matches, so the row would be silently "
+                "mis-classified by the anti-join complement"
+            )
+        if (n - nnull) != nd:
             raise ValueError(
                 f"how='left' requires unique left_keys {left_keys}: "
                 f"{n} rows but {nd} distinct keys — duplicate keys make "

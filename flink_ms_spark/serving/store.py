@@ -105,12 +105,21 @@ class ModelStore:
         self._spilled = True
 
     def _merge_spilled(self, latest: DataFrame) -> None:
-        # same loud schema-drift guard as the dict path's _rebuild_df
+        # same loud schema-drift guard as the dict path's _rebuild_df —
+        # BOTH directions: a batch that DROPS a column would lose data
+        # for old rows, and a batch that ADDS one would otherwise die
+        # inside unionByName with an opaque AnalysisException
         dropped = [c for c in self._df.columns if c not in latest.columns]
         if dropped:
             raise ValueError(
                 f"store {self.name!r}: upsert batch schema drops "
                 f"column(s) {dropped} that earlier batches carried"
+            )
+        added = [c for c in latest.columns if c not in self._df.columns]
+        if added:
+            raise ValueError(
+                f"store {self.name!r}: upsert batch schema adds "
+                f"column(s) {added} that earlier batches lack"
             )
         # latest-per-key merge: keep old rows whose key is NOT in the
         # batch, add the batch's winners — one keyed shuffle over

@@ -138,10 +138,13 @@ class StreamingNearDup:
     replayed batch rewrites its own partition. This matters because
     survivors are the NON-duplicates, i.e. nearly the whole stream at
     typical dup rates; collecting them driver-side is an unbounded
-    memory sink at ingest scale. ``debug_keep`` opts into the
-    driver-side collect for tests/small jobs; without ``out_dir`` that
-    collect is the only sink and the filter is inspection-only by
-    construction.
+    memory sink at ingest scale. ``debug_keep=True`` opts into the
+    driver-side collect for tests/small jobs — EXPLICITLY: running the
+    stream with neither ``out_dir`` nor ``debug_keep`` raises rather
+    than silently collecting the whole stream into ``kept`` (ADVICE
+    r6: the implicit default was the exact unbounded sink the
+    paragraph above warns about). ``process_batch`` callers that
+    consume the returned survivors themselves need neither.
     """
 
     def __init__(
@@ -158,7 +161,7 @@ class StreamingNearDup:
         self.band_size = band_size
         self.shingle_n = shingle_n
         self.out_dir = out_dir
-        self.debug_keep = debug_keep or out_dir is None
+        self.debug_keep = debug_keep
         self.kept: list[tuple] = []
 
     def _registry(self, spark: SparkSession) -> DataFrame | None:
@@ -251,6 +254,7 @@ class StreamingNearDup:
     def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body — separate so tests can fire a replayed
         batch_id directly and assert the rewrite is idempotent."""
+        self._require_sink()
         survivors = self.process_batch(batch_df, batch_id)
         if self.out_dir is not None:
             # distributed sink: per-batch overwrite is idempotent
@@ -262,7 +266,18 @@ class StreamingNearDup:
         if self.debug_keep:
             self.kept.extend(survivors.collect())
 
+    def _require_sink(self) -> None:
+        if self.out_dir is None and not self.debug_keep:
+            raise ValueError(
+                "StreamingNearDup.run() needs a survivor sink: pass "
+                "out_dir= for the distributed per-batch parquet sink, "
+                "or debug_keep=True to EXPLICITLY opt into the "
+                "driver-side collect (unbounded memory at ingest "
+                "scale — tests/small jobs only)"
+            )
+
     def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
+        self._require_sink()  # fail before the stream starts, not per batch
         writer = (
             stream_df.writeStream.foreachBatch(self._sink)
             .option("checkpointLocation", checkpoint)

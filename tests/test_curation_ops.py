@@ -209,6 +209,17 @@ def test_banded_range_join_left_semantics(spark):
             dup, r, "l_ts", "r_ts", -300, 0, how="left",
             left_keys=["lid"], validate_keys=True,
         )
+    # a NULL left key is a distinct hazard (never equi-matches), and
+    # count(DISTINCT) ignores NULLs — it must be reported as NULL keys,
+    # not mislabeled as duplicates (ADVICE r6)
+    nul = spark.createDataFrame(
+        [(None, 1000), (2, 2000)], "lid INT, l_ts LONG"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        banded_range_join(
+            nul, r, "l_ts", "r_ts", -300, 0, how="left",
+            left_keys=["lid"], validate_keys=True,
+        )
     # unique keys pass validation with identical output
     ok = banded_range_join(
         l, r, "l_ts", "r_ts", -300, 0, how="left",

@@ -89,11 +89,21 @@ def test_store_spills_to_dataframe_backend_past_dict_cap(spark, tmp_path):
     m = {r.key: list(r.factors) for r in mirror.view().collect()}
     assert v == m
 
-    # schema-drift guard still loud when spilled
+    # schema-drift guard still loud when spilled — both directions
+    # (ADVICE r6: an ADDED column previously died inside unionByName
+    # with an opaque AnalysisException instead of this ValueError)
     with pytest.raises(ValueError, match="drops"):
         store.upsert_batch(
             spark.createDataFrame(
                 [("9-U", 9, "U")], "key STRING, id LONG, kind STRING"
+            )
+        )
+    with pytest.raises(ValueError, match="adds"):
+        store.upsert_batch(
+            spark.createDataFrame(
+                [("9-U", 9, "U", [9.0], "extra")],
+                "key STRING, id LONG, kind STRING, factors ARRAY<DOUBLE>,"
+                " note STRING",
             )
         )
 

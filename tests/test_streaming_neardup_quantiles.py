@@ -39,8 +39,14 @@ def test_streaming_neardup_drops_cross_batch_duplicates(spark, tmp_path):
         {"doc_id": 3, "text": uniq},
     ])
 
-    nd = StreamingNearDup(str(reg))
+    # driver-side collect must be an EXPLICIT opt-in (ADVICE r6):
+    # running with neither out_dir nor debug_keep raises before the
+    # stream starts
     stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    with pytest.raises(ValueError, match="survivor sink"):
+        StreamingNearDup(str(reg)).run(stream, str(ckpt))
+
+    nd = StreamingNearDup(str(reg), debug_keep=True)
     q = nd.run(stream, str(ckpt))
     q.awaitTermination(120)
 
