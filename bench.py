@@ -166,6 +166,12 @@ HEADLINE = [
     "key_skew_report",
     "media_audio_stats",
     "hard_negatives",
+    # round-7 widening: pipeline-health audit family (plans/hygiene.py)
+    "embedding_health",
+    "dead_dims",
+    "cross_source_dup_matrix",
+    "minhash_calibration",
+    "token_gini_by_source",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
@@ -256,6 +262,33 @@ def point_lookup_bench(spark, n_queries: int = 1000) -> dict[str, float]:
         "point_lookup_p95_ms": round(lat[int(len(lat) * 0.95)], 4),
         "point_lookup_p50_min2_ms": round(lat_min2[len(lat_min2) // 2], 4),
         "point_lookup_p95_min2_ms": round(lat_min2[int(len(lat_min2) * 0.95)], 4),
+        **spilled_lookup_bench(spark, kv),
+    }
+
+
+def spilled_lookup_bench(spark, kv, n_queries: int = 50) -> dict[str, float]:
+    """The spilled-store serving latency class (VERDICT r6 stretch):
+    past ``max_dict_keys`` the store serves point lookups from a point
+    filter on the localCheckpoint-pinned view — ms-class Spark-job
+    latency instead of the dict path's µs. Measured here (single-shot,
+    50 hits on known keys) so the µs→ms spill price is a recorded fact
+    rather than a docstring claim. 50 queries keeps the added bench
+    wall under a few seconds at ~50 ms/lookup."""
+    store = ModelStore(spark, "ALS_MODEL_SPILLED", max_dict_keys=1)
+    store.upsert_batch(kv)
+    assert store._spilled, "spilled-lookup bench requires an engaged spill"
+    keys = [r.key for r in kv.select("key").limit(n_queries).collect()]
+    store.lookup(keys[0])  # warm the point-filter codegen (not counted)
+    lat = []
+    for k in keys:
+        t0 = time.perf_counter()
+        row = store.lookup(k)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+        assert row is not None
+    lat.sort()
+    return {
+        "point_lookup_spilled_p50_ms": round(lat[len(lat) // 2], 4),
+        "point_lookup_spilled_p95_ms": round(lat[int(len(lat) * 0.95)], 4),
     }
 
 

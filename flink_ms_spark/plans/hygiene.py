@@ -1,0 +1,319 @@
+"""Pipeline-health audit queries (round-7 widening): the reports a
+training-data pipeline runs BEFORE trusting its inputs — embedding
+hygiene (non-finite / zero vectors, norm distribution, dead
+dimensions), MinHash estimator calibration against exact Jaccard,
+cross-source duplication structure, and per-source token-concentration
+(Gini). These extend the curation families in ``northstar.py`` /
+``pipeline.py`` / ``mixing.py`` with the audit layer on top of them.
+
+Cross-engine determinism follows the repo-wide contracts: embedding
+folds are sequential on both engines (list_sum vs F.aggregate — see
+mixing.py's SQ8 note), token/shingle constructions reuse the pinned
+``_DUCK_TOKS`` / ``_MINHASH_ORACLE`` builders, float aggregates round
+to 6, and exact-integer arithmetic (Gini) uses DECIMAL(38,0) sums so
+the formula is overflow-proof at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_ms_spark.operators.dedup import minhash_signatures, ngram_jaccard
+from flink_ms_spark.operators.text import token_count
+from flink_ms_spark.plans.northstar import _DUCK_TOKS, _MINHASH_ORACLE
+from flink_ms_spark.plans.pipeline import _CC_CORE, _lsh_components
+from flink_ms_spark.plans.registry import register
+from flink_ms_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Embedding hygiene: the one-row corpus report an ANN/semantic-dedup
+# stage should gate on — dimension consistency, non-finite values,
+# zero vectors (cosine is undefined), and the L2-norm distribution.
+# Scale: one scan, one global aggregate; the per-row fold is
+# sequential on both engines so norms are bit-identical.
+
+_EMBEDDING_HEALTH_ORACLE = """
+WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+per AS (SELECT len(v) AS nd,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+          CASE WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+               THEN 1 ELSE 0 END AS bad
+        FROM e)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(min(nd) AS INT) AS dims_min,
+  CAST(max(nd) AS INT) AS dims_max,
+  CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+  CAST(round(avg(nrm), 6) AS DOUBLE) AS avg_norm,
+  CAST(round(quantile_cont(nrm, 0.5), 6) AS DOUBLE) AS p50_norm
+FROM per
+"""
+
+
+@register("embedding_health", oracle=_EMBEDDING_HEALTH_ORACLE)
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding-corpus hygiene report: vector count, dim
+    min/max (a mismatch means a broken encoder batch), non-finite and
+    zero-norm vector counts, and avg/median L2 norm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    bad = F.exists(
+        v,
+        lambda x: F.isnan(x)
+        | (x == F.lit(float("inf")))
+        | (x == F.lit(float("-inf"))),
+    )
+    per = e.select(
+        F.size("embedding").alias("nd"),
+        F.sqrt(sq).alias("nrm"),
+        bad.cast("int").alias("bad"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("nd").cast("int").alias("dims_min"),
+        F.max("nd").cast("int").alias("dims_max"),
+        F.sum("bad").cast("long").alias("n_nonfinite"),
+        F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero_vectors"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dead-dimension report: per-dimension min/max/variance. A dimension
+# whose variance is ~0 carries no signal (a frozen encoder unit, or a
+# padding column) — IVF/PQ codebooks waste capacity on it and distance
+# contrast degrades. Scale: posexplode keyed on dimension index — the
+# shuffle is |dims| keys wide, each group a columnar partial-agg, and
+# the output is dim-scale (tiny) regardless of corpus size.
+
+_DEAD_DIMS_ORACLE = """
+WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+dimn AS (SELECT max(len(v)) AS nd FROM e),
+flat AS (SELECT i.i AS dim, e.v[i.i] AS x
+         FROM e, dimn, unnest(generate_series(1, dimn.nd)) AS i(i))
+SELECT CAST(dim AS INT) AS dim,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(x) AS DOUBLE) AS mn,
+  CAST(max(x) AS DOUBLE) AS mx,
+  CAST(round(var_pop(x), 6) AS DOUBLE) AS variance,
+  CAST(CASE WHEN min(x) = max(x) THEN 1 ELSE 0 END AS INT) AS is_dead
+FROM flat GROUP BY dim
+"""
+
+
+@register("dead_dims", oracle=_DEAD_DIMS_ORACLE)
+def q_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding stats (1-indexed): count, min, max,
+    population variance, and a dead flag (min == max)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    flat = e.select(F.posexplode(v).alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"), "x"
+    )
+    return flat.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.round(F.var_pop("x"), 6).alias("variance"),
+        (F.min("x") == F.max("x")).cast("int").alias("is_dead"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix: for every (source_a <= source_b)
+# pair, the number of LSH near-dup components containing documents of
+# BOTH sources. The off-diagonal cells are what a crawl triage reads:
+# "mirror-site pair" vs "source duplicating only within itself"
+# (diagonal). Scale: reuses the bipartite min-label components (no
+# pairwise doc edges); the self-join runs on the (component, source)
+# DISTINCT membership table, whose per-component group is at most
+# |sources| rows — never a doc-scale quadratic.
+
+_CROSS_SOURCE_ORACLE = _CC_CORE + """
+, mem AS (SELECT DISTINCT c.component, d.source
+          FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM mem a JOIN mem b
+  ON a.component = b.component AND a.source <= b.source
+GROUP BY a.source, b.source
+"""
+
+
+@register("cross_source_dup_matrix", oracle=_CROSS_SOURCE_ORACLE)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component co-occurrence matrix over source pairs
+    (lexicographic source_a <= source_b; diagonal = components
+    touching that source at all)."""
+    cc = _lsh_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mem = (
+        cc.join(docs, cc["node"] == docs["doc_id"])
+        .select("component", "source")
+        .distinct()
+    )
+    a = mem.select(F.col("component"), F.col("source").alias("source_a"))
+    b = mem.select(F.col("component"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "component")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_components"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration: for every LSH candidate pair (3-gram
+# signatures, any-band collision — the dup_clusters bucket space),
+# compare the MinHash-estimated Jaccard (fraction of the k=4 hashes
+# agreeing) against the EXACT 3-gram Jaccard, grouped by agreement
+# level. This is the report that justifies (or indicts) a band
+# configuration before a full dedup pass. Scale: the exact verify runs
+# on the candidate set only (the lev_neardup discipline — quadratic
+# work bounded by candidates, not the corpus); the signature self-join
+# is the same banded join dup_clusters already prices, and hot buckets
+# at web scale take the capped form (operators/dedup.py lsh_pair_stats).
+
+_MINHASH_CALIBRATION_ORACLE = f"""
+WITH sigs AS ({_MINHASH_ORACLE}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM sigs x JOIN sigs y
+           ON x.h = y.h AND x.minhash = y.minhash
+         WHERE x.doc_id < y.doc_id),
+ag AS (SELECT c.a, c.b,
+         CAST(sum(CASE WHEN sx.minhash = sy.minhash THEN 1 ELSE 0 END)
+              AS INT) AS n_agree
+       FROM cand c
+       JOIN sigs sx ON sx.doc_id = c.a
+       JOIN sigs sy ON sy.doc_id = c.b AND sy.h = sx.h
+       GROUP BY c.a, c.b),
+toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         generate_series(1, greatest(len(t) - 2, 1)),
+         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, count(*) AS ni
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+          GROUP BY c.a, c.b),
+jac AS (SELECT c.a, c.b,
+          CAST(round(COALESCE(i.ni, 0) * 1.0
+                     / (sa.n + sb.n - COALESCE(i.ni, 0)), 6) AS DOUBLE)
+            AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN sizes sa ON sa.doc_id = c.a
+        JOIN sizes sb ON sb.doc_id = c.b)
+SELECT g.n_agree,
+  CAST(g.n_agree / CAST(4 AS DOUBLE) AS DOUBLE) AS est_jaccard,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(round(avg(j.jaccard), 6) AS DOUBLE) AS avg_jaccard,
+  CAST(round(avg(abs(j.jaccard - g.n_agree / CAST(4 AS DOUBLE))), 6)
+       AS DOUBLE) AS mae,
+  CAST(min(j.jaccard) AS DOUBLE) AS min_jaccard,
+  CAST(max(j.jaccard) AS DOUBLE) AS max_jaccard
+FROM ag g JOIN jac j ON j.a = g.a AND j.b = g.b
+GROUP BY g.n_agree
+"""
+
+
+@register("minhash_calibration", oracle=_MINHASH_CALIBRATION_ORACLE)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-vs-exact-Jaccard calibration per agreement level
+    (n_agree of 4 hashes): pair count, mean/min/max exact Jaccard and
+    the estimator's mean absolute error."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3)
+    sa = sigs.select(F.col("doc_id").alias("a"), "h", F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), "h", F.col("minhash").alias("mh_b"))
+    cand = (
+        sa.join(sb, "h")
+        .where((F.col("mh_a") == F.col("mh_b")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    ag = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "h"])
+        .groupBy("a", "b")
+        .agg(
+            F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+            .cast("int")
+            .alias("n_agree")
+        )
+    )
+    jac = ngram_jaccard(cand, docs, shingle_n=3)
+    est = F.col("n_agree") / F.lit(4.0)
+    return (
+        ag.join(jac, ["a", "b"])
+        .groupBy("n_agree")
+        .agg(
+            F.round(F.avg(est), 6).cast("double").alias("est_jaccard"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.avg(F.abs(F.col("jaccard") - est)), 6).alias("mae"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-concentration Gini per source: is a source's token mass spread
+# evenly across documents or concentrated in a few giants? (Giants
+# dominate a token-budget mix even after doc-level sampling — unimax /
+# token_balanced_shards assume this report has been read.) The rank
+# formula keeps everything in exact integer arithmetic until one final
+# division: G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ranks ascending.
+# Sums are DECIMAL(38,0) (the money-sweep discipline) so rank·x
+# accumulations cannot overflow at cluster scale; the ratio is the
+# only float, identical on both engines. Scale: per-source keyed
+# window (the accepted stratified pattern, operators/mixing.py:335) +
+# one per-source aggregate.
+
+_TOKEN_GINI_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source,
+        CAST(len({_DUCK_TOKS}) AS BIGINT) AS x
+      FROM documents),
+r AS (SELECT source, x,
+        row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS rk
+      FROM tok)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(x) AS BIGINT) AS total_tokens,
+  CAST(round((2 * sum(rk * x) - (count(*) + 1) * sum(x))
+             / (CAST(count(*) AS DOUBLE) * sum(x)), 6) AS DOUBLE) AS gini
+FROM r GROUP BY source
+"""
+
+
+@register("token_gini_by_source", oracle=_TOKEN_GINI_ORACLE)
+def q_token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token counts within each
+    source (0 = uniform, →1 = a few docs hold all tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = tok.withColumn("rk", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    t_sum = F.sum((F.col("rk") * F.col("x")).cast(dec))
+    s_sum = F.sum(F.col("x").cast(dec))
+    n = F.count("*")
+    gini = (
+        (F.lit(2).cast(dec) * t_sum - (n + 1).cast(dec) * s_sum).cast("double")
+        / (n.cast("double") * s_sum.cast("double"))
+    )
+    return r.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        s_sum.cast("long").alias("total_tokens"),
+        F.round(gini, 6).alias("gini"),
+    )

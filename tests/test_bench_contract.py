@@ -49,8 +49,32 @@ def test_bench_record_has_serving_metrics():
         "als_train_first_s",  # cold-vs-warm split, recorded since r6
         "als_model_rows",
         "batch_predict_rows_per_s",
-        "point_lookup_p50_ms",
+        "point_lookup_p50_ms",  # single-shot (reference parity) since r7
         "point_lookup_p95_ms",
+        "point_lookup_p50_min2_ms",  # smoothed variant, own keys (r7)
+        "point_lookup_p95_min2_ms",
+        "point_lookup_spilled_p50_ms",  # DataFrame-backed store class (r7)
+        "point_lookup_spilled_p95_ms",
         "iterative_queries",
     ):
         assert key in full, f"bench_full.json missing serving metric {key}"
+
+
+def test_bench_record_is_fixed_depth_with_median_map():
+    """ADVICE r6 (medium): committed records must hold sampling depth
+    constant (six runs) and carry a median map alongside the min map so
+    round-over-round comparisons don't conflate extra sampling with
+    genuine improvement."""
+    import json
+
+    full = json.load(open("bench_full.json"))
+    assert full["n_record_runs"] == 6, "record depth must stay fixed at 6"
+    assert set(full["queries_median"]) == set(full["queries"])
+    assert "value_median" in full
+    # a per-query median can never beat the same runs' min
+    bad = [
+        n
+        for n in full["queries"]
+        if full["queries_median"][n] < full["queries"][n]
+    ]
+    assert not bad, f"median below min for: {bad}"
