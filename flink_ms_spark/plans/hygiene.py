@@ -19,8 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_ms_spark.operators.dedup import minhash_signatures, ngram_jaccard
+from flink_ms_spark.operators.dedup import (
+    MINHASH_P,
+    minhash_signatures,
+    shingles,
+)
 from flink_ms_spark.operators.text import token_count
+from flink_ms_spark.partitioning import fan_out
 from flink_ms_spark.plans.northstar import _DUCK_TOKS, _MINHASH_ORACLE
 from flink_ms_spark.plans.pipeline import _CC_CORE, _lsh_components
 from flink_ms_spark.plans.registry import register
@@ -171,13 +176,18 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash estimator calibration: for every LSH candidate pair (3-gram
 # signatures, any-band collision — the dup_clusters bucket space),
 # compare the MinHash-estimated Jaccard (fraction of the k=4 hashes
-# agreeing) against the EXACT 3-gram Jaccard, grouped by agreement
-# level. This is the report that justifies (or indicts) a band
+# agreeing) against the EXACT Jaccard of the HASHED shingle sets —
+# the very universe the estimator samples (x = md5-60bit mod p, the
+# minhash pipeline's base hash; identical on both engines, so the
+# comparison isolates estimator error, not hash error). Grouped by
+# agreement level: the report that justifies (or indicts) a band
 # configuration before a full dedup pass. Scale: the exact verify runs
 # on the candidate set only (the lev_neardup discipline — quadratic
-# work bounded by candidates, not the corpus); the signature self-join
-# is the same banded join dup_clusters already prices, and hot buckets
-# at web scale take the capped form (operators/dedup.py lsh_pair_stats).
+# work bounded by candidates, not the corpus); set sizes and per-doc
+# distinct come from IN-ROW array_distinct (no corpus shuffle — the
+# only exchanges are the banded signature join and the candidate-keyed
+# intersection on 8-byte keys); hot buckets at web scale take the
+# capped form (operators/dedup.py lsh_pair_stats).
 
 _MINHASH_CALIBRATION_ORACLE = f"""
 WITH sigs AS ({_MINHASH_ORACLE}),
@@ -193,15 +203,17 @@ ag AS (SELECT c.a, c.b,
        JOIN sigs sy ON sy.doc_id = c.b AND sy.h = sx.h
        GROUP BY c.a, c.b),
 toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
-         generate_series(1, greatest(len(t) - 2, 1)),
-         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-       FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shx AS (SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x
+        FROM (SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(t) - 2, 1)),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+              FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
 inter AS (SELECT c.a, c.b, count(*) AS ni
           FROM cand c
-          JOIN sh x ON x.doc_id = c.a
-          JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+          JOIN shx x ON x.doc_id = c.a
+          JOIN shx y ON y.doc_id = c.b AND y.x = x.x
           GROUP BY c.a, c.b),
 jac AS (SELECT c.a, c.b,
           CAST(round(COALESCE(i.ni, 0) * 1.0
@@ -224,32 +236,81 @@ GROUP BY g.n_agree
 """
 
 
+def _shingle_hash_sets(docs: DataFrame):
+    """(doc_id, x) exploded DISTINCT hashed-shingle rows plus the
+    in-row per-doc set sizes — x is the minhash pipeline's base hash
+    (md5 60-bit mod p), de-duplicated with array_distinct BEFORE the
+    explode so no corpus-wide shuffle is needed for distinctness."""
+    xs = F.array_distinct(
+        F.transform(
+            shingles(F.col("text"), 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % MINHASH_P,
+        )
+    )
+    # materialize ONCE (two consumers: the exploded set and the sizes)
+    # — the community_modularity localCheckpoint pattern; the pinned
+    # frame is doc-count rows (hash arrays packed per row), not
+    # exploded-shingle rows
+    base = (
+        fan_out(docs)
+        .select(F.col("doc_id"), xs.alias("_xs"))
+        .localCheckpoint(eager=True)
+    )
+    sh = base.select("doc_id", F.explode("_xs").alias("x"))
+    sizes = base.select("doc_id", F.size("_xs").alias("n"))
+    return sh, sizes
+
+
 @register("minhash_calibration", oracle=_MINHASH_CALIBRATION_ORACLE)
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-vs-exact-Jaccard calibration per agreement level
-    (n_agree of 4 hashes): pair count, mean/min/max exact Jaccard and
-    the estimator's mean absolute error."""
+    (n_agree of 4 hashes): pair count, mean/min/max exact Jaccard of
+    the hashed shingle sets, and the estimator's mean absolute error."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3)
-    sa = sigs.select(F.col("doc_id").alias("a"), "h", F.col("minhash").alias("mh_a"))
-    sb = sigs.select(F.col("doc_id").alias("b"), "h", F.col("minhash").alias("mh_b"))
-    cand = (
-        sa.join(sb, "h")
-        .where((F.col("mh_a") == F.col("mh_b")) & (F.col("a") < F.col("b")))
-        .select("a", "b")
-        .distinct()
+    # the signature table is 4 rows/doc (model-scale) and feeds both
+    # sides of the banded join — without pinning, each side recomputes
+    # the full corpus-scan signature job (measured 2x wall at sf0.1)
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3).localCheckpoint(
+        eager=True
     )
+    sa = sigs.select(F.col("doc_id").alias("a"), "h", F.col("minhash").alias("mh"))
+    sb = sigs.select(F.col("doc_id").alias("b"), "h", F.col("minhash").alias("mh"))
+    # a band-join match AT h is precisely "hash h agrees", so the
+    # agreement count falls out of the candidate aggregation itself —
+    # no separate per-pair re-join against the signature table
     ag = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "h"])
+        sa.join(sb, ["h", "mh"])  # explicit equi-join on the band key
+        .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(
-            F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
-            .cast("int")
-            .alias("n_agree")
+        .agg(F.count("*").cast("int").alias("n_agree"))
+        # candidate-pair rows (bounded by bucket sizes, 36k at sf0.1)
+        # feed three branches: inter, and jac's complement + size joins
+        .localCheckpoint(eager=True)
+    )
+    cand = ag.select("a", "b")
+    sh, sizes = _shingle_hash_sets(docs)
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "x"), ["b", "x"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        cand.join(inter, ["a", "b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
         )
     )
-    jac = ngram_jaccard(cand, docs, shingle_n=3)
     est = F.col("n_agree") / F.lit(4.0)
     return (
         ag.join(jac, ["a", "b"])
