@@ -515,6 +515,55 @@ def cmd_tables(args: argparse.Namespace) -> None:
 
 
 
+def cmd_hygiene_report(args: argparse.Namespace) -> None:
+    """Run the pipeline-health audit family (plans/hygiene.py) over a
+    fixture dir and print the combined report: embedding hygiene +
+    dead dims, the cross-source near-dup matrix, MinHash calibration,
+    and per-source token Gini — the pre-flight read before trusting a
+    corpus snapshot for dedup/ANN/mixing runs."""
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    spark = _spark("[HYGIENE] report")
+    h = QUERIES["embedding_health"](spark, args.sf_dir).collect()[0]
+    print(
+        f"embeddings: {h.n_vectors} vectors, dims {h.dims_min}"
+        + ("" if h.dims_min == h.dims_max else f"-{h.dims_max} (INCONSISTENT)")
+        + f", {h.n_nonfinite} non-finite, {h.n_zero_vectors} zero-norm, "
+        f"norm avg/p50 {h.avg_norm}/{h.p50_norm}"
+    )
+    dead = [
+        r.dim
+        for r in QUERIES["dead_dims"](spark, args.sf_dir).collect()
+        if r.is_dead
+    ]
+    print(f"dead dims: {sorted(dead) if dead else 'none'}")
+    print("cross-source near-dup components (source_a<=source_b):")
+    for r in sorted(
+        QUERIES["cross_source_dup_matrix"](spark, args.sf_dir).collect(),
+        key=lambda r: (-r.n_components, r.source_a, r.source_b),
+    ):
+        print(f"  {r.source_a}\t{r.source_b}\t{r.n_components}")
+    print("minhash calibration (n_agree/4 -> exact hashed-shingle jaccard):")
+    for r in sorted(
+        QUERIES["minhash_calibration"](spark, args.sf_dir).collect(),
+        key=lambda r: r.n_agree,
+    ):
+        print(
+            f"  {r.n_agree}/4 est={r.est_jaccard} pairs={r.n_pairs} "
+            f"avg={r.avg_jaccard} mae={r.mae} "
+            f"range=[{r.min_jaccard}, {r.max_jaccard}]"
+        )
+    print("token gini by source:")
+    for r in sorted(
+        QUERIES["token_gini_by_source"](spark, args.sf_dir).collect(),
+        key=lambda r: r.source,
+    ):
+        print(
+            f"  {r.source}\t{r.n_docs} docs\t{r.total_tokens} tokens\t"
+            f"gini={r.gini}"
+        )
+
+
 def cmd_verify(args: argparse.Namespace) -> None:
     """Run one catalog query on Spark AND its DuckDB oracle over the
     same parquet, compare canonically (row count, schema shape,
@@ -706,6 +755,10 @@ def build_parser() -> argparse.ArgumentParser:
     vf.add_argument("query", help="catalog query name, comma list, or 'all'")
     vf.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     vf.set_defaults(func=cmd_verify)
+
+    hy = sub.add_parser("hygiene-report")
+    hy.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    hy.set_defaults(func=cmd_hygiene_report)
 
     return p
 

@@ -360,3 +360,13 @@ def test_cli_verify_runs_oracle_gate(sf_smoke, capsys):
 
     with pytest.raises(SystemExit):
         cli.main(["verify", "no_such_query", "--sf-dir", sf_smoke])
+
+
+def test_cli_hygiene_report_prints_all_sections(sf_smoke, capsys):
+    cli.main(["hygiene-report", "--sf-dir", sf_smoke])
+    out = capsys.readouterr().out
+    assert "embeddings:" in out and "non-finite" in out
+    assert "dead dims:" in out
+    assert "cross-source near-dup components" in out
+    assert "minhash calibration" in out and "/4 est=" in out
+    assert "token gini by source:" in out and "gini=" in out
