@@ -407,8 +407,12 @@ def main() -> None:
     # Round-1 lesson: the driver records only a TAIL of stdout, and the
     # full 75-query map overflowed it ("parsed": null). Stdout gets a
     # COMPACT line (total + slowest-10 walls + serving/train metrics);
-    # the complete per-query map goes to bench_full.json next to this
-    # script for the judge and for round-over-round diffing.
+    # the complete per-query map goes to bench_run.json next to this
+    # script for round-over-round diffing. bench_full.json (the
+    # committed six-run record, min+median maps) is written ONLY by
+    # scripts/build_bench_record.py — a plain bench run must never
+    # clobber it (round-7 lesson: the driver's own post-snapshot bench
+    # run dirtied the record and flipped test_bench_contract red).
     full = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -422,7 +426,7 @@ def main() -> None:
     # scripts/build_bench_record.py to collect N runs without
     # clobbering the committed record).
     full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        os.path.dirname(os.path.abspath(__file__)), "bench_run.json"
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

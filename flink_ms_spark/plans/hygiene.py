@@ -95,12 +95,19 @@ def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle is |dims| keys wide, each group a columnar partial-agg, and
 # the output is dim-scale (tiny) regardless of corpus size.
 
+# The WHERE i.i <= len(e.v) filter matters on RAGGED corpora: DuckDB's
+# generate_series goes to the GLOBAL max dim, and out-of-range v[i]
+# yields NULL rows that count(*) would still count — Spark's posexplode
+# emits only existing elements, so without the filter per-dim n
+# diverges exactly when dims are inconsistent (the state this family
+# exists to detect).
 _DEAD_DIMS_ORACLE = """
 WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 dimn AS (SELECT max(len(v)) AS nd FROM e),
 flat AS (SELECT i.i AS dim, e.v[i.i] AS x
-         FROM e, dimn, unnest(generate_series(1, dimn.nd)) AS i(i))
+         FROM e, dimn, unnest(generate_series(1, dimn.nd)) AS i(i)
+         WHERE i.i <= len(e.v))
 SELECT CAST(dim AS INT) AS dim,
   CAST(count(*) AS BIGINT) AS n,
   CAST(min(x) AS DOUBLE) AS mn,
@@ -333,8 +340,10 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token_balanced_shards assume this report has been read.) The rank
 # formula keeps everything in exact integer arithmetic until one final
 # division: G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ranks ascending.
-# Sums are DECIMAL(38,0) (the money-sweep discipline) so rank·x
-# accumulations cannot overflow at cluster scale; the ratio is the
+# Both the per-row product rk·x AND its sum run in DECIMAL (the
+# money-sweep discipline): rk ~ docs-per-source times x ~ tokens-per-doc
+# can exceed int64 at cluster scale, so the operands are cast BEFORE
+# the multiply on both engines; the ratio is the
 # only float, identical on both engines. Scale: per-source keyed
 # window (the accepted stratified pattern, operators/mixing.py:335) +
 # one per-source aggregate.
@@ -349,7 +358,8 @@ r AS (SELECT source, x,
 SELECT source,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(x) AS BIGINT) AS total_tokens,
-  CAST(round((2 * sum(rk * x) - (count(*) + 1) * sum(x))
+  CAST(round((2 * sum(CAST(rk AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+              - (count(*) + 1) * sum(x))
              / (CAST(count(*) AS DOUBLE) * sum(x)), 6) AS DOUBLE) AS gini
 FROM r GROUP BY source
 """
@@ -366,7 +376,9 @@ def q_token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy("x", "doc_id")
     r = tok.withColumn("rk", F.row_number().over(w))
     dec = "decimal(38,0)"
-    t_sum = F.sum((F.col("rk") * F.col("x")).cast(dec))
+    # cast BEFORE multiplying (ADVICE r7): rk*x in int64 can overflow
+    # in principle; decimal(19,0) operands give a (38,0) product
+    t_sum = F.sum(F.col("rk").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
     s_sum = F.sum(F.col("x").cast(dec))
     n = F.count("*")
     gini = (

@@ -109,3 +109,47 @@ def test_embedding_health_and_dead_dims_on_fixture(spark, sf_oracle):
     dd = QUERIES["dead_dims"](spark, sf_oracle).collect()
     assert len(dd) == h.dims_min
     assert all(r.n == h.n_vectors for r in dd)
+
+
+def test_dead_dims_oracle_matches_on_ragged_dims(spark, tmp_path, monkeypatch):
+    """ADVICE r7 (medium): on dim-INCONSISTENT embeddings the oracle's
+    generate_series(1, max_dims) emits NULL rows for out-of-range v[i];
+    count(*) would count them (n = total vectors) while Spark's
+    posexplode counts only real elements. The WHERE i.i <= len(e.v)
+    filter keeps the two engines identical exactly when dims drift —
+    the state this family exists to detect."""
+    import duckdb
+
+    import flink_ms_spark.plans.hygiene as hy
+    from flink_ms_spark.oracle import canonical_rows
+    from flink_ms_spark.plans.registry import ORACLE_SQL
+
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [3.0], 0),
+        (3, [5.0, 2.0, 7.0, 8.0], 0),
+        (4, [9.0, 2.0, 6.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    monkeypatch.setattr(hy, "load_table", lambda s, d, t: df)
+    out = QUERIES["dead_dims"](spark, "ignored")
+    s_rows = {r.dim: r for r in out.collect()}
+    # n counts only vectors HAVING that dim: 4,3,2,1
+    assert {d: r.n for d, r in s_rows.items()} == {1: 4, 2: 3, 3: 2, 4: 1}
+    assert s_rows[2].is_dead == 1  # 2.0 everywhere it exists
+
+    pq = str(tmp_path / "embeddings_parquet")
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{pq}/*.parquet'"
+    )
+    cur = con.execute(ORACLE_SQL["dead_dims"])
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+    assert sorted(d_cols) == sorted(out.columns)
+    assert canonical_rows(out.columns, [tuple(r) for r in out.collect()]) == (
+        canonical_rows(d_cols, d_rows)
+    )
