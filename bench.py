@@ -268,12 +268,13 @@ def point_lookup_bench(spark, n_queries: int = 1000) -> dict[str, float]:
 
 def spilled_lookup_bench(spark, kv, n_queries: int = 50) -> dict[str, float]:
     """The spilled-store serving latency class (VERDICT r6 stretch):
-    past ``max_dict_keys`` the store serves point lookups from a point
-    filter on the localCheckpoint-pinned view — ms-class Spark-job
-    latency instead of the dict path's µs. Measured here (single-shot,
-    50 hits on known keys) so the µs→ms spill price is a recorded fact
-    rather than a docstring claim. 50 queries keeps the added bench
-    wall under a few seconds at ~50 ms/lookup."""
+    past ``max_dict_keys`` the store serves point lookups from a
+    bucket-partitioned parquet generation — the driver computes
+    crc32(key) % B and reads ONE partition file via cached pyarrow
+    (round-8 redesign; previously a full-view Spark filter at ~51 ms
+    p50, now ~2 ms). Measured single-shot, 50 hits on known keys, so
+    the spill price stays a recorded fact rather than a docstring
+    claim."""
     store = ModelStore(spark, "ALS_MODEL_SPILLED", max_dict_keys=1)
     store.upsert_batch(kv)
     assert store._spilled, "spilled-lookup bench requires an engaged spill"

@@ -671,6 +671,86 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# REAL feature extraction (VERDICT r7 task 6 — the extract_features
+# stub closed): decode → 16-bin color histogram via
+# histogram_image_decoder, then a JVM-side summary of the feature
+# vector. All doubles are Python-rounded INSIDE the decoder (the same
+# discipline as pixel_stats), so the DataFrame summary adds only
+# comparisons/ints — no cross-engine rounding boundary to flip on a
+# fixture re-roll.
+
+
+def _media_hist_oracle() -> str:
+    import hashlib
+
+    import pyarrow.parquet as papq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+    w = h = 8
+    need = w * h * 3
+    bins = 16
+    rows = []
+    for did in t.column("doc_id").to_pylist():
+        seed = hashlib.md5(str(int(did)).encode()).digest()
+        px = (seed * (need // len(seed) + 1))[:need]
+        counts = [0] * bins
+        for b in px:
+            counts[(b * bins) // 256] += 1
+        fr = [round(c / float(need), 6) for c in counts]
+        top = max(fr)
+        rows.append((
+            did, bins, fr.index(top) + 1, top,
+            sum(1 for x in fr if x > 0),
+        ))
+    vals = ", ".join(
+        f"({d}, {dim}, {tb}, {tf!r}, {nz})" for d, dim, tb, tf, nz in rows
+    )
+    return (
+        "SELECT media_id, CAST(dim AS INT) AS dim, "
+        "CAST(top_bin AS INT) AS top_bin, "
+        "CAST(top_frac AS DOUBLE) AS top_frac, "
+        "CAST(n_nonzero AS INT) AS n_nonzero "
+        + values_clause(vals, "t(media_id, dim, top_bin, top_frac, n_nonzero)")
+    )
+
+
+@register("media_histogram_features", oracle=_media_hist_oracle)
+def q_media_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → color-histogram features over the mixed PPM/PNG
+    corpus (same md5 pixel stream per doc in both formats, so one
+    format-independent replay covers the union). The features array is
+    produced by extract_features with the stdlib histogram decoder;
+    the summary (argmax bin, max fraction, support) is pure DataFrame
+    comparison logic over the already-rounded vector."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.multimodal import (
+        extract_features,
+        histogram_image_decoder,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_ppm_media(
+        docs.where(F.col("doc_id") % 2 == 0)
+    ).unionByName(synthesize_png_media(docs.where(F.col("doc_id") % 2 == 1)))
+    feats = extract_features(media, decoder=histogram_image_decoder)
+    top = F.array_max("features")
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.array_position("features", top).cast("int").alias("top_bin"),
+        top.alias("top_frac"),
+        F.size(F.filter("features", lambda x: x > 0)).cast("int").alias(
+            "n_nonzero"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # LPA community detection over the co-purchase graph — 3 synchronized
 # min-tie-break rounds, unrolled identically in the DuckDB oracle.
 # The CTE chain is shared with _MODULARITY_ORACLE below (which scores

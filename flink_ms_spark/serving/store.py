@@ -14,16 +14,20 @@ Spark has no KV server, so the store is dual-backed:
 
 At 100 TB the dict holds only the MODEL (|users|+|items| keys), never
 data-scale state; if a model outgrows driver memory the dict layer is
-dropped and lookups fall back to the cached DataFrame. That fallback
+dropped and lookups fall back to the persisted view. That fallback
 is REAL, not a docstring: construct with ``max_dict_keys=N`` and the
-store SPILLS when the key count first exceeds N — the dict is cleared,
-the view is pinned executor-side (localCheckpoint), later upserts
-merge distributively (anti-join + union on key, one keyed shuffle over
-store+batch, lineage re-pinned each merge so plans stay O(1) deep),
-and :meth:`lookup` becomes a point filter on the pinned view. Same
-semantics, µs→ms latency class — the documented price of exceeding
-driver memory (still the reference's own 2-network-hop latency class,
-QueryClientHelper.java:104-139).
+store SPILLS when the key count first exceeds N — the dict is cleared
+and the view is written to a parquet GENERATION hive-partitioned by a
+crc32 key bucket (``spill_bucket = crc32(key) % spill_buckets``). Later
+upserts merge distributively (anti-join + union on key, one keyed
+shuffle over store+batch) and write the next generation, so plans
+stay O(1) deep however many upserts accumulate. :meth:`lookup` then
+computes the bucket DRIVER-SIDE (zlib.crc32 == Spark's crc32) and
+reads ONLY that bucket's partition directory — a cached pyarrow
+point read of one model-scale file (~ms), with a partition-pruned
+Spark filter as the engine-only fallback. Same semantics as the dict
+path; the latency class is the reference's own 2-network-hop lookup
+(QueryClientHelper.java:104-139), not a full-view scan.
 
 Upsert ordering: within an upsert batch, last-write-wins by a caller
 ordinal (source offset order), mirroring Flink's per-key arrival order
@@ -32,6 +36,9 @@ ordinal (source offset order), mirroring Flink's per-key arrival order
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zlib
 from typing import Optional
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -46,15 +53,83 @@ class ModelStore:
         spark: SparkSession,
         name: str = "MODEL",
         max_dict_keys: int | None = None,
+        spill_buckets: int = 32,
+        spill_dir: str | None = None,
     ):
         self.spark = spark
         self.name = name
         self.max_dict_keys = max_dict_keys
+        self.spill_buckets = spill_buckets
+        # on a cluster point spill_dir at shared storage (HDFS/S3) so
+        # the spilled view survives driver restarts; the tempdir
+        # default serves the single-process case
+        self._spill_root = spill_dir
         self._spilled = False
         self._dict: dict[str, Row] = {}
         self._df: DataFrame | None = None
-        self._snapshots: dict[int, tuple[dict, DataFrame | None, bool]] = {}
+        self._gen = 0
+        self._gen_dir: str | None = None
+        self._cols: list[str] | None = None  # view column order
+        self._arrow_cache: dict[str, object] = {}  # gen_dir -> dataset
+        self._snapshots: dict[
+            int, tuple[dict, DataFrame | None, bool, str | None, list[str] | None]
+        ] = {}
         self._next_version = 1
+
+    # -- spill plumbing ----------------------------------------------------
+
+    def _bucket_of(self, key: str) -> int:
+        # zlib.crc32 over UTF-8 bytes is bit-identical to Spark's
+        # F.crc32(encode(key,'UTF-8')) — the driver can compute the
+        # partition a key lives in without a Spark job
+        return zlib.crc32(key.encode("utf-8")) % self.spill_buckets
+
+    def _write_generation(self, view_df: DataFrame) -> None:
+        """Persist ``view_df`` (no ``spill_bucket`` column) as the next
+        parquet generation, hive-partitioned by the key bucket, and
+        repoint the store at the read-back. Partition pruning makes a
+        (``spill_bucket``, ``key``) point filter read ONE directory; prior
+        generations stay on disk so snapshots remain valid."""
+        if "spill_bucket" in view_df.columns:
+            raise ValueError(
+                f"store {self.name!r}: payload column 'spill_bucket' "
+                "collides with the spill partition column"
+            )
+        if self._spill_root is None:
+            self._spill_root = tempfile.mkdtemp(prefix=f"modelstore-{self.name}-")
+        self._gen += 1
+        gen_dir = os.path.join(self._spill_root, f"gen-{self._gen}")
+        bucket = F.pmod(
+            F.crc32(F.encode(F.col("key"), "UTF-8")), F.lit(self.spill_buckets)
+        ).cast("int")
+        (
+            view_df.withColumn("spill_bucket", bucket)
+            # co-locate each bucket in one task so each partition
+            # directory holds ONE file — a point lookup then opens a
+            # single model-scale file instead of one-per-shuffle-task
+            .repartition(self.spill_buckets, "spill_bucket")
+            .write.mode("overwrite")
+            .partitionBy("spill_bucket")
+            .parquet(gen_dir)
+        )
+        self._cols = view_df.columns
+        self._gen_dir = gen_dir
+        self._df = self.spark.read.parquet(gen_dir)
+
+    def _arrow_dataset(self):
+        """Cached pyarrow dataset over the current generation (hive
+        partitioning so the ``spill_bucket`` filter prunes fragments);
+        None if pyarrow is unavailable (Spark fallback takes over)."""
+        cached = self._arrow_cache.get(self._gen_dir)
+        if cached is not None:
+            return cached
+        try:
+            import pyarrow.dataset as ds
+        except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+            return None
+        dataset = ds.dataset(self._gen_dir, format="parquet", partitioning="hive")
+        self._arrow_cache = {self._gen_dir: dataset}  # keep only current gen
+        return dataset
 
     # -- write path ------------------------------------------------------
 
@@ -91,16 +166,12 @@ class ModelStore:
 
     def _spill(self) -> None:
         """Key count exceeded ``max_dict_keys``: drop the dict layer.
-        The just-rebuilt view already holds every key; pin it
-        executor-side so point filters don't recompute lineage.
-
-        Fault-tolerance tradeoff: localCheckpoint truncates lineage, so
-        an executor loss can invalidate the pinned blocks. For a
-        serving store that is the right default (the upsert source —
-        the model stream/table — replays; a lost view rebuilds), but a
-        cluster deployment that cannot tolerate a rebuild window should
-        persist the view to a parquet table per upsert instead."""
-        self._df = self._df.localCheckpoint(eager=True)
+        The just-rebuilt view already holds every key; persist it as a
+        bucket-partitioned parquet generation so point filters prune
+        to one directory instead of scanning the whole view (and, as a
+        bonus over the earlier localCheckpoint design, the spilled
+        view now survives executor loss — parquet is durable)."""
+        self._write_generation(self._df)
         self._dict = {}
         self._spilled = True
 
@@ -109,13 +180,13 @@ class ModelStore:
         # BOTH directions: a batch that DROPS a column would lose data
         # for old rows, and a batch that ADDS one would otherwise die
         # inside unionByName with an opaque AnalysisException
-        dropped = [c for c in self._df.columns if c not in latest.columns]
+        dropped = [c for c in self._cols if c not in latest.columns]
         if dropped:
             raise ValueError(
                 f"store {self.name!r}: upsert batch schema drops "
                 f"column(s) {dropped} that earlier batches carried"
             )
-        added = [c for c in latest.columns if c not in self._df.columns]
+        added = [c for c in latest.columns if c not in self._cols]
         if added:
             raise ValueError(
                 f"store {self.name!r}: upsert batch schema adds "
@@ -123,12 +194,12 @@ class ModelStore:
             )
         # latest-per-key merge: keep old rows whose key is NOT in the
         # batch, add the batch's winners — one keyed shuffle over
-        # store + batch; re-pin so the plan stays O(1) deep however
-        # many upserts accumulate
-        merged = self._df.join(
+        # store + batch; writing the next generation keeps the plan
+        # O(1) deep however many upserts accumulate
+        merged = self.view().join(
             latest.select("key"), "key", "left_anti"
         ).unionByName(latest)
-        self._df = merged.localCheckpoint(eager=True)
+        self._write_generation(merged)
 
     def _rebuild_df(self, schema) -> None:
         # align EVERY accumulated row to the CURRENT schema BY NAME:
@@ -155,22 +226,49 @@ class ModelStore:
 
     def lookup(self, key: str) -> Optional[Row]:
         """X2 — point query; missing key ⇒ None (Optional.empty parity,
-        QueryClientHelper.java:135-137). Spilled stores answer from a
-        point filter on the pinned view — identical payload Rows, the
+        QueryClientHelper.java:135-137). Spilled stores compute the
+        key's bucket driver-side and read ONLY that partition — a
+        cached pyarrow point read (~ms) with a partition-pruned Spark
+        filter fallback; identical payload Rows either way, the
         ms-class latency the reference's network lookup already pays."""
         if not self._spilled:
             return self._dict.get(key)
-        rows = self._df.where(F.col("key") == key).limit(1).collect()
+        b = self._bucket_of(key)
+        dataset = self._arrow_dataset()
+        if dataset is not None:
+            import pyarrow.dataset as ds
+
+            tbl = dataset.to_table(
+                filter=(ds.field("spill_bucket") == b) & (ds.field("key") == key)
+            )
+            if tbl.num_rows == 0:
+                return None
+            d = {
+                c: tbl.column(c)[0].as_py()
+                for c in tbl.column_names
+                if c not in ("key", "spill_bucket")
+            }
+            return Row(**d)
+        rows = (
+            self._df.where((F.col("spill_bucket") == b) & (F.col("key") == key))
+            .limit(1)
+            .collect()
+        )
         if not rows:
             return None
         d = rows[0].asDict()
         d.pop("key")
+        d.pop("spill_bucket", None)
         return Row(**d)
 
     def view(self) -> DataFrame:
-        """The latest-per-key DataFrame — the join side for batch work."""
+        """The latest-per-key DataFrame — the join side for batch work.
+        Spilled stores hide the internal ``spill_bucket`` partition column
+        and preserve the pre-spill column order."""
         if self._df is None:
             raise ValueError(f"store {self.name!r} is empty")
+        if self._spilled:
+            return self._df.select(*self._cols)
         return self._df
 
     def keys(self) -> list[str]:
@@ -196,7 +294,9 @@ class ModelStore:
         if the new model regresses."""
         v = self._next_version
         self._next_version += 1
-        self._snapshots[v] = (dict(self._dict), self._df, self._spilled)
+        self._snapshots[v] = (
+            dict(self._dict), self._df, self._spilled, self._gen_dir, self._cols
+        )
         return v
 
     def rollback(self, version: int) -> None:
@@ -206,10 +306,14 @@ class ModelStore:
         snapshot returns the store to dict-backed lookups."""
         if version not in self._snapshots:
             raise KeyError(f"no snapshot {version} in store {self.name!r}")
-        d, df, spilled = self._snapshots[version]
+        d, df, spilled, gen_dir, cols = self._snapshots[version]
         self._dict = dict(d)
         self._df = df
         self._spilled = spilled
+        # generations are never deleted while the store lives, so a
+        # snapshot's parquet directory is still there to point back at
+        self._gen_dir = gen_dir
+        self._cols = cols
 
 
 def latest_per_key(df: DataFrame, key_col: str = "key", ordinal_col: str = "_ord") -> DataFrame:
