@@ -172,6 +172,8 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "minhash_calibration",
     "token_gini_by_source",
+    # round-8 widening: real color-histogram feature extraction
+    "media_histogram_features",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
@@ -190,6 +192,7 @@ MEDIA_QUERIES = {
     "media_audio_stats",
     "media_features",
     "media_frames",
+    "media_histogram_features",
 }
 
 

@@ -73,6 +73,9 @@ _EXPORTS = {
     "extract_features": "flink_ms_spark.operators.multimodal",
     "synthesize_wav_media": "flink_ms_spark.operators.multimodal",
     "audio_stats": "flink_ms_spark.operators.multimodal",
+    "histogram_image_decoder": "flink_ms_spark.operators.multimodal",
+    "spectral_features": "flink_ms_spark.operators.multimodal",
+    "pixel_stats": "flink_ms_spark.operators.multimodal",
     "drop_duplicated_lines": "flink_ms_spark.operators.text",
     # ANN index lifecycle
     "build_pq_index": "flink_ms_spark.operators.similarity",

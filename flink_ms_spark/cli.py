@@ -564,6 +564,68 @@ def cmd_hygiene_report(args: argparse.Namespace) -> None:
         )
 
 
+def cmd_media_report(args: argparse.Namespace) -> None:
+    """Run the multimodal feature lanes over a fixture dir and print
+    the corpus-level media report: pixel + histogram summaries for the
+    mixed PPM/PNG image corpus, spectral stats for the WAV corpus, and
+    the cross-format feature-space dup census — the media sibling of
+    hygiene-report."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    spark = _spark("[MEDIA] report")
+    px = (
+        QUERIES["media_pixel_stats"](spark, args.sf_dir)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("mean_gray"), 3).alias("gray"),
+            F.min("width").alias("w0"),
+            F.max("width").alias("w1"),
+        )
+        .collect()[0]
+    )
+    print(f"images: {px.n}, mean gray {px.gray}, widths [{px.w0}, {px.w1}]")
+    hist = (
+        QUERIES["media_histogram_features"](spark, args.sf_dir)
+        .agg(
+            F.round(F.avg("top_frac"), 4).alias("tf"),
+            F.round(F.avg("n_nonzero"), 2).alias("nz"),
+        )
+        .collect()[0]
+    )
+    print(f"histogram features: avg top-bin mass {hist.tf}, avg support {hist.nz}/16")
+    sp = (
+        QUERIES["media_spectral_features"](spark, args.sf_dir)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("centroid_hz"), 1).alias("c"),
+            F.round(F.avg("flatness"), 4).alias("fl"),
+            F.round(F.avg("rms"), 1).alias("rms"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"audio: {sp.n} clips, avg centroid {sp.c} Hz, "
+        f"avg flatness {sp.fl}, avg rms {sp.rms}"
+    )
+    dup = (
+        QUERIES["media_dup_pairs"](spark, args.sf_dir)
+        .agg(
+            F.count("*").alias("groups"),
+            F.sum("n_members").alias("members"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "cross_asset"
+            ),
+        )
+        .collect()[0]
+    )
+    print(
+        f"feature-space dup census: {dup.groups} signature groups over "
+        f"{dup.members} encodings, {dup.cross_asset} cross-asset collisions"
+    )
+
+
 def cmd_verify(args: argparse.Namespace) -> None:
     """Run one catalog query on Spark AND its DuckDB oracle over the
     same parquet, compare canonically (row count, schema shape,
@@ -759,6 +821,10 @@ def build_parser() -> argparse.ArgumentParser:
     hy = sub.add_parser("hygiene-report")
     hy.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     hy.set_defaults(func=cmd_hygiene_report)
+
+    mr = sub.add_parser("media-report")
+    mr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    mr.set_defaults(func=cmd_media_report)
 
     return p
 

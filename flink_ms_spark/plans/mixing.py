@@ -751,6 +751,165 @@ def q_media_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Audio spectral features: REAL numpy rfft over the stdlib PCM16
+# decoder — spectral centroid, 85% rolloff, flatness, RMS per clip.
+# Oracle = independent numpy replay of the deterministic md5 sample
+# stream (same formula, driver-side), embedded as VALUES.
+
+
+def _spectral_oracle() -> str:
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+    n_samples, sr = 64, 8000
+    need = n_samples * 2
+    rows = []
+    for did in t.column("doc_id").to_pylist():
+        seed = hashlib.md5(str(int(did)).encode()).digest()
+        data = (seed * (need // len(seed) + 1))[:need]
+        xf = np.frombuffer(bytes(data), dtype="<i2").astype(np.float64)
+        n = len(xf)
+        rms = round(float(np.sqrt(np.dot(xf, xf) / n)), 6)
+        mag = np.abs(np.fft.rfft(xf))
+        freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+        total = float(mag.sum())
+        if total <= 0.0:
+            rows.append((did, 0.0, 0.0, 0.0, rms))
+            continue
+        centroid = round(float((freqs * mag).sum() / total), 6)
+        rolloff = round(
+            float(freqs[int(np.searchsorted(np.cumsum(mag), 0.85 * total))]), 6
+        )
+        p = mag * mag
+        eps = 1e-12
+        flat = round(float(np.exp(np.log(p + eps).mean()) / (p.mean() + eps)), 6)
+        rows.append((did, centroid, rolloff, flat, rms))
+    vals = ", ".join(
+        f"({d}, {c!r}, {r!r}, {fl!r}, {rm!r})" for d, c, r, fl, rm in rows
+    )
+    return (
+        "SELECT media_id, CAST(centroid_hz AS DOUBLE) AS centroid_hz, "
+        "CAST(rolloff_hz AS DOUBLE) AS rolloff_hz, "
+        "CAST(flatness AS DOUBLE) AS flatness, CAST(rms AS DOUBLE) AS rms "
+        + values_clause(
+            vals, "t(media_id, centroid_hz, rolloff_hz, flatness, rms)"
+        )
+    )
+
+
+@register("media_spectral_features", oracle=_spectral_oracle)
+def q_media_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature lane: WAV PCM16 decode → rfft magnitude
+    spectrum → centroid/rolloff/flatness/RMS per clip — the audio
+    sibling of media_histogram_features. All doubles Python-rounded
+    inside the UDF; the oracle replays the identical numpy math."""
+    from flink_ms_spark.operators.multimodal import (
+        spectral_features,
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spectral_features(synthesize_wav_media(docs))
+
+
+# --------------------------------------------------------------------------
+# Cross-format feature-space image dedup: every doc is synthesized in
+# BOTH real formats (P6 PPM and RGB PNG) carrying the same md5 pixel
+# stream; the dedup key is the 16-bin color histogram quantized to
+# exact integers (round(frac·1e6)) — format-independent by
+# construction, so each doc's two encodings collide into one group.
+# This is the multimodal analogue of embedding_neardup's exact tier:
+# dedup on DERIVED features, not raw bytes (raw-byte md5 would NOT
+# match across formats). Scale: one keyed shuffle on the signature;
+# group width is bounded by encodings-per-asset, never corpus-scale.
+
+
+def _media_dup_oracle() -> str:
+    import hashlib
+
+    import pyarrow.parquet as papq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+    w = h = 8
+    need = w * h * 3
+    bins = 16
+    groups: dict[str, list[int]] = {}
+    for did in t.column("doc_id").to_pylist():
+        seed = hashlib.md5(str(int(did)).encode()).digest()
+        px = (seed * (need // len(seed) + 1))[:need]
+        counts = [0] * bins
+        for b in px:
+            counts[(b * bins) // 256] += 1
+        fr = [round(c / float(need), 6) for c in counts]
+        key = ",".join(str(int(round(x * 1e6))) for x in fr)
+        sig = hashlib.md5(key.encode()).hexdigest()
+        # one entry per format — both carry the same pixel stream
+        groups.setdefault(sig, []).extend([did, did])
+    rows = []
+    for sig, members in groups.items():
+        docs = set(members)
+        rows.append((sig, len(members), len(docs), min(docs), max(docs)))
+    vals = ", ".join(
+        f"({s!r}, {n}, {nd}, {lo}, {hi})" for s, n, nd, lo, hi in rows
+    )
+    return (
+        "SELECT sig, CAST(n_members AS BIGINT) AS n_members, "
+        "CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(doc_min AS BIGINT) AS doc_min, "
+        "CAST(doc_max AS BIGINT) AS doc_max "
+        + values_clause(vals, "t(sig, n_members, n_docs, doc_min, doc_max)")
+    )
+
+
+@register("media_dup_pairs", oracle=_media_dup_oracle)
+def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-space image dedup across encodings: group by the
+    integer-quantized color histogram; each group reports member count,
+    distinct assets, and id range. The quantization (round(frac·1e6))
+    happens on values already Python-rounded to 6 dp, so both engines
+    land on the same integers away from any rounding boundary."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.multimodal import (
+        extract_features,
+        histogram_image_decoder,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lanes = []
+    for synth in (synthesize_ppm_media, synthesize_png_media):
+        lanes.append(
+            extract_features(synth(docs), decoder=histogram_image_decoder)
+        )
+    feats = lanes[0].unionByName(lanes[1])
+    key = F.concat_ws(
+        ",",
+        F.transform(
+            "features", lambda x: F.round(x * 1e6).cast("long").cast("string")
+        ),
+    )
+    return (
+        feats.select("media_id", F.md5(key).alias("sig"))
+        .groupBy("sig")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.count_distinct("media_id").cast("long").alias("n_docs"),
+            F.min("media_id").alias("doc_min"),
+            F.max("media_id").alias("doc_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # LPA community detection over the co-purchase graph — 3 synchronized
 # min-tie-break rounds, unrolled identically in the DuckDB oracle.
 # The CTE chain is shared with _MODULARITY_ORACLE below (which scores

@@ -370,3 +370,12 @@ def test_cli_hygiene_report_prints_all_sections(sf_smoke, capsys):
     assert "cross-source near-dup components" in out
     assert "minhash calibration" in out and "/4 est=" in out
     assert "token gini by source:" in out and "gini=" in out
+
+
+def test_cli_media_report_prints_all_sections(sf_smoke, capsys):
+    cli.main(["media-report", "--sf-dir", sf_smoke])
+    out = capsys.readouterr().out
+    assert "images:" in out and "mean gray" in out
+    assert "histogram features:" in out and "/16" in out
+    assert "audio:" in out and "centroid" in out
+    assert "feature-space dup census:" in out and "signature groups" in out
