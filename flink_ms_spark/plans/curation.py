@@ -615,3 +615,92 @@ def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("len_pct") + F.col("word_pct") + F.col("alpha_pct")) / 3, 6
         ).alias("blend"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot-incremental dedup: dedup a NEW crawl snapshot against the
+# EXISTING corpus — the asymmetric form production pipelines run on
+# every CommonCrawl drop (existing docs are NEVER touched; only new
+# docs are dropped). Fixture split is deterministic: doc_id % 3 == 0
+# plays the new snapshot, the rest the standing corpus. Two drop
+# tiers, counted separately so the triage reads where the mass went:
+#   cross  — new doc's exact text digest already exists in the corpus
+#            (one digest semi-join; at scale the corpus side is a
+#            pre-built digest index, not a rescan);
+#   intra  — among the surviving new docs, later doc_ids of a digest
+#            group (min-id canonical, the dedup_exact convention).
+# The near-dup analogue of this operator is the streaming MinHash
+# registry (streaming/neardup.py), which is incremental by
+# construction; this query pins the exact tier's batch semantics.
+# Scale: two shuffles on a 16-byte digest, group width = duplicate
+# multiplicity; text never shuffles (digest computed map-side).
+
+_SNAPSHOT_DEDUP_ORACLE = """
+WITH d AS (SELECT doc_id, source, md5(text) AS dg,
+                  (doc_id % 3 = 0) AS is_new FROM documents),
+ex AS (SELECT DISTINCT dg FROM d WHERE NOT is_new),
+new AS (SELECT n.doc_id, n.source, n.dg,
+               (e.dg IS NOT NULL) AS cross_dup
+        FROM d n LEFT JOIN ex e USING (dg) WHERE n.is_new),
+surv AS (SELECT *, min(doc_id) OVER (PARTITION BY dg) AS canon
+         FROM new WHERE NOT cross_dup)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_new,
+  CAST(count(*) FILTER (WHERE cross_dup) AS BIGINT) AS n_cross_dropped,
+  CAST(coalesce(s.n_intra, 0) AS BIGINT) AS n_intra_dropped,
+  CAST(count(*) FILTER (WHERE NOT cross_dup) - coalesce(s.n_intra, 0)
+       AS BIGINT) AS n_kept,
+  CAST(round((count(*) FILTER (WHERE NOT cross_dup) - coalesce(s.n_intra, 0))
+             / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS kept_rate
+FROM new LEFT JOIN (
+  SELECT source, count(*) FILTER (WHERE doc_id <> canon) AS n_intra
+  FROM surv GROUP BY source) s USING (source)
+GROUP BY source, s.n_intra
+"""
+
+
+@register("snapshot_incremental_dedup", oracle=_SNAPSHOT_DEDUP_ORACLE)
+def q_snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of deduping the doc_id%3==0 snapshot against
+    the standing corpus: arrivals, cross-snapshot drops, intra-snapshot
+    drops (min-id canonical), survivors, kept rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.md5("text").alias("dg"),
+        (F.col("doc_id") % 3 == 0).alias("is_new"),
+    )
+    ex = d.where(~F.col("is_new")).select("dg").distinct()
+    new = (
+        d.where("is_new")
+        .join(
+            ex.withColumn("hit", F.lit(1)), "dg", "left"
+        )
+        .withColumn("cross_dup", F.col("hit").isNotNull())
+        .drop("hit")
+    )
+    surv = new.where(~F.col("cross_dup")).withColumn(
+        "canon", F.min("doc_id").over(Window.partitionBy("dg"))
+    )
+    intra = surv.groupBy("source").agg(
+        F.sum((F.col("doc_id") != F.col("canon")).cast("long")).alias(
+            "n_intra"
+        )
+    )
+    base = new.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum(F.col("cross_dup").cast("long")).alias("n_cross_dropped"),
+        F.sum((~F.col("cross_dup")).cast("long")).alias("n_surv"),
+    )
+    out = base.join(intra, "source", "left").na.fill({"n_intra": 0})
+    return out.select(
+        "source",
+        "n_new",
+        "n_cross_dropped",
+        F.col("n_intra").cast("long").alias("n_intra_dropped"),
+        (F.col("n_surv") - F.col("n_intra")).cast("long").alias("n_kept"),
+        F.round(
+            (F.col("n_surv") - F.col("n_intra"))
+            / F.col("n_new").cast("double"),
+            6,
+        ).alias("kept_rate"),
+    )

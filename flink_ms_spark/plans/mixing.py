@@ -22,6 +22,7 @@ from flink_ms_spark.operators.mixing import (
     temperature_mix,
     unimax_alloc,
 )
+from flink_ms_spark.plans.northstar import _DUCK_TOKS as _DUCK_TOKS_MIX
 from flink_ms_spark.plans.registry import register, values_clause
 from flink_ms_spark.sources.tables import load_table
 
@@ -1490,3 +1491,106 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_stats(synthesize_wav_media(docs))
+
+
+# --------------------------------------------------------------------------
+# Epoch-aware token budgeting under data constraint (Muennighoff et al.
+# 2023, "Scaling Data-Constrained Language Models" — repeated epochs
+# carry diminishing value). Each source may be repeated up to
+# MAX_EPOCHS times; the marginal value of epoch e decays geometrically
+# (decay 1/2 — exact in binary, so effective-token sums are
+# bit-reproducible), weighted by a per-source quality proxy. The
+# allocator is a PREFIX water-fill: epoch candidates sorted by marginal
+# rate (quality · decay^(e-1)) descending are kept while the running
+# raw-token cost stays within the budget (170% of the corpus — forces
+# a non-trivial partial allocation at any SF). Scale: the corpus-wide
+# work is ONE per-source token census; the allocation table is
+# |sources| × MAX_EPOCHS rows, so the rank-and-cumsum window is
+# model-scale, never doc-scale.
+
+_DCM_EPOCHS = 4
+
+_DATA_CONSTRAINED_ORACLE = f"""
+WITH tok AS (SELECT source, CAST(len({{toks}}) AS BIGINT) AS x FROM documents),
+src AS (SELECT source, CAST(sum(x) AS BIGINT) AS raw_tokens,
+               CAST(round(avg(CAST(x AS DOUBLE)), 6) AS DOUBLE) AS quality
+        FROM tok GROUP BY source),
+budget AS (SELECT (sum(raw_tokens) * 17) // 10 AS b FROM src),
+cand AS (SELECT s.source, s.raw_tokens, s.quality, e.e AS epoch,
+                s.quality * power(CAST(0.5 AS DOUBLE), e.e - 1) AS rate
+         FROM src s, unnest(generate_series(1, {_DCM_EPOCHS})) AS e(e)),
+ranked AS (SELECT *, sum(raw_tokens) OVER (
+             ORDER BY rate DESC, source ASC, epoch ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+           FROM cand)
+SELECT source,
+  CAST(any_value(quality) AS DOUBLE) AS quality,
+  CAST(any_value(raw_tokens) AS BIGINT) AS source_tokens,
+  CAST(count(*) FILTER (WHERE kept) AS INT) AS n_epochs,
+  CAST(sum(raw_tokens) FILTER (WHERE kept) AS BIGINT) AS raw_used,
+  CAST(round(coalesce(sum(CAST(raw_tokens AS DOUBLE)
+        * power(CAST(0.5 AS DOUBLE), epoch - 1)) FILTER (WHERE kept),
+        CAST(0.0 AS DOUBLE)), 6) AS DOUBLE) AS effective_tokens
+FROM (SELECT r.*, r.running <= b.b AS kept FROM ranked r, budget b)
+GROUP BY source
+"""
+
+
+def _dcm_oracle() -> str:
+    return _DATA_CONSTRAINED_ORACLE.format(toks=_DUCK_TOKS_MIX)
+
+
+@register("data_constrained_mix", oracle=_dcm_oracle)
+def q_data_constrained_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix water-fill epoch allocation: per-source epoch candidates
+    ranked by quality-weighted geometric marginal value, kept while
+    cumulative raw-token cost fits the 1.7× budget; reports epochs,
+    raw tokens consumed, and decay-weighted effective tokens."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", token_count("text").cast("long").alias("x"))
+    src = tok.groupBy("source").agg(
+        F.sum("x").cast("long").alias("raw_tokens"),
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("quality"),
+    )
+    # 1-row budget attaches by crossJoin (broadcast — never a shuffle)
+    budget = src.agg(
+        ((F.sum("raw_tokens") * 17) / F.lit(10)).cast("long").alias("b")
+    )
+    cand = src.select(
+        "source", "raw_tokens", "quality",
+        F.explode(F.sequence(F.lit(1), F.lit(_DCM_EPOCHS))).alias("epoch"),
+    ).withColumn(
+        "rate",
+        F.col("quality") * F.pow(F.lit(0.5), F.col("epoch") - 1),
+    )
+    w = (
+        Window.orderBy(
+            F.col("rate").desc(), F.col("source").asc(), F.col("epoch").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cand.withColumn("running", F.sum("raw_tokens").over(w))
+    kept = ranked.crossJoin(F.broadcast(budget)).withColumn(
+        "kept", F.col("running") <= F.col("b")
+    )
+    eff = F.col("raw_tokens").cast("double") * F.pow(
+        F.lit(0.5), F.col("epoch") - 1
+    )
+    return kept.groupBy("source").agg(
+        F.any_value("quality").alias("quality"),
+        F.any_value("raw_tokens").cast("long").alias("source_tokens"),
+        F.sum(F.col("kept").cast("int")).cast("int").alias("n_epochs"),
+        F.sum(F.when(F.col("kept"), F.col("raw_tokens"))).cast("long").alias(
+            "raw_used"
+        ),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), eff)), F.lit(0.0)
+            ),
+            6,
+        ).alias("effective_tokens"),
+    )

@@ -551,3 +551,58 @@ def test_pca_scores_capture_variance_order(spark, emb):
     assert v[0] >= v[1] >= v[2] > 0
     c = np.corrcoef(pcs.T)
     assert abs(c[0, 1]) < 0.05 and abs(c[0, 2]) < 0.05
+
+
+def test_data_constrained_mix_prefix_waterfill(spark, monkeypatch):
+    """Hand-checked allocation: two sources, budget 51 of 30 raw
+    tokens; candidates sorted by quality·0.5^(e-1) with source-asc
+    tiebreak keep a:e1 (run 20), a:e2 (40), b:e1 (50) and nothing
+    past the budget."""
+    import flink_ms_spark.plans.curation  # noqa: F401 (registry import order)
+    import flink_ms_spark.plans.mixing as mx
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    rows = [
+        (1, " ".join(["w"] * 10), "en", "a", 1),
+        (2, " ".join(["x"] * 10), "en", "a", 1),
+        (3, " ".join(["y"] * 5), "en", "b", 1),
+        (4, " ".join(["z"] * 5), "en", "b", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n INT"
+    )
+    monkeypatch.setattr(mx, "load_table", lambda s, d, t: df)
+    out = {r.source: r for r in QUERIES["data_constrained_mix"](spark, "x").collect()}
+    a, b = out["a"], out["b"]
+    assert (a.source_tokens, b.source_tokens) == (20, 10)
+    assert (a.quality, b.quality) == (10.0, 5.0)
+    assert (a.n_epochs, b.n_epochs) == (2, 1)
+    assert (a.raw_used, b.raw_used) == (40, 10)
+    assert a.effective_tokens == 30.0  # 20·(1 + 0.5)
+    assert b.effective_tokens == 10.0
+
+
+def test_snapshot_incremental_dedup_tiers(spark, monkeypatch):
+    """doc_id%3==0 is the new snapshot: doc 0 collides with standing
+    doc 1 (cross tier), docs 3 and 6 collide with each other only
+    (intra tier keeps the min id)."""
+    import flink_ms_spark.plans.curation as cu
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    rows = [
+        (0, "shared old text", "s"),   # new, dup of standing doc 1
+        (1, "shared old text", "s"),   # standing
+        (2, "unique standing", "s"),   # standing
+        (3, "fresh pair", "s"),        # new, canonical of intra pair
+        (6, "fresh pair", "s"),        # new, intra-dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    monkeypatch.setattr(cu, "load_table", lambda s, d, t: df)
+    out = QUERIES["snapshot_incremental_dedup"](spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_new == 3
+    assert r.n_cross_dropped == 1
+    assert r.n_intra_dropped == 1
+    assert r.n_kept == 1
+    assert r.kept_rate == 0.333333
