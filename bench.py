@@ -172,8 +172,12 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "minhash_calibration",
     "token_gini_by_source",
-    # round-8 widening: real color-histogram feature extraction
+    # round-8 widening: real media feature lanes + pipeline allocators
     "media_histogram_features",
+    "media_spectral_features",
+    "media_dup_pairs",
+    "data_constrained_mix",
+    "snapshot_incremental_dedup",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
@@ -193,6 +197,8 @@ MEDIA_QUERIES = {
     "media_features",
     "media_frames",
     "media_histogram_features",
+    "media_spectral_features",
+    "media_dup_pairs",
 }
 
 

@@ -1515,13 +1515,17 @@ WITH tok AS (SELECT source, CAST(len({{toks}}) AS BIGINT) AS x FROM documents),
 src AS (SELECT source, CAST(sum(x) AS BIGINT) AS raw_tokens,
                CAST(round(avg(CAST(x AS DOUBLE)), 6) AS DOUBLE) AS quality
         FROM tok GROUP BY source),
-budget AS (SELECT (sum(raw_tokens) * 17) // 10 AS b FROM src),
 cand AS (SELECT s.source, s.raw_tokens, s.quality, e.e AS epoch,
                 s.quality * power(CAST(0.5 AS DOUBLE), e.e - 1) AS rate
          FROM src s, unnest(generate_series(1, {_DCM_EPOCHS})) AS e(e)),
 ranked AS (SELECT *, sum(raw_tokens) OVER (
              ORDER BY rate DESC, source ASC, epoch ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+           -- budget = 1.7 * corpus tokens, derived from the SAME
+           -- candidate table (each source carries raw_tokens on all
+           -- {_DCM_EPOCHS} epoch rows, so the unbounded sum is
+           -- {_DCM_EPOCHS}*corpus): exact-integer (T*4*17)//40 == (T*17)//10
+           sum(raw_tokens) OVER () * 17 // ({_DCM_EPOCHS} * 10) AS b
            FROM cand)
 SELECT source,
   CAST(any_value(quality) AS DOUBLE) AS quality,
@@ -1531,7 +1535,7 @@ SELECT source,
   CAST(round(coalesce(sum(CAST(raw_tokens AS DOUBLE)
         * power(CAST(0.5 AS DOUBLE), epoch - 1)) FILTER (WHERE kept),
         CAST(0.0 AS DOUBLE)), 6) AS DOUBLE) AS effective_tokens
-FROM (SELECT r.*, r.running <= b.b AS kept FROM ranked r, budget b)
+FROM (SELECT r.*, r.running <= r.b AS kept FROM ranked r)
 GROUP BY source
 """
 
@@ -1557,10 +1561,6 @@ def q_data_constrained_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("raw_tokens"),
         F.round(F.avg(F.col("x").cast("double")), 6).alias("quality"),
     )
-    # 1-row budget attaches by crossJoin (broadcast — never a shuffle)
-    budget = src.agg(
-        ((F.sum("raw_tokens") * 17) / F.lit(10)).cast("long").alias("b")
-    )
     cand = src.select(
         "source", "raw_tokens", "quality",
         F.explode(F.sequence(F.lit(1), F.lit(_DCM_EPOCHS))).alias("epoch"),
@@ -1573,9 +1573,22 @@ def q_data_constrained_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rate").desc(), F.col("source").asc(), F.col("epoch").asc()
         ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = cand.withColumn("running", F.sum("raw_tokens").over(w))
-    kept = ranked.crossJoin(F.broadcast(budget)).withColumn(
-        "kept", F.col("running") <= F.col("b")
+    # budget derives from the SAME candidate table (each source repeats
+    # raw_tokens on all epoch rows → unbounded sum = EPOCHS × corpus),
+    # so the corpus is scanned exactly ONCE — a separate 1-row budget
+    # aggregate would re-run the token census (measured: second full
+    # parquet scan in the physical plan). Both windows run on the
+    # |sources|×EPOCHS table: model-scale by construction.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cand.withColumn("running", F.sum("raw_tokens").over(w)).withColumn(
+        "t_all", F.sum("raw_tokens").over(w_all)
+    )
+    kept = ranked.withColumn(
+        "kept",
+        F.col("running")
+        <= F.expr(f"t_all * 17 div ({_DCM_EPOCHS} * 10)"),
     )
     eff = F.col("raw_tokens").cast("double") * F.pow(
         F.lit(0.5), F.col("epoch") - 1

@@ -606,3 +606,20 @@ def test_snapshot_incremental_dedup_tiers(spark, monkeypatch):
     assert r.n_intra_dropped == 1
     assert r.n_kept == 1
     assert r.kept_rate == 0.333333
+
+
+def test_data_constrained_mix_budget_conserved(spark, sf_smoke):
+    """Fixture-level invariants: total raw tokens consumed never
+    exceeds the 1.7x budget, epochs are within [0, 4], and
+    effective <= raw per source (decay < 1)."""
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["data_constrained_mix"](spark, sf_smoke).collect()
+    assert rows
+    total = sum(r.source_tokens for r in rows)
+    budget = total * 17 // 10
+    assert sum(r.raw_used or 0 for r in rows) <= budget
+    for r in rows:
+        assert 0 <= r.n_epochs <= 4
+        assert (r.raw_used or 0) == r.n_epochs * r.source_tokens
+        assert r.effective_tokens <= (r.raw_used or 0) + 1e-6

@@ -44,6 +44,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "token_balanced_shards": "bucket-offset prefix table (weighted two-phase cum)",
     "vocab_coverage_curve": "rank window over the LIMIT-1000 top-vocab frame",
     "quality_blend": "bucket-offset prefix tables (3x two-phase percentile)",
+    "data_constrained_mix": "|sources|x4 epoch-candidate table (rank + "
+    "budget windows both run post-census on the model-scale frame)",
 }
 
 _UNPART_WINDOW = re.compile(r"windowspecdefinition\([a-zA-Z_]+#\d+L? (ASC|DESC)")
