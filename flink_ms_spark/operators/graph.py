@@ -69,10 +69,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     gets the whole blow-up. Orienting every edge from the
     (degree, id)-smaller endpoint to the larger makes the orientation
     acyclic with max out-degree O(√m) on any graph (arboricity bound),
-    so each triangle is counted exactly once and the wedge join's
-    intermediate is Σ outdeg(v)² = O(m^1.5) worst case, balanced
-    across vertices — the standard scalable formulation. The count is
+    so each triangle is counted exactly once. The count is
     orientation-invariant, so a plain id-ordered SQL oracle checks it.
+
+    Round-8 rework (measured 9.9 → 4.4 s at sf0.1, exact parity): the
+    closure used to be a wedge JOIN — the O(m^1.5) wedge set became a
+    shuffle write, then a second edge-keyed join. The sorted-list form
+    keeps the identical arithmetic in CPU: per oriented edge
+    (src, dst), triangles closing it = |out(src) ∩ out(dst)| via
+    array_intersect on the pre-grouped sorted out-lists. Same
+    Σ min(outdeg) comparison bound, but the wedge set never
+    materializes and never shuffles; the only edge-scale shuffles are
+    the list build and the two list joins (AQE broadcasts the
+    |nodes|-row list table when it fits).
 
     Input: distinct undirected edges (u, v) with u < v.
     Output: one row (n_edges, n_triangles).
@@ -97,22 +106,40 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).persist()
-    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
+    lists = (
+        o.groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("outs"))
+        .persist()
     )
+    j = o.join(
+        lists.withColumnRenamed("node", "src").withColumnRenamed(
+            "outs", "outs_src"
+        ),
+        "src",
+    ).join(
+        # a sink dst has no out-list: left join + empty-array coalesce
+        lists.withColumnRenamed("node", "dst").withColumnRenamed(
+            "outs", "outs_dst"
+        ),
+        "dst",
+        "left",
+    )
+    # slice(outs_src, 1, 0) is an empty array of the RIGHT element
+    # type whatever the id type is — a literal array cast would break
+    # on int ids
+    empty = F.slice(F.col("outs_src"), F.lit(1), F.lit(0))
+    tri = j.select(
+        F.size(
+            F.array_intersect("outs_src", F.coalesce("outs_dst", empty))
+        ).alias("k")
+    ).agg(F.sum("k").alias("n_triangles"))
     n_e = edges.agg(F.count("*").alias("n_edges"))
-    # materialize the 1-row summary, then release both caches — a
+    # materialize the 1-row summary, then release all caches — a
     # resident engine answering many graph queries must not leak one
     # orphaned cached edge set per call (localCheckpoint blocks are
     # GC-managed, persist blocks are not)
     out = n_e.crossJoin(tri).localCheckpoint(eager=True)
+    lists.unpersist()
     o.unpersist()
     edges.unpersist()
     return out
