@@ -1585,10 +1585,16 @@ def q_data_constrained_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cand.withColumn("running", F.sum("raw_tokens").over(w)).withColumn(
         "t_all", F.sum("raw_tokens").over(w_all)
     )
+    # DECIMAL before the multiply: DuckDB's SUM OVER () promotes to
+    # HUGEINT, so its *17 can never overflow — the int64 Spark side
+    # would wrap past t_all ≈ 5.4e17 and diverge the kept set. Same
+    # discipline as the token_gini DECIMAL fix (ADVICE r7/r8).
     kept = ranked.withColumn(
         "kept",
         F.col("running")
-        <= F.expr(f"t_all * 17 div ({_DCM_EPOCHS} * 10)"),
+        <= F.expr(
+            f"cast(t_all as decimal(38,0)) * 17 div ({_DCM_EPOCHS} * 10)"
+        ),
     )
     eff = F.col("raw_tokens").cast("double") * F.pow(
         F.lit(0.5), F.col("epoch") - 1

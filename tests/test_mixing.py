@@ -623,3 +623,24 @@ def test_data_constrained_mix_budget_conserved(spark, sf_smoke):
         assert 0 <= r.n_epochs <= 4
         assert (r.raw_used or 0) == r.n_epochs * r.source_tokens
         assert r.effective_tokens <= (r.raw_used or 0) + 1e-6
+
+
+def test_data_constrained_mix_budget_exact_past_int64_overflow(spark):
+    """ADVICE r8: the budget multiply runs on DECIMAL(38,0) so Spark
+    matches DuckDB's HUGEINT promotion — in int64, t_all * 17 wraps
+    negative past t_all ~ 5.4e17 and the kept set collapses to empty.
+    Pin the decimal expression against Python bigint math in the
+    overflow regime."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.plans.mixing import _DCM_EPOCHS
+
+    t_all = 6 * 10**17  # int64 t_all * 17 = 1.02e19 > 2^63-1
+    df = spark.createDataFrame([(t_all,)], "t_all long")
+    budget = df.select(
+        F.expr(
+            f"cast(t_all as decimal(38,0)) * 17 div ({_DCM_EPOCHS} * 10)"
+        ).alias("b")
+    ).first().b
+    assert int(budget) == (t_all * 17) // (_DCM_EPOCHS * 10)
+    assert int(budget) > 0  # the int64 wrap would have gone negative
