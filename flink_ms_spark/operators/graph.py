@@ -191,7 +191,9 @@ def pagerank_iterative(
 
 
 def lpa_communities(
-    edges: DataFrame, n_iters: int = 3
+    edges: DataFrame,
+    n_iters: int = 3,
+    hub_segment_size: int | None = 1_048_576,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al.
     2007): every node starts as its own community; each round a node
@@ -209,22 +211,66 @@ def lpa_communities(
     label vector) + a map-side explode + one keyed (node, label) agg +
     one per-node argmax agg. The earlier form joined the EDGE table
     against labels every round — three extra edge-scale shuffles the
-    grouped layout removes. Hub nodes make long neighbor arrays (an
-    8M-degree hub is a 64 MB row — at that extreme, segment the list
-    by salting before grouping); the (node, label) agg stays covered
-    by map-side partial aggregation and AQE skew splitting.
+    grouped layout removes.
+
+    Hub guard: a web-graph hub with 8M neighbors would make a 64 MB
+    list row — one task holds it, and `collect_list` builds it on a
+    single core. The guard is PER-NODE and data-driven: each node's
+    list is segmented by a neighbor-hash salt with per-node modulus
+    ``ceil(deg / hub_segment_size)`` — 1 for every node at or below the
+    segment size (one row, same layout as unsegmented), so only true
+    hubs split and no driver-side degree probe (a separate action that
+    would serialize the pipeline into two jobs) is needed. All
+    downstream consumers are segment-oblivious: the per-round label
+    join matches every segment row of a node, the explode emits each
+    neighbor exactly once across segments, and the (node, label)
+    counts are unchanged — so segmented == unsegmented labels exactly
+    (pinned by tests/test_mixing.py). The guard costs one map-side-
+    combinable degree aggregate plus a node-keyed join of adjacency
+    against the |nodes|-row degree table (AQE-broadcastable) —
+    interleaved A/B at sf0.1: 4.7-5.4 s unguarded vs 6.1-6.4 s guarded
+    (~1.3×), the price of never building an unbounded row. Pass
+    ``hub_segment_size=None`` to opt out when the edge construction
+    already bounds degrees; the (node, label) agg stays covered by
+    map-side partial aggregation and AQE skew splitting in both modes.
     """
     adj = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    adj_lists = (
-        adj.groupBy(F.col("u").alias("nbr_of"))
-        .agg(F.collect_list("v").alias("nbrs"))
-        .persist()
+    if hub_segment_size is None:
+        adj_lists = (
+            adj.groupBy(F.col("u").alias("nbr_of"))
+            .agg(F.collect_list("v").alias("nbrs"))
+            .persist()
+        )
+    else:
+        # persist the symmetric adjacency: the degree pass and the list
+        # build both consume it, and the upstream edge derivation (e.g.
+        # a co-occurrence self-join) must run exactly ONCE
+        adj = adj.persist()
+        deg = adj.groupBy(F.col("u").alias("nbr_of")).agg(
+            F.count("*").alias("deg")
+        )
+        n_segs = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("deg") / F.lit(hub_segment_size)),
+        )
+        adj_lists = (
+            adj.join(deg, adj["u"] == deg["nbr_of"])
+            .withColumn("seg", F.pmod(F.xxhash64("v"), n_segs))
+            .groupBy("nbr_of", "seg")
+            .agg(F.collect_list("v").alias("nbrs"))
+            .drop("seg")
+            .persist()
+        )
+    # init from the CACHED lists (distinct: the segmented layout can
+    # hold >1 row per hub node) — reading the cache is cheaper than
+    # re-deriving deg over the adjacency in the init lineage
+    labels = (
+        adj_lists.select(F.col("nbr_of").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
     )
-    labels = adj_lists.select(
-        F.col("nbr_of").alias("node")
-    ).select("node", F.col("node").alias("community"))
     for _ in range(n_iters):
         # label of node X reaches every neighbor via X's OWN list row:
         # join labels on the list owner, explode the owner's neighbors
@@ -242,4 +288,6 @@ def lpa_communities(
         )
     labels = labels.localCheckpoint(eager=True)  # |nodes| rows
     adj_lists.unpersist()
+    if hub_segment_size is not None:
+        adj.unpersist()
     return labels

@@ -644,3 +644,44 @@ def test_data_constrained_mix_budget_exact_past_int64_overflow(spark):
     ).first().b
     assert int(budget) == (t_all * 17) // (_DCM_EPOCHS * 10)
     assert int(budget) > 0  # the int64 wrap would have gone negative
+
+
+def test_lpa_hub_salting_exact_parity_on_skewed_graph(spark):
+    """VERDICT r8 task 5: the per-node hub-segmentation path must be
+    label-exact vs the unsegmented layout. A star hub (degree 40) plus
+    two dense communities, segment size forced low so every node above
+    3 neighbors splits; plus seeded random graphs for breadth."""
+    import random
+
+    from flink_ms_spark.operators.graph import lpa_communities
+
+    def run(edge_rows, **kw):
+        e = spark.createDataFrame(edge_rows, "u long, v long")
+        return {
+            r.node: r.community
+            for r in lpa_communities(e, n_iters=3, **kw).collect()
+        }
+
+    hub = [(0, v) for v in range(1, 41)]  # hub 0, degree 40
+    ca = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    cb = [(200 + i, 200 + j) for i in range(4) for j in range(i + 1, 4)]
+    bridges = [(1, 100), (2, 200)]
+    edges = hub + ca + cb + bridges
+
+    plain = run(edges, hub_segment_size=None)  # unsegmented plan shape
+    salted = run(edges, hub_segment_size=3)    # every node >3 nbrs splits
+    assert salted == plain
+    assert run(edges) == plain  # default: guard on, no node splits here
+
+    rng = random.Random(9)
+    for _ in range(3):
+        n = 30
+        rnd = sorted(
+            {
+                (u, v)
+                for u, v in (
+                    sorted(rng.sample(range(n), 2)) for _ in range(80)
+                )
+            }
+        )
+        assert run(rnd, hub_segment_size=2) == run(rnd, hub_segment_size=None)
