@@ -2,16 +2,20 @@
 columns with typed metadata, processed via Arrow-batched pandas
 iterators (``mapInPandas``).
 
-Decode kernels: P6 PPM, 8-bit RGB PNG (all 5 filters) and WAV PCM16
-are REAL pure-stdlib/numpy decoders (``decode_image``,
-``decode_wav_pcm16``); ``histogram_image_decoder`` builds real
-color-histogram features on top of them. Only formats needing codec
-libraries stay gated: JPEG pixel decode behind the optional Pillow
-kernel, video demux stubbed (``sample_frames`` slices bytes
-deterministically), and ``extract_features`` without a decoder raises
-NotImplementedError rather than silently faking. The schema contract,
-Arrow batch path, partition sizing, and UDF signatures are the parts
-that matter for 100 TB of media shards — all real, all tested.
+Decode kernels: P6 PPM, 8-bit RGB PNG (all 5 filters), WAV PCM16 and
+concatenated-P6 video streams (the netpbm multi-image convention —
+what ``pnmsplit`` consumes) are REAL pure-stdlib/numpy decoders
+(``decode_image``, ``decode_wav_pcm16``, ``decode_ppm_stream``);
+``histogram_image_decoder`` and ``frame_motion_features`` build real
+features on top of them, and ``sample_frames`` is a real demux +
+even-index frame selector over the stream format. Only formats
+needing codec libraries stay gated: JPEG pixel decode behind the
+optional Pillow kernel, container video (MP4/WebM) demux unsupported
+(``sample_frames`` raises ValueError on non-P6 payloads), and
+``extract_features`` without a decoder raises NotImplementedError
+rather than silently faking. The schema contract, Arrow batch path,
+partition sizing, and UDF signatures are the parts that matter for
+100 TB of media shards — all real, all tested.
 
 Scale notes: media rows are large (MBs); the operators repartition by
 byte budget, not row count, and never collect binary payloads.
@@ -237,35 +241,145 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame sampling: emit ``n_frames`` evenly spaced frames per
-    media row — the standard pre-processing step before per-frame
-    embedding.
+def decode_ppm_stream(payload: bytes) -> list[tuple[int, int, "np.ndarray"]]:
+    """REAL video-stream demux with zero native deps: a concatenation
+    of P6 PPM images is the netpbm multi-image convention (what
+    ``pnmsplit``/``ffmpeg -f image2pipe`` consume), so a "video" here
+    is an actual decodable stream, not a byte-slicing stand-in. Walks
+    the stream sequentially — tokenized header parse (whitespace and
+    ``#`` comments per the netpbm spec), then the raw w·h·3 pixel
+    block — and returns the ordered frame list as (w, h, HxWx3 uint8).
+    Raises ValueError on non-P6 content, truncation, or maxval != 255:
+    media rot fails loudly (same contract as ``decode_wav_pcm16``)."""
+    data = bytes(payload)
+    frames: list[tuple[int, int, np.ndarray]] = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] != b"P6":
+            raise ValueError(f"not a P6 frame at stream offset {pos}")
+        pos += 2
+        vals: list[int] = []
+        while len(vals) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":  # header comment → end of line
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated P6 header")
+            vals.append(int(data[start:pos]))
+        w, h, maxval = vals
+        if maxval != 255:
+            raise ValueError(f"only 8-bit P6 supported (maxval {maxval})")
+        pos += 1  # the single whitespace byte after maxval
+        need = w * h * 3
+        if pos + need > len(data):
+            raise ValueError(
+                f"truncated P6 frame: needs {need} pixel bytes, "
+                f"{len(data) - pos} remain"
+            )
+        px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+        frames.append((w, h, px.reshape(h, w, 3)))
+        pos += need
+    if not frames:
+        raise ValueError("empty P6 stream")
+    return frames
 
-    The DECODE is stubbed (no video codecs in this container): a
-    "frame" is a deterministic evenly-spaced byte slice of the payload,
-    standing in for demuxed frames. What is real: the fan-out schema
-    (one row per frame, payload stays binary), the Arrow batch path,
-    and the even-spacing index math — the Spark-side plumbing a real
-    decoder drops into.
+
+def encode_ppm(w: int, h: int, px: "np.ndarray") -> bytes:
+    """Standalone P6 bytes for one frame — the inverse of
+    :func:`decode_ppm`, so demuxed frames stay decodable by every
+    downstream image kernel."""
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling: REAL demux of the concatenated-P6 stream
+    (:func:`decode_ppm_stream`), then ``n_frames`` evenly spaced frames
+    per media row — the standard pre-processing step before per-frame
+    embedding. Frame k of a T-frame stream is original index
+    ``(k·T)//n_frames``; duplicate indices collapse (a T<n stream
+    yields T rows), and ``frame_idx`` is the ORIGINAL stream position.
+    Each emitted frame is re-encoded as a standalone P6 payload, so
+    ``decode_image``/``histogram_image_decoder`` run on frames
+    unchanged. Container formats needing codec libraries (MP4/WebM)
+    raise ValueError — no silent byte-slicing stand-in.
     """
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = payload if payload is not None else b""
-                step = max(len(data) // n_frames, 1)
-                for k in range(n_frames):
-                    lo = min(k * step, len(data))
+                decoded = decode_ppm_stream(payload)
+                total = len(decoded)
+                picks = sorted({(k * total) // n_frames for k in range(n_frames)})
+                for i in picks:
+                    w, h, px = decoded[i]
                     ids.append(mid)
-                    idxs.append(k)
-                    frames.append(bytes(data[lo : lo + step]))
+                    idxs.append(i)
+                    frames.append(encode_ppm(w, h, px))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
             )
 
     return fan_out(df).mapInPandas(cut, schema=FRAME_SCHEMA)
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_sampled", T.IntegerType(), False),
+        T.StructField("first_gray", T.DoubleType(), False),
+        T.StructField("last_gray", T.DoubleType(), False),
+        T.StructField("motion", T.DoubleType(), False),
+    ]
+)
+
+
+def frame_motion_features(frames: DataFrame) -> DataFrame:
+    """Per-video temporal features over REAL demuxed frames: decode
+    each sampled frame, per-frame gray mean (exact integer pixel sums),
+    and motion = mean absolute per-pixel delta between consecutive
+    sampled frames — the classic shot-change / static-screen signal a
+    video curation pipeline filters on.
+
+    Shape: one ``applyInPandas`` group per media_id (group width is
+    bounded by n_frames, so the keyed shuffle moves only sampled-frame
+    bytes, never the source stream). All doubles Python-rounded to
+    6 dp inside the UDF — the oracle's independent replay reproduces
+    them bit-for-bit (same discipline as ``pixel_stats``)."""
+
+    def feat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx")
+        grays: list[float] = []
+        pixels: list[np.ndarray] = []
+        for payload in pdf["frame_payload"]:
+            w, h, px = decode_image(bytes(payload))
+            flat = px.reshape(-1).astype(np.int64)
+            grays.append(round(float(flat.sum()) / (3 * w * h), 6))
+            pixels.append(flat)
+        diffs = [
+            float(np.abs(a - b).sum()) / len(a)
+            for a, b in zip(pixels, pixels[1:])
+        ]
+        motion = round(sum(diffs) / len(diffs), 6) if diffs else 0.0
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["media_id"].iloc[0])],
+                "n_sampled": [len(grays)],
+                "first_gray": [grays[0]],
+                "last_gray": [grays[-1]],
+                "motion": [motion],
+            }
+        )
+
+    return frames.groupBy("media_id").applyInPandas(
+        feat, schema=FRAME_FEATURES_SCHEMA
+    )
 
 
 def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
@@ -601,6 +715,53 @@ def synthesize_wav_media(
                     "kind": "audio",
                     "payload": payloads,
                     "mime": "audio/wav",
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("mime", T.StringType(), False),
+        ]
+    )
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
+
+
+def synthesize_video_media(
+    docs: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL videos: one concatenated-P6 stream per
+    document with ``3 + doc_id % 4`` frames (3-6 — variable length so
+    the demux/selection math is exercised, not just a constant), frame
+    f's pixel bytes being the md5 stream of ``"{doc_id}:{f}"``
+    (repeat-extended). Map-only Arrow batches; payloads never hit the
+    driver."""
+    import hashlib
+
+    w, h = width, height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = w * h * 3
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                n_frames = 3 + int(did) % 4
+                stream = b""
+                for f in range(n_frames):
+                    seed = hashlib.md5(f"{int(did)}:{f}".encode()).digest()
+                    px = (seed * (need // len(seed) + 1))[:need]
+                    stream += b"P6\n%d %d\n255\n" % (w, h) + px
+                payloads.append(stream)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/x-portable-anymap",
                 }
             )
 

@@ -819,6 +819,74 @@ def q_media_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Video frame features (VERDICT r8 task 6 — the sample_frames
+# byte-slicing stub closed): REAL concatenated-P6 stream demux →
+# evenly-spaced frame selection → per-video gray levels + motion
+# (mean absolute per-pixel delta between consecutive sampled frames).
+# Oracle = independent Python replay of the deterministic generator +
+# the identical selection/feature math, embedded as VALUES.
+
+
+def _frame_features_oracle() -> str:
+    import hashlib
+
+    import pyarrow.parquet as papq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+    w = h = 8
+    need = w * h * 3
+    rows = []
+    for did in t.column("doc_id").to_pylist():
+        total = 3 + int(did) % 4
+        frames = []
+        for f in range(total):
+            seed = hashlib.md5(f"{int(did)}:{f}".encode()).digest()
+            frames.append((seed * (need // len(seed) + 1))[:need])
+        picks = sorted({(k * total) // 4 for k in range(4)})
+        grays = [round(sum(frames[i]) / float(need), 6) for i in picks]
+        diffs = [
+            sum(abs(a - b) for a, b in zip(frames[i], frames[j])) / float(need)
+            for i, j in zip(picks, picks[1:])
+        ]
+        motion = round(sum(diffs) / len(diffs), 6) if diffs else 0.0
+        rows.append((did, len(picks), grays[0], grays[-1], motion))
+    vals = ", ".join(
+        f"({d}, {n}, {fg!r}, {lg!r}, {m!r})" for d, n, fg, lg, m in rows
+    )
+    return (
+        "SELECT media_id, CAST(n_sampled AS INT) AS n_sampled, "
+        "CAST(first_gray AS DOUBLE) AS first_gray, "
+        "CAST(last_gray AS DOUBLE) AS last_gray, "
+        "CAST(motion AS DOUBLE) AS motion "
+        + values_clause(
+            vals, "t(media_id, n_sampled, first_gray, last_gray, motion)"
+        )
+    )
+
+
+@register("media_frame_features", oracle=_frame_features_oracle)
+def q_media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video lane end-to-end: synthesize concatenated-P6 streams
+    (3-6 frames per doc), demux + select 4 evenly spaced frames
+    (sample_frames), then per-video temporal features — frame count,
+    first/last gray level, and motion (mean |Δpixel| between
+    consecutive sampled frames). All doubles Python-rounded inside the
+    UDFs; the oracle replays the generator and the identical feature
+    math driver-side."""
+    from flink_ms_spark.operators.multimodal import (
+        frame_motion_features,
+        sample_frames,
+        synthesize_video_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_video_media(docs), n_frames=4)
+    return frame_motion_features(frames)
+
+
+# --------------------------------------------------------------------------
 # Cross-format feature-space image dedup: every doc is synthesized in
 # BOTH real formats (P6 PPM and RGB PNG) carrying the same md5 pixel
 # stream; the dedup key is the 16-bin color histogram quantized to

@@ -1017,31 +1017,37 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Frame-slice arithmetic has a closed form over the payload length
-# (step = max(L//4, 1); lo = min(k*step, L); n = min(step, L-lo)), so
-# the byte-count invariants ARE exactly oracle-checkable.
+# REAL demux structural invariants in closed form: a T-frame stream
+# (T = 3 + doc_id % 4) sampled at n=4 emits the DISTINCT original
+# indices (k·T)//4, and every re-encoded 8×8 frame is exactly
+# len("P6\n8 8\n255\n") + 8·8·3 = 203 bytes.
 _MEDIA_FRAMES_ORACLE = """
-WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L
-           FROM documents),
-k AS (SELECT unnest(range(0, 4)) AS frame_idx),
-s AS (SELECT doc_id, L, frame_idx, greatest(L // 4, 1) AS step
+WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS T FROM documents),
+k AS (SELECT unnest(range(0, 4)) AS k),
+s AS (SELECT DISTINCT doc_id, (k * T) // 4 AS frame_idx
       FROM d CROSS JOIN k)
 SELECT doc_id AS media_id,
        CAST(frame_idx AS INT) AS frame_idx,
-       CAST(least(step, L - least(frame_idx * step, L)) AS INT) AS n_bytes
+       CAST(203 AS INT) AS n_bytes
 FROM s
 """
 
 
 @register("media_frames", oracle=_MEDIA_FRAMES_ORACLE)
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: 4 evenly spaced frames per media row;
-    returns per-frame byte counts (payloads never leave the executors).
-    The oracle replays the even-spacing slice arithmetic in SQL, so a
-    broken fan-out, batch path, or index math goes driver-red."""
-    from flink_ms_spark.operators.multimodal import sample_frames
+    """Frame-sampling over REAL concatenated-P6 video streams (3-6
+    frames per doc): demux, select 4 evenly spaced frames, report
+    per-frame original index + standalone-P6 byte count (payloads
+    never leave the executors). The oracle replays the selection math
+    and the re-encode size in closed form, so a broken demux, index
+    selection, or frame re-encode goes driver-red; the content-level
+    check is media_frame_features."""
+    from flink_ms_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_video_media,
+    )
 
-    media = synthesize_media(load_table(spark, sf_dir, "documents"), kind="video")
+    media = synthesize_video_media(load_table(spark, sf_dir, "documents"))
     frames = sample_frames(media, n_frames=4)
     return frames.select(
         "media_id", "frame_idx", F.length("frame_payload").alias("n_bytes")

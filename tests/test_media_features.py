@@ -83,3 +83,117 @@ def test_media_dup_pairs_groups_both_formats(spark, sf_smoke):
     n_docs_total = sum(r.n_docs for r in rows)
     n_members_total = sum(r.n_members for r in rows)
     assert n_members_total == 2 * n_docs_total
+
+
+# ---------------------------------------------------------------------------
+# Round-9: REAL video lane (concatenated-P6 demux replaces the
+# byte-slicing sample_frames stub — VERDICT r8 task 6)
+
+
+def _ppm_frame(w, h, fill):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes([fill]) * (w * h * 3)
+
+
+def test_decode_ppm_stream_walks_frames_and_comments():
+    from flink_ms_spark.operators.multimodal import decode_ppm_stream
+
+    stream = (
+        _ppm_frame(2, 2, 10)
+        + b"P6\n# a netpbm header comment\n3 1\n255\n" + bytes(range(9))
+        + _ppm_frame(1, 1, 255)
+    )
+    frames = decode_ppm_stream(stream)
+    assert [(w, h) for w, h, _ in frames] == [(2, 2), (3, 1), (1, 1)]
+    assert frames[0][2].reshape(-1).tolist() == [10] * 12
+    assert frames[1][2].reshape(-1).tolist() == list(range(9))
+
+
+def test_decode_ppm_stream_fails_loud():
+    from flink_ms_spark.operators.multimodal import decode_ppm_stream
+
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm_stream(b"\x00\x00MP4 junk")
+    with pytest.raises(ValueError, match="truncated P6 frame"):
+        decode_ppm_stream(b"P6\n4 4\n255\n" + b"\x01" * 10)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm_stream(b"P6\n1 1\n65535\n" + b"\x01" * 6)
+    with pytest.raises(ValueError, match="empty"):
+        decode_ppm_stream(b"")
+
+
+def test_sample_frames_real_demux_even_selection(spark):
+    """A 6-frame stream sampled at 4 keeps original indices (k*6)//4 =
+    {0,1,3,4}; a 2-frame stream collapses duplicates to {0,1}; every
+    emitted frame is a standalone decodable P6 of the right content."""
+    from flink_ms_spark.operators.multimodal import (
+        decode_image,
+        sample_frames,
+    )
+
+    six = b"".join(_ppm_frame(2, 2, 10 * f) for f in range(6))
+    two = b"".join(_ppm_frame(2, 2, 200 + f) for f in range(2))
+    media = spark.createDataFrame(
+        [(1, six), (2, two)], "media_id long, payload binary"
+    )
+    rows = sorted(
+        ((r.media_id, r.frame_idx, bytes(r.frame_payload))
+         for r in sample_frames(media, n_frames=4).collect())
+    )
+    assert [(m, i) for m, i, _ in rows] == [
+        (1, 0), (1, 1), (1, 3), (1, 4), (2, 0), (2, 1),
+    ]
+    for m, i, payload in rows:
+        w, h, px = decode_image(payload)
+        fill = 10 * i if m == 1 else 200 + i
+        assert (w, h) == (2, 2) and px.reshape(-1).tolist() == [fill] * 12
+
+
+def test_sample_frames_rejects_non_p6_payload(spark):
+    from flink_ms_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, b"RIFF....WEBP")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a P6"):
+        sample_frames(media).collect()
+
+
+def test_frame_motion_features_hand_checked(spark):
+    """Two constant frames at gray 10 and 40: first/last gray exact,
+    motion = mean |10-40| = 30 on every pixel."""
+    from flink_ms_spark.operators.multimodal import (
+        frame_motion_features,
+        sample_frames,
+    )
+
+    stream = _ppm_frame(2, 2, 10) + _ppm_frame(2, 2, 40)
+    media = spark.createDataFrame(
+        [(7, stream)], "media_id long, payload binary"
+    )
+    out = frame_motion_features(sample_frames(media, n_frames=4)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.media_id, r.n_sampled) == (7, 2)
+    assert (r.first_gray, r.last_gray, r.motion) == (10.0, 40.0, 30.0)
+
+
+def test_video_round_trip_generator_vs_demux(spark, sf_smoke):
+    """synthesize_video_media payloads demux into 3 + doc_id % 4
+    frames whose pixel bytes equal the md5 generator stream."""
+    import hashlib
+
+    from flink_ms_spark.operators.multimodal import (
+        decode_ppm_stream,
+        synthesize_video_media,
+    )
+    from flink_ms_spark.plans.mixing import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(5)
+    for r in synthesize_video_media(docs).collect():
+        frames = decode_ppm_stream(bytes(r.payload))
+        assert len(frames) == 3 + r.media_id % 4
+        for f, (w, h, px) in enumerate(frames):
+            seed = hashlib.md5(f"{r.media_id}:{f}".encode()).digest()
+            need = w * h * 3
+            expect = (seed * (need // len(seed) + 1))[:need]
+            assert px.reshape(-1).tobytes() == expect
