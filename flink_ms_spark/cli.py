@@ -609,6 +609,19 @@ def cmd_media_report(args: argparse.Namespace) -> None:
         f"audio: {sp.n} clips, avg centroid {sp.c} Hz, "
         f"avg flatness {sp.fl}, avg rms {sp.rms}"
     )
+    fr = (
+        QUERIES["media_frame_features"](spark, args.sf_dir)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_sampled"), 2).alias("ns"),
+            F.round(F.avg("motion"), 2).alias("mo"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"video: {fr.n} streams, avg {fr.ns} sampled frames, "
+        f"avg motion {fr.mo}"
+    )
     dup = (
         QUERIES["media_dup_pairs"](spark, args.sf_dir)
         .agg(

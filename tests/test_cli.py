@@ -378,4 +378,5 @@ def test_cli_media_report_prints_all_sections(sf_smoke, capsys):
     assert "images:" in out and "mean gray" in out
     assert "histogram features:" in out and "/16" in out
     assert "audio:" in out and "centroid" in out
+    assert "video:" in out and "sampled frames" in out and "motion" in out
     assert "feature-space dup census:" in out and "signature groups" in out
