@@ -69,7 +69,10 @@ class ModelStore:
         # gen-N) and re-attaches to it, resuming the generation counter
         # past every gen-N it sees so a recovered process never
         # clobbers its predecessor's output. The tempdir default serves
-        # the single-process case.
+        # the single-process case. ONE store per spill_dir: generations
+        # are not namespaced by store name, and the GC deletes every
+        # unreferenced gen-N it finds — two stores sharing a directory
+        # would collect each other's state.
         self._spill_root = spill_dir
         self._spilled = False
         self._dict: dict[str, Row] = {}
