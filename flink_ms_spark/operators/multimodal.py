@@ -382,6 +382,51 @@ def frame_motion_features(frames: DataFrame) -> DataFrame:
     )
 
 
+def video_frame_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Fused demux → frame selection → temporal features in ONE
+    map-only pass: every frame of a media row arrives IN that row, so
+    the sample_frames ∘ frame_motion_features composition's keyed
+    shuffle and per-media ``applyInPandas`` group (ruinous at one tiny
+    pandas frame per video — measured 10.9 s vs ~1 s fused at sf0.1)
+    buy nothing when the features are consumed directly. Identical
+    arithmetic and rounding to the composed form — parity pinned in
+    tests/test_media_features.py. Use the composed form only when the
+    sampled frames themselves feed further per-frame operators."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_ppm_stream(bytes(payload))
+                total = len(decoded)
+                picks = sorted({(k * total) // n_frames for k in range(n_frames)})
+                grays: list[float] = []
+                pixels: list[np.ndarray] = []
+                for i in picks:
+                    w, h, px = decoded[i]
+                    flat = px.reshape(-1).astype(np.int64)
+                    grays.append(round(float(flat.sum()) / (3 * w * h), 6))
+                    pixels.append(flat)
+                diffs = [
+                    float(np.abs(a - b).sum()) / len(a)
+                    for a, b in zip(pixels, pixels[1:])
+                ]
+                motion = round(sum(diffs) / len(diffs), 6) if diffs else 0.0
+                rows.append((int(mid), len(picks), grays[0], grays[-1], motion))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_sampled", "first_gray", "last_gray", "motion",
+                ],
+            )
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        feat, schema=FRAME_FEATURES_SCHEMA
+    )
+
+
 def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic fake media table from the documents fixture:
     payload = UTF-8 bytes of the text (opaque binary as far as the

@@ -869,21 +869,23 @@ def _frame_features_oracle() -> str:
 @register("media_frame_features", oracle=_frame_features_oracle)
 def q_media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video lane end-to-end: synthesize concatenated-P6 streams
-    (3-6 frames per doc), demux + select 4 evenly spaced frames
-    (sample_frames), then per-video temporal features — frame count,
-    first/last gray level, and motion (mean |Δpixel| between
-    consecutive sampled frames). All doubles Python-rounded inside the
-    UDFs; the oracle replays the generator and the identical feature
-    math driver-side."""
+    (3-6 frames per doc), demux + select 4 evenly spaced frames, then
+    per-video temporal features — frame count, first/last gray level,
+    and motion (mean |Δpixel| between consecutive sampled frames) —
+    via the FUSED map-only operator (video_frame_features): no keyed
+    shuffle, no per-video pandas group; the composed
+    sample_frames ∘ frame_motion_features form is arithmetic-identical
+    (parity pinned in tests) and exists for pipelines that consume the
+    frames themselves. All doubles Python-rounded inside the UDF; the
+    oracle replays the generator and the identical feature math
+    driver-side."""
     from flink_ms_spark.operators.multimodal import (
-        frame_motion_features,
-        sample_frames,
         synthesize_video_media,
+        video_frame_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    frames = sample_frames(synthesize_video_media(docs), n_frames=4)
-    return frame_motion_features(frames)
+    return video_frame_features(synthesize_video_media(docs), n_frames=4)
 
 
 # --------------------------------------------------------------------------

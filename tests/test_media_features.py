@@ -197,3 +197,28 @@ def test_video_round_trip_generator_vs_demux(spark, sf_smoke):
             need = w * h * 3
             expect = (seed * (need // len(seed) + 1))[:need]
             assert px.reshape(-1).tobytes() == expect
+
+
+def test_video_frame_features_fused_equals_composed(spark, sf_smoke):
+    """The fused map-only operator must be row-identical to the
+    sample_frames -> frame_motion_features composition (the composed
+    form keeps the per-frame table for pipelines that consume frames;
+    the fused form removes the keyed shuffle + per-video group)."""
+    from flink_ms_spark.operators.multimodal import (
+        frame_motion_features,
+        sample_frames,
+        synthesize_video_media,
+        video_frame_features,
+    )
+    from flink_ms_spark.plans.mixing import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    media = synthesize_video_media(docs)
+    fused = {r.media_id: r for r in video_frame_features(media).collect()}
+    composed = {
+        r.media_id: r
+        for r in frame_motion_features(sample_frames(media, 4)).collect()
+    }
+    assert fused.keys() == composed.keys() and len(fused) == 40
+    for k in fused:
+        assert fused[k] == composed[k]
