@@ -178,6 +178,8 @@ HEADLINE = [
     "media_dup_pairs",
     "data_constrained_mix",
     "snapshot_incremental_dedup",
+    # round-9 widening: real video demux + temporal features
+    "media_frame_features",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
@@ -199,6 +201,7 @@ MEDIA_QUERIES = {
     "media_histogram_features",
     "media_spectral_features",
     "media_dup_pairs",
+    "media_frame_features",
 }
 
 
