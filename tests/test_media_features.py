@@ -222,3 +222,41 @@ def test_video_frame_features_fused_equals_composed(spark, sf_smoke):
     assert fused.keys() == composed.keys() and len(fused) == 40
     for k in fused:
         assert fused[k] == composed[k]
+
+
+def test_ppm_stream_round_trip_property():
+    """encode_ppm ∘ decode_ppm_stream is the identity on arbitrary
+    frame sequences (varying dims per frame, arbitrary pixel bytes) —
+    the demux never mixes adjacent frames' bytes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_ms_spark.operators.multimodal import (
+        decode_ppm_stream,
+        encode_ppm,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 5), st.integers(1, 5), st.randoms()),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(specs):
+        frames = []
+        stream = b""
+        for w, h, rng in specs:
+            px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+            frames.append((w, h, arr))
+            stream += encode_ppm(w, h, arr)
+        out = decode_ppm_stream(stream)
+        assert len(out) == len(frames)
+        for (w, h, arr), (ow, oh, oarr) in zip(frames, out):
+            assert (w, h) == (ow, oh)
+            assert oarr.tobytes() == arr.tobytes()
+
+    check()
