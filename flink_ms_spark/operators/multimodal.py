@@ -382,6 +382,43 @@ def frame_motion_features(frames: DataFrame) -> DataFrame:
     )
 
 
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("mean_gray", T.DoubleType(), False),
+    ]
+)
+
+
+def frame_pixel_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame decode stats over a sampled-frames table — the
+    frame-granular sibling of :func:`pixel_stats` (which keys by media
+    only): payload size plus the gray mean from exact integer pixel
+    sums, Python-rounded to 6 dp. Map-only over Arrow batches."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, idx, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                data = bytes(payload)
+                w, h, px = decode_image(data)
+                s = int(px.reshape(-1).astype(np.int64).sum())
+                rows.append(
+                    (int(mid), int(idx), len(data), round(s / (3.0 * w * h), 6))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_bytes", "mean_gray"]
+            )
+
+    return frames.mapInPandas(scan, schema=FRAME_STATS_SCHEMA)
+
+
 def video_frame_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Fused demux → frame selection → temporal features in ONE
     map-only pass: every frame of a media row arrives IN that row, so

@@ -1017,41 +1017,50 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# REAL demux structural invariants in closed form: a T-frame stream
-# (T = 3 + doc_id % 4) sampled at n=4 emits the DISTINCT original
-# indices (k·T)//4, and every re-encoded 8×8 frame is exactly
-# len("P6\n8 8\n255\n") + 8·8·3 = 203 bytes.
+# REAL demux invariants in closed form — structure AND content, no
+# embedded VALUES: a T-frame stream (T = 3 + doc_id % 4) sampled at
+# n=4 emits the DISTINCT original indices (k·T)//4; every re-encoded
+# 8×8 frame is exactly len("P6\n8 8\n255\n") + 8·8·3 = 203 bytes; and
+# because frame f's 192 pixel bytes are md5("{doc}:{f}") repeated 12×,
+# the DECODED gray mean equals digest_byte_sum/16 — which DuckDB
+# recomputes itself from md5() hex (exact: /16 is a power of two).
 _MEDIA_FRAMES_ORACLE = """
 WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS T FROM documents),
 k AS (SELECT unnest(range(0, 4)) AS k),
 s AS (SELECT DISTINCT doc_id, (k * T) // 4 AS frame_idx
-      FROM d CROSS JOIN k)
+      FROM d CROSS JOIN k),
+g AS (SELECT doc_id, frame_idx,
+        list_sum(list_transform(range(16), i ->
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                   CAST(frame_idx AS VARCHAR)),
+                              1 + 2*i, 2)) AS BIGINT))) AS ds
+      FROM s)
 SELECT doc_id AS media_id,
        CAST(frame_idx AS INT) AS frame_idx,
-       CAST(203 AS INT) AS n_bytes
-FROM s
+       CAST(203 AS INT) AS n_bytes,
+       CAST(round(ds / 16.0, 6) AS DOUBLE) AS mean_gray
+FROM g
 """
 
 
 @register("media_frames", oracle=_MEDIA_FRAMES_ORACLE)
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over REAL concatenated-P6 video streams (3-6
-    frames per doc): demux, select 4 evenly spaced frames, report
-    per-frame original index + standalone-P6 byte count (payloads
-    never leave the executors). The oracle replays the selection math
-    and the re-encode size in closed form, so a broken demux, index
-    selection, or frame re-encode goes driver-red; the content-level
-    check is media_frame_features."""
+    frames per doc): demux, select 4 evenly spaced frames, DECODE each
+    and report original index, standalone-P6 byte count, and gray mean
+    (payloads never leave the executors). The oracle replays the
+    selection math, the re-encode size, AND the decoded gray content
+    in closed-form SQL — DuckDB independently recomputes the md5 pixel
+    generator, so a broken demux, selection, re-encode, or decode goes
+    driver-red without any embedded expected rows."""
     from flink_ms_spark.operators.multimodal import (
+        frame_pixel_stats,
         sample_frames,
         synthesize_video_media,
     )
 
     media = synthesize_video_media(load_table(spark, sf_dir, "documents"))
-    frames = sample_frames(media, n_frames=4)
-    return frames.select(
-        "media_id", "frame_idx", F.length("frame_payload").alias("n_bytes")
-    )
+    return frame_pixel_stats(sample_frames(media, n_frames=4))
 
 
 # --------------------------------------------------------------------------
