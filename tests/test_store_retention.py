@@ -146,3 +146,40 @@ def test_duplicate_key_generation_fails_loud(spark, tmp_path):
     assert store.lookup("b").x == 3.0  # unique keys still serve
     with pytest.raises(ValueError, match="expected exactly 1"):
         store.lookup("a")
+
+
+def test_streaming_loop_snapshot_validate_release_bounds_disk(spark, tmp_path):
+    """The operational serving loop the GC enables, end-to-end through
+    the STREAMING loader (K4/X1): each incremental model drop is
+    upserted via stream_model_into_store, snapshotted, validated by
+    point lookup, and released — disk stays at one generation across
+    the whole run, and a deliberately-held snapshot still rolls back."""
+    from flink_ms_spark.streaming.loader import stream_model_into_store
+
+    src = tmp_path / "model_in"
+    src.mkdir()
+    root = str(tmp_path / "spill")
+    store = ModelStore(
+        spark, "ALS_MODEL", max_dict_keys=1, spill_buckets=4, spill_dir=root
+    )
+
+    def drop(fname: str, lines: list[str]) -> None:
+        (src / fname).write_text("\n".join(lines) + "\n")
+        q = stream_model_into_store(
+            spark, str(src), store, str(tmp_path / "ckpt"), available_now=True
+        )
+        q.awaitTermination(120)
+
+    drop("a.txt", ["1,U,1.0;2.0", "2,U,3.0;4.0"])  # spills (2 > cap 1)
+    assert store._spilled
+    held = store.snapshot()  # pin the v1 model for rollback
+    for i, fname in enumerate(("b.txt", "c.txt", "d.txt")):
+        drop(fname, [f"1,U,{i + 10}.0;0.0"])
+        v = store.snapshot()
+        assert list(store.lookup("1-U").factors) == [float(i + 10), 0.0]
+        store.release_snapshot(v)  # validated → un-pin
+    # one generation for the live view + one pinned by the held snapshot
+    assert len(_gens(root)) == 2
+    store.rollback(held)
+    assert list(store.lookup("1-U").factors) == [1.0, 2.0]
+    store.release_snapshot(held)
