@@ -183,3 +183,27 @@ def test_streaming_loop_snapshot_validate_release_bounds_disk(spark, tmp_path):
     store.rollback(held)
     assert list(store.lookup("1-U").factors) == [1.0, 2.0]
     store.release_snapshot(held)
+
+
+def test_recovery_skips_incomplete_newest_generation(spark, tmp_path):
+    """A crash mid-write leaves a gen-N with no _SUCCESS: recovery
+    attaches the newest COMPLETE generation but still resumes the
+    counter past the dead one, and the next write GCs the debris."""
+    root = str(tmp_path / "spill")
+    first = ModelStore(spark, "REC2", max_dict_keys=1, spill_buckets=4, spill_dir=root)
+    first.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
+    live = first._gen
+    dead = os.path.join(root, f"gen-{live + 1}")
+    os.makedirs(dead)  # simulated crashed write: directory, no _SUCCESS
+    with open(os.path.join(dead, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"torn write")
+    del first
+
+    second = ModelStore(spark, "REC2", spill_dir=root)
+    assert second._spilled and second._gen == live + 1
+    assert second.lookup("a").x == 1.0
+    second.upsert_batch(_mk_batch(spark, [("a", 5.0)]))
+    assert second._gen == live + 2
+    assert second.lookup("a").x == 5.0
+    # GC removed both the superseded live gen and the torn one
+    assert _gens(root) == [f"gen-{live + 2}"]
