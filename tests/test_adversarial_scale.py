@@ -83,3 +83,41 @@ def test_simhash_neardup_verified_on_template_corpus(spark):
     assert got, "template corpus must surface near-dup pairs"
     for r in got:
         assert r.a < r.b and 0 <= r.hamming <= 2
+
+
+def test_video_lane_handles_frame_count_outlier(spark):
+    """One 2000-frame stream among tiny 2-frame ones: the demux walks
+    the long stream linearly, even-spacing picks exactly 4 original
+    indices (0/500/1000/1500), and the fused features stay exact —
+    constant frames make every expected value closed-form."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_ms_spark.operators.multimodal import (
+        encode_ppm,
+        video_frame_features,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                n = 2000 if mid == 0 else 2
+                stream = b"".join(
+                    encode_ppm(4, 4, np.full((4, 4, 3), f % 256, dtype=np.uint8))
+                    for f in range(n)
+                )
+                rows.append((int(mid), stream))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = spark.range(50).mapInPandas(gen, "media_id long, payload binary")
+    out = {r.media_id: r for r in video_frame_features(media, 4).collect()}
+    assert len(out) == 50
+    big = out[0]
+    # picks {0,500,1000,1500}: grays 0, 244, 232, 220 (constant frames)
+    assert big.n_sampled == 4
+    assert (big.first_gray, big.last_gray) == (0.0, 220.0)
+    assert big.motion == round((244 + 12 + 12) / 3, 6)
+    small = out[1]
+    assert small.n_sampled == 2
+    assert (small.first_gray, small.last_gray, small.motion) == (0.0, 1.0, 1.0)
