@@ -37,9 +37,7 @@ ordinal (source offset order), mirroring Flink's per-key arrival order
 from __future__ import annotations
 
 import json
-import os
 import re
-import shutil
 import tempfile
 import zlib
 from typing import Optional
@@ -92,6 +90,60 @@ class ModelStore:
 
     _GEN_RE = re.compile(r"^gen-(\d+)$")
 
+    # Generation metadata/listing/GC go through the Hadoop FileSystem
+    # API, NOT os/shutil: it resolves paths exactly like the Spark
+    # writers that produce the generations (bare local paths in local
+    # mode, hdfs://and s3a:// URIs on a cluster), so the documented
+    # "point spill_dir at shared storage" story actually works —
+    # os.listdir on an hdfs:// string would silently see nothing and
+    # recovery/GC would quietly do nothing.
+
+    def _hadoop_fs(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath, jvm
+
+    @staticmethod
+    def _join(root: str, name: str) -> str:
+        return root.rstrip("/") + "/" + name
+
+    def _list_gen_names(self, root: str) -> list[str]:
+        fs, jroot, _ = self._hadoop_fs(root)
+        if not fs.exists(jroot):
+            return []
+        names = []
+        for status in fs.listStatus(jroot):
+            name = status.getPath().getName()
+            if status.isDirectory() and self._GEN_RE.match(name):
+                names.append(name)
+        return names
+
+    def _fs_exists(self, path: str) -> bool:
+        fs, jpath, _ = self._hadoop_fs(path)
+        return bool(fs.exists(jpath))
+
+    def _fs_delete(self, path: str) -> None:
+        fs, jpath, _ = self._hadoop_fs(path)
+        fs.delete(jpath, True)
+
+    def _fs_read_text(self, path: str) -> str:
+        fs, jpath, jvm = self._hadoop_fs(path)
+        stream = fs.open(jpath)
+        try:
+            scanner = jvm.java.util.Scanner(stream, "UTF-8").useDelimiter("\\A")
+            return scanner.next() if scanner.hasNext() else ""
+        finally:
+            stream.close()
+
+    def _fs_write_text(self, path: str, text: str) -> None:
+        fs, jpath, _ = self._hadoop_fs(path)
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
     def _recover(self, spill_dir: str) -> None:
         """Re-attach to a spill_dir left by a previous process: resume
         the generation counter past every ``gen-N`` present (complete
@@ -101,26 +153,22 @@ class ModelStore:
         ``_store_meta.json`` restores the bucket count it was written
         with — a recovered store keeps pruning correctly even if the
         constructor was called with a different ``spill_buckets``."""
-        if not os.path.isdir(spill_dir):
-            return
-        gens: list[tuple[int, str]] = []
-        for entry in os.listdir(spill_dir):
-            m = self._GEN_RE.match(entry)
-            if m:
-                gens.append((int(m.group(1)), os.path.join(spill_dir, entry)))
+        gens = [
+            (int(self._GEN_RE.match(name).group(1)), self._join(spill_dir, name))
+            for name in self._list_gen_names(spill_dir)
+        ]
         if not gens:
             return
         self._gen = max(n for n, _ in gens)
         complete = [
-            (n, p) for n, p in gens if os.path.exists(os.path.join(p, "_SUCCESS"))
+            (n, p) for n, p in gens if self._fs_exists(self._join(p, "_SUCCESS"))
         ]
         if not complete:
             return  # counter resumed, but nothing attachable
         _, gen_dir = max(complete)
-        meta_path = os.path.join(gen_dir, "_store_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                meta = json.load(fh)
+        meta_path = self._join(gen_dir, "_store_meta.json")
+        if self._fs_exists(meta_path):
+            meta = json.loads(self._fs_read_text(meta_path))
             self.spill_buckets = int(meta["buckets"])
             self._cols = list(meta["cols"])
         self._gen_dir = gen_dir
@@ -137,17 +185,17 @@ class ModelStore:
         and on snapshot release, so a long-lived streaming store with no
         snapshots held keeps exactly ONE generation on disk instead of
         leaking O(view_size × n_upserts) (VERDICT r8 'what's wrong' #1)."""
-        if self._spill_root is None or not os.path.isdir(self._spill_root):
+        if self._spill_root is None:
             return
         live = {self._gen_dir} | {
             snap[3] for snap in self._snapshots.values()
         }
-        for entry in os.listdir(self._spill_root):
-            if not self._GEN_RE.match(entry):
-                continue  # never touch non-generation content in a shared dir
-            path = os.path.join(self._spill_root, entry)
+        # _list_gen_names never returns non-generation entries, so a
+        # shared directory's other content is never touched
+        for name in self._list_gen_names(self._spill_root):
+            path = self._join(self._spill_root, name)
             if path not in live:
-                shutil.rmtree(path, ignore_errors=True)
+                self._fs_delete(path)
 
     def _bucket_of(self, key: str) -> int:
         # zlib.crc32 over UTF-8 bytes is bit-identical to Spark's
@@ -170,7 +218,7 @@ class ModelStore:
         if self._spill_root is None:
             self._spill_root = tempfile.mkdtemp(prefix=f"modelstore-{self.name}-")
         self._gen += 1
-        gen_dir = os.path.join(self._spill_root, f"gen-{self._gen}")
+        gen_dir = self._join(self._spill_root, f"gen-{self._gen}")
         bucket = F.pmod(
             F.crc32(F.encode(F.col("key"), "UTF-8")), F.lit(self.spill_buckets)
         ).cast("int")
@@ -184,8 +232,10 @@ class ModelStore:
             .partitionBy("spill_bucket")
             .parquet(gen_dir)
         )
-        with open(os.path.join(gen_dir, "_store_meta.json"), "w") as fh:
-            json.dump({"buckets": self.spill_buckets, "cols": view_df.columns}, fh)
+        self._fs_write_text(
+            self._join(gen_dir, "_store_meta.json"),
+            json.dumps({"buckets": self.spill_buckets, "cols": view_df.columns}),
+        )
         self._cols = view_df.columns
         self._gen_dir = gen_dir
         self._df = self.spark.read.parquet(gen_dir)
@@ -196,13 +246,22 @@ class ModelStore:
         partitioning so the ``spill_bucket`` filter prunes fragments);
         None if pyarrow is unavailable (Spark fallback takes over)."""
         cached = self._arrow_cache.get(self._gen_dir)
+        if cached is False:
+            return None  # known-unreadable by pyarrow — Spark path serves
         if cached is not None:
             return cached
         try:
             import pyarrow.dataset as ds
-        except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+
+            dataset = ds.dataset(
+                self._gen_dir, format="parquet", partitioning="hive"
+            )
+        except Exception:  # pyarrow missing, or a filesystem it can't
+            # open (e.g. hdfs:// without libhdfs) — cache the verdict so
+            # every lookup doesn't re-probe, and let Spark's
+            # partition-pruned filter serve
+            self._arrow_cache = {self._gen_dir: False}
             return None
-        dataset = ds.dataset(self._gen_dir, format="parquet", partitioning="hive")
         self._arrow_cache = {self._gen_dir: dataset}  # keep only current gen
         return dataset
 

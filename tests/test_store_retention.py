@@ -207,3 +207,19 @@ def test_recovery_skips_incomplete_newest_generation(spark, tmp_path):
     assert second.lookup("a").x == 5.0
     # GC removed both the superseded live gen and the torn one
     assert _gens(root) == [f"gen-{live + 2}"]
+
+
+def test_lookup_spark_fallback_when_arrow_cannot_read(spark, tmp_path):
+    """A generation pyarrow can't open (e.g. hdfs:// without libhdfs)
+    caches a known-bad verdict and every lookup serves through the
+    partition-pruned Spark filter with identical rows."""
+    root = str(tmp_path / "spill")
+    store = ModelStore(spark, "FB", max_dict_keys=1, spill_buckets=4, spill_dir=root)
+    store.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
+    assert store._spilled
+    via_arrow = store.lookup("a")
+    store._arrow_cache = {store._gen_dir: False}  # simulate unreadable
+    assert store.lookup("a") == via_arrow
+    assert store.lookup("b").x == 2.0
+    assert store.lookup("zz") is None
+    assert store._arrow_cache == {store._gen_dir: False}  # no re-probe
