@@ -70,17 +70,15 @@ def compact_parquet(
     million tasks and crush the driver/listing layer. Returns the
     number of output partitions chosen.
 
-    Partition count comes from actual input bytes (file-status sum, no
-    data read); round-robin repartition gives uniformly sized files.
+    Partition count comes from actual input bytes (file-status sum via
+    the Hadoop FileSystem, no data read — a local glob would sum ZERO
+    bytes for an hdfs://s3a:// input and silently repartition 100 TB
+    into one file); round-robin repartition gives uniformly sized
+    files.
     """
-    import glob as _glob
-    import os as _os
+    from flink_ms_spark import fsutil
 
-    total = sum(
-        _os.path.getsize(p)
-        for p in _glob.glob(_os.path.join(in_path, "**", "*"), recursive=True)
-        if _os.path.isfile(p)
-    )
+    total = fsutil.total_bytes(spark, in_path)
     n = max(1, round(total / target_bytes))
     df = spark.read.parquet(in_path)
     df.repartition(n).write.mode("overwrite").parquet(out_path)

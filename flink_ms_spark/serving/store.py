@@ -45,6 +45,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
+from flink_ms_spark import fsutil
+
 
 class ModelStore:
     """Latest-per-key store of (key STRING, value any-struct)."""
@@ -91,58 +93,35 @@ class ModelStore:
     _GEN_RE = re.compile(r"^gen-(\d+)$")
 
     # Generation metadata/listing/GC go through the Hadoop FileSystem
-    # API, NOT os/shutil: it resolves paths exactly like the Spark
-    # writers that produce the generations (bare local paths in local
-    # mode, hdfs://and s3a:// URIs on a cluster), so the documented
-    # "point spill_dir at shared storage" story actually works —
-    # os.listdir on an hdfs:// string would silently see nothing and
-    # recovery/GC would quietly do nothing.
-
-    def _hadoop_fs(self, path: str):
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs, jpath, jvm
+    # helpers (flink_ms_spark.fsutil), NOT os/shutil: they resolve
+    # paths exactly like the Spark writers that produce the generations
+    # (bare local paths in local mode, hdfs:// and s3a:// URIs on a
+    # cluster), so the documented "point spill_dir at shared storage"
+    # story actually works — os.listdir on an hdfs:// string would
+    # silently see nothing and recovery/GC would quietly do nothing.
 
     @staticmethod
     def _join(root: str, name: str) -> str:
-        return root.rstrip("/") + "/" + name
+        return fsutil.join(root, name)
 
     def _list_gen_names(self, root: str) -> list[str]:
-        fs, jroot, _ = self._hadoop_fs(root)
-        if not fs.exists(jroot):
-            return []
-        names = []
-        for status in fs.listStatus(jroot):
-            name = status.getPath().getName()
-            if status.isDirectory() and self._GEN_RE.match(name):
-                names.append(name)
-        return names
+        return [
+            name
+            for name in fsutil.list_names(self.spark, root, dirs_only=True)
+            if self._GEN_RE.match(name)
+        ]
 
     def _fs_exists(self, path: str) -> bool:
-        fs, jpath, _ = self._hadoop_fs(path)
-        return bool(fs.exists(jpath))
+        return fsutil.exists(self.spark, path)
 
     def _fs_delete(self, path: str) -> None:
-        fs, jpath, _ = self._hadoop_fs(path)
-        fs.delete(jpath, True)
+        fsutil.delete(self.spark, path)
 
     def _fs_read_text(self, path: str) -> str:
-        fs, jpath, jvm = self._hadoop_fs(path)
-        stream = fs.open(jpath)
-        try:
-            scanner = jvm.java.util.Scanner(stream, "UTF-8").useDelimiter("\\A")
-            return scanner.next() if scanner.hasNext() else ""
-        finally:
-            stream.close()
+        return fsutil.read_text(self.spark, path)
 
     def _fs_write_text(self, path: str, text: str) -> None:
-        fs, jpath, _ = self._hadoop_fs(path)
-        out = fs.create(jpath, True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+        fsutil.write_text(self.spark, path, text)
 
     def _recover(self, spill_dir: str) -> None:
         """Re-attach to a spill_dir left by a previous process: resume

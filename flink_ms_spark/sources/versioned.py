@@ -7,13 +7,17 @@ Layout::
     <root>/_versions.json       manifest: latest + per-version rows
 
 Writes are snapshot-isolated the cheap way: data lands in a NEW
-``v=<N>`` directory first, and the manifest file is replaced
-atomically (os.replace) last — a reader that loaded the old manifest
-keeps reading the old snapshot's directory untouched. That ordering
-(data fully written → manifest flip) is the entire correctness
-argument, the same one table formats make with their commit log; what
-this deliberately does NOT provide is concurrent multi-writer commits
-(a real log arbitrates those).
+``v=<N>`` directory first, and the manifest file is replaced last
+(write-tmp → rename through the Hadoop FileSystem — atomic on HDFS
+renames, best-available on object stores, os.replace-equivalent on
+local paths) — a reader that loaded the old manifest keeps reading
+the old snapshot's directory untouched. That ordering (data fully
+written → manifest flip) is the entire correctness argument, the same
+one table formats make with their commit log; what this deliberately
+does NOT provide is concurrent multi-writer commits (a real log
+arbitrates those). All manifest/listing IO goes through fsutil so a
+corpus root on shared storage (where a 100 TB corpus actually lives)
+behaves exactly like the local fixture root.
 
 The diff is digest-based: a document changed iff its normalized-text
 md5 changed — the same digest the dedup family keys on, so "changed
@@ -24,27 +28,26 @@ added ∪ changed docs need re-scoring at 100 TB).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_ms_spark import fsutil
 from flink_ms_spark.operators.text import normalize_text
 
 _MANIFEST = "_versions.json"
 
 
-def _read_manifest(root: str) -> dict:
-    p = os.path.join(root, _MANIFEST)
-    if not os.path.exists(p):
+def _read_manifest(spark: SparkSession, root: str) -> dict:
+    p = fsutil.join(root, _MANIFEST)
+    if not fsutil.exists(spark, p):
         return {"latest": 0, "versions": {}}
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(fsutil.read_text(spark, p))
 
 
 def write_version(df: DataFrame, root: str, id_col: str = "doc_id") -> int:
     """Write the next snapshot; returns the new version number.
-    Data first, manifest flip last (atomic os.replace).
+    Data first, manifest flip last (write-tmp → rename).
 
     Torn-write recovery: a crash after the data write but before the
     manifest flip leaves an orphan ``v=N`` dir that is in no reader's
@@ -52,26 +55,26 @@ def write_version(df: DataFrame, root: str, id_col: str = "doc_id") -> int:
     any such orphan dirs — never reusing their numbers — so a torn
     write is self-healing instead of failing ``errorifexists`` forever.
     """
-    man = _read_manifest(root)
+    spark = df.sparkSession
+    man = _read_manifest(spark, root)
     v = int(man["latest"]) + 1
-    if os.path.isdir(root):
-        orphans = [
-            int(d[2:])
-            for d in os.listdir(root)
-            if d.startswith("v=") and d[2:].isdigit()
-        ]
-        if orphans:
-            v = max(v, max(orphans) + 1)
-    path = os.path.join(root, f"v={v}")
+    orphans = [
+        int(d[2:])
+        for d in fsutil.list_names(spark, root, dirs_only=True)
+        if d.startswith("v=") and d[2:].isdigit()
+    ]
+    if orphans:
+        v = max(v, max(orphans) + 1)
+    path = fsutil.join(root, f"v={v}")
     df.write.mode("errorifexists").parquet(path)
-    n = df.sparkSession.read.parquet(path).count()
+    n = spark.read.parquet(path).count()
     man["latest"] = v
     man["versions"][str(v)] = {"rows": n}
-    tmp = os.path.join(root, _MANIFEST + ".tmp")
-    os.makedirs(root, exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(man, f, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(root, _MANIFEST))
+    fsutil.replace_text(
+        spark,
+        fsutil.join(root, _MANIFEST),
+        json.dumps(man, indent=2, sort_keys=True),
+    )
     return v
 
 
@@ -79,11 +82,11 @@ def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read a specific snapshot (default: latest per the manifest)."""
-    man = _read_manifest(root)
+    man = _read_manifest(spark, root)
     v = int(man["latest"]) if version is None else int(version)
     if v < 1 or str(v) not in man["versions"]:
         raise ValueError(f"version {v} not in manifest (latest {man['latest']})")
-    return spark.read.parquet(os.path.join(root, f"v={v}"))
+    return spark.read.parquet(fsutil.join(root, f"v={v}"))
 
 
 def corpus_diff(

@@ -22,12 +22,12 @@ table has batch_id −1, so any increment wins over base.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_ms_spark import fsutil
 from flink_ms_spark.operators.similarity import load_pq_codebooks, pq_encode
 
 _INC = "codes_increments"
@@ -45,7 +45,7 @@ class StreamingAnnIngest:
         self.codebooks: np.ndarray = load_pq_codebooks(spark, index_path)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        out = os.path.join(self.index_path, _INC, f"batch_id={batch_id}")
+        out = fsutil.join(self.index_path, _INC, f"batch_id={batch_id}")
         (
             pq_encode(batch_df, self.codebooks,
                       id_col=self.id_col, vec_col=self.vec_col)
@@ -68,11 +68,13 @@ def load_codes(spark: SparkSession, index_path: str,
     """The serving view of the code table: base codes plus any landed
     increments, latest batch winning per id. Pass the result to
     ``pq_topk_codes`` exactly like the base table."""
-    base = spark.read.parquet(os.path.join(index_path, "codes")).select(
+    base = spark.read.parquet(fsutil.join(index_path, "codes")).select(
         F.col(id_col), "code", F.lit(-1).cast("long").alias("_b")
     )
-    inc_path = os.path.join(index_path, _INC)
-    if not os.path.isdir(inc_path):
+    inc_path = fsutil.join(index_path, _INC)
+    # fsutil, not os.path: an index on shared storage must not silently
+    # serve STALE codes because the driver's local disk lacks inc_path
+    if not fsutil.is_dir(spark, inc_path):
         return base.drop("_b")
     inc = spark.read.parquet(inc_path).select(
         F.col(id_col), "code", F.col("batch_id").cast("long").alias("_b")

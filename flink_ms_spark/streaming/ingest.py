@@ -33,9 +33,10 @@ the manifest.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
+
+from flink_ms_spark import fsutil
 
 from flink_ms_spark.streaming.drift import bucket_profile, kl_bits
 from flink_ms_spark.streaming.neardup import StreamingNearDup
@@ -61,7 +62,7 @@ class StreamingIngest:
         self.rules_path = rules_path
         self.drift_threshold_bits = drift_threshold_bits
         self.quality_threshold = quality_threshold
-        self.neardup = StreamingNearDup(os.path.join(out_dir, "_registry"))
+        self.neardup = StreamingNearDup(fsutil.join(out_dir, "_registry"))
         self.manifest: list[dict] = []
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -92,7 +93,7 @@ class StreamingIngest:
             # quarantine the whole batch: distribution shift means the
             # content shouldn't silently join the training corpus
             gated.write.mode("overwrite").parquet(
-                os.path.join(self.out_dir, "_quarantine", f"batch_id={batch_id}")
+                fsutil.join(self.out_dir, "_quarantine", f"batch_id={batch_id}")
             )
             entry = {
                 "batch_id": batch_id,
@@ -104,7 +105,7 @@ class StreamingIngest:
             }
         else:
             kept = self.neardup.process_batch(gated, batch_id)
-            out = os.path.join(self.out_dir, f"batch_id={batch_id}")
+            out = fsutil.join(self.out_dir, f"batch_id={batch_id}")
             kept.write.mode("overwrite").parquet(out)
             n_written = kept.sparkSession.read.parquet(out).count()
             entry = {
@@ -115,13 +116,16 @@ class StreamingIngest:
                 "action": "ingested",
                 "n_written": n_written,
             }
+        spark = gated.sparkSession
         gated.unpersist()
         self.manifest.append(entry)
-        tmp = os.path.join(self.out_dir, "_manifest.json.tmp")
-        os.makedirs(self.out_dir, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=2)
-        os.replace(tmp, os.path.join(self.out_dir, "_manifest.json"))
+        # manifest flips through fsutil (write-tmp → rename): it sits
+        # INSIDE the Spark sink dir, which is shared storage at scale
+        fsutil.replace_text(
+            spark,
+            fsutil.join(self.out_dir, "_manifest.json"),
+            json.dumps(self.manifest, indent=2),
+        )
 
     def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
         writer = (

@@ -21,6 +21,11 @@ the mechanism):
   BEFORE the in-memory fold, and a restarted instance rebuilds the
   view purely from the journal, deduplicating by batch_id — so a
   crash at any point between fold and commit cannot double-apply.
+  The journal is DRIVER-LOCAL state by design (os-level IO, a
+  driver-mounted path): the view itself lives on the driver, so its
+  recovery journal belongs beside it — unlike the store generations /
+  registries / manifests, which are Spark-written shared-storage
+  surfaces and go through fsutil.
   Without a journal, a restart starts from an empty view and relies on
   the stream checkpoint replaying ALL batches (availableNow jobs) —
   fine for batch-style reruns, not for long-lived views.

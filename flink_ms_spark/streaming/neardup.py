@@ -36,11 +36,10 @@ Flink's checkpointed keyed state).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_ms_spark import fsutil
 from flink_ms_spark.operators.dedup import minhash_signatures
 
 
@@ -92,17 +91,15 @@ def compact_registry(
     never collides with its own rows), NOT on batch_id, so rewriting
     every row to ``batch_id=-1`` changes no drop decision (pinned in
     tests). Run from a maintenance window: write to a sibling dir, then
-    swap. Returns rows/files before and after.
+    swap. Returns rows/files before and after. All directory ops go
+    through the Hadoop FileSystem (fsutil) so the swap works on the
+    same shared storage the registry parquet lands on — os.rename on
+    an hdfs:// string would fail, and shutil.rmtree would quietly
+    delete nothing.
     """
-    import shutil
 
     def _nfiles() -> int:
-        return sum(
-            1
-            for _, _, fs in os.walk(registry_dir)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        return fsutil.count_files(spark, registry_dir, ".parquet")
 
     reg = spark.read.parquet(registry_dir)
     compacted = (
@@ -115,8 +112,8 @@ def compact_registry(
     tmp = registry_dir.rstrip("/") + ".compacting"
     compacted.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     after = spark.read.parquet(tmp).count()
-    shutil.rmtree(registry_dir)
-    os.rename(tmp, registry_dir)
+    fsutil.delete(spark, registry_dir)
+    fsutil.rename(spark, tmp, registry_dir)
     return {
         "rows_before": before,
         "rows_after": after,
@@ -165,11 +162,9 @@ class StreamingNearDup:
         self.kept: list[tuple] = []
 
     def _registry(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.isdir(self.registry_dir) or not any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(self.registry_dir)
-            for f in fs
-        ):
+        # fsutil, not os.path: a shared-storage registry URI must not
+        # read as "empty" just because the driver's local disk lacks it
+        if fsutil.count_files(spark, self.registry_dir, ".parquet") == 0:
             return None
         return spark.read.parquet(self.registry_dir)
 
@@ -261,7 +256,7 @@ class StreamingNearDup:
             # under replay, like the registry write above it — a
             # re-fired batch_id rewrites its own partition
             survivors.write.mode("overwrite").parquet(
-                os.path.join(self.out_dir, f"batch_id={batch_id}")
+                fsutil.join(self.out_dir, f"batch_id={batch_id}")
             )
         if self.debug_keep:
             self.kept.extend(survivors.collect())
