@@ -249,9 +249,10 @@ def decode_ppm_stream(payload: bytes) -> list[tuple[int, int, "np.ndarray"]]:
     the stream sequentially — tokenized header parse (whitespace and
     ``#`` comments per the netpbm spec), then the raw w·h·3 pixel
     block — and returns the ordered frame list as (w, h, HxWx3 uint8).
-    Raises ValueError on non-P6 content, truncation, or maxval != 255:
-    media rot fails loudly (same contract as ``decode_wav_pcm16``)."""
-    data = bytes(payload)
+    Raises ValueError on non-P6 content, truncation, maxval != 255, or
+    a NULL/empty payload: media rot fails loudly (same contract as
+    ``decode_wav_pcm16``)."""
+    data = bytes(payload) if payload is not None else b""
     frames: list[tuple[int, int, np.ndarray]] = []
     pos = 0
     while pos < len(data):
