@@ -65,3 +65,46 @@ def test_no_unbounded_global_window_or_cartesian(spark, sf_smoke, name):
             "documented as bounded — either repartition/two-phase it or "
             "allowlist it here with its bound"
         )
+
+
+def _executed_plan(spark, sf_smoke, name: str) -> str:
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    return QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,min_broadcasts",
+    [
+        ("tpch_q5", 4),       # region/nation/customer/supplier dims
+        ("region_revenue", 3),
+        ("als_dot", 1),       # model side broadcasts against ratings
+        ("top_customers", 1),
+    ],
+)
+def test_dimension_joins_broadcast(spark, sf_smoke, name, min_broadcasts):
+    """'Is this join broadcast-able, and did I broadcast it?' — pin the
+    physical strategy on the classic dim-join queries: the small sides
+    must plan as BroadcastHashJoin (a statistics or pushdown regression
+    that flips them to shuffle joins fails here, long before a 100 TB
+    run discovers it)."""
+    plan = _executed_plan(spark, sf_smoke, name)
+    assert plan.count("BroadcastHashJoin") >= min_broadcasts, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_pushdown_and_column_pruning(spark, sf_smoke):
+    """Filters and projections must reach the parquet scan: the
+    pricing_summary shipdate predicate shows up in PushedFilters, and
+    big_orders' scan reads exactly its two needed columns — a scan
+    reading all 16 lineitem columns for a 2-column aggregate is wrong
+    at any scale."""
+    import re
+
+    plan = _executed_plan(spark, sf_smoke, "pricing_summary")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "l_shipdate" in pushed, pushed
+
+    plan = _executed_plan(spark, sf_smoke, "big_orders")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(len(s.split(",")) <= 2 for s in schemas), schemas
