@@ -465,6 +465,50 @@ def video_frame_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fp", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+    ]
+)
+
+
+def video_fingerprints(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Content-addressed video fingerprint: demux the concatenated-P6
+    stream, select the ``n_frames`` evenly spaced frames (same
+    ``(k·T)//n`` math as :func:`sample_frames`), and md5 the
+    concatenated SAMPLED pixel bytes (dims included, so a resized
+    re-encode never collides). Sampling is the point at scale: two
+    hour-long videos compare on k frames of pixels, not the full
+    stream, and the fingerprint job stays map-only — the only shuffle
+    a dedup over it needs is one groupBy on the 32-char digest, with
+    group width bounded by true duplicate multiplicity (exactly the
+    exact-dedup shape, lifted to video content)."""
+    import hashlib
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_ppm_stream(payload)
+                total = len(decoded)
+                picks = sorted({(k * total) // n_frames for k in range(n_frames)})
+                h = hashlib.md5()
+                for i in picks:
+                    w, hh, px = decoded[i]
+                    h.update(b"%d:%d:" % (w, hh))
+                    h.update(px.tobytes())
+                rows.append((int(mid), h.hexdigest(), total))
+            yield pd.DataFrame(rows, columns=["media_id", "fp", "n_frames"])
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        scan, schema=VIDEO_FP_SCHEMA
+    )
+
+
 def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic fake media table from the documents fixture:
     payload = UTF-8 bytes of the text (opaque binary as far as the
@@ -813,13 +857,18 @@ def synthesize_wav_media(
 
 
 def synthesize_video_media(
-    docs: DataFrame, width: int = 8, height: int = 8
+    docs: DataFrame, width: int = 8, height: int = 8, group_size: int = 1
 ) -> DataFrame:
     """Deterministic REAL videos: one concatenated-P6 stream per
-    document with ``3 + doc_id % 4`` frames (3-6 — variable length so
+    document with ``3 + base % 4`` frames (3-6 — variable length so
     the demux/selection math is exercised, not just a constant), frame
-    f's pixel bytes being the md5 stream of ``"{doc_id}:{f}"``
-    (repeat-extended). Map-only Arrow batches; payloads never hit the
+    f's pixel bytes being the md5 stream of ``"{base}:{f}"``
+    (repeat-extended), where ``base = doc_id - doc_id % group_size``.
+    The default ``group_size=1`` makes every video unique (base ==
+    doc_id — the original behavior every existing oracle replays);
+    ``group_size=k`` makes each mod-k cohort share ONE identical
+    stream, giving the dedup lanes a corpus with known duplicate
+    structure. Map-only Arrow batches; payloads never hit the
     driver."""
     import hashlib
 
@@ -832,10 +881,11 @@ def synthesize_video_media(
                 continue
             payloads = []
             for did in pdf["doc_id"]:
-                n_frames = 3 + int(did) % 4
+                base = int(did) - int(did) % group_size
+                n_frames = 3 + base % 4
                 stream = b""
                 for f in range(n_frames):
-                    seed = hashlib.md5(f"{int(did)}:{f}".encode()).digest()
+                    seed = hashlib.md5(f"{base}:{f}".encode()).digest()
                     px = (seed * (need // len(seed) + 1))[:need]
                     stream += b"P6\n%d %d\n255\n" % (w, h) + px
                 payloads.append(stream)

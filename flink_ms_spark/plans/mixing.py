@@ -889,6 +889,49 @@ def q_media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Video dedup by content fingerprint: each mod-3 doc cohort is
+# synthesized as ONE identical P6 stream (group_size=3), and the
+# dedup groups videos by the md5 of their SAMPLED frames' pixel bytes
+# — content-addressed, so it is byte-layout-independent and the
+# fingerprint job is map-only (one digest-keyed shuffle total, group
+# width = true duplicate multiplicity). The oracle replays the KNOWN
+# duplicate structure in closed-form SQL (GROUP BY doc_id - doc_id%3):
+# the Spark side must rediscover it purely from decoded content.
+
+_VIDEO_DEDUP_ORACLE = """
+SELECT min(doc_id) AS canonical,
+       CAST(count(*) AS INT) AS n_members,
+       max(doc_id) AS media_max
+FROM documents
+GROUP BY doc_id - doc_id % 3
+"""
+
+
+@register("media_video_dedup", oracle=_VIDEO_DEDUP_ORACLE)
+def q_media_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video dedup lane: demux every stream, fingerprint the
+    evenly-sampled frames' pixel content, group by fingerprint, and
+    report each group's canonical (min) id, size, and max id. The
+    generator plants mod-3 duplicate cohorts; a broken demux,
+    selection, or digest would split or merge groups and diverge from
+    the closed-form oracle."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.multimodal import (
+        synthesize_video_media,
+        video_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = video_fingerprints(synthesize_video_media(docs, group_size=3))
+    return fps.groupBy("fp").agg(
+        F.min("media_id").alias("canonical"),
+        F.count("*").cast("int").alias("n_members"),
+        F.max("media_id").alias("media_max"),
+    ).drop("fp")
+
+
+# --------------------------------------------------------------------------
 # Cross-format feature-space image dedup: every doc is synthesized in
 # BOTH real formats (P6 PPM and RGB PNG) carrying the same md5 pixel
 # stream; the dedup key is the 16-bin color histogram quantized to

@@ -260,3 +260,35 @@ def test_ppm_stream_round_trip_property():
             assert oarr.tobytes() == arr.tobytes()
 
     check()
+
+
+def test_video_fingerprint_dedup_rediscovers_planted_groups(spark, sf_smoke):
+    """group_size=3 plants mod-3 duplicate cohorts; the content
+    fingerprint (sampled-frame pixel md5) must rediscover exactly that
+    structure — and group_size=1 (the default every other oracle
+    replays) must keep every video unique."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.multimodal import (
+        synthesize_video_media,
+        video_fingerprints,
+    )
+    from flink_ms_spark.plans.mixing import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(30)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    fps = video_fingerprints(synthesize_video_media(docs, group_size=3))
+    groups = {
+        tuple(sorted(r.members))
+        for r in fps.groupBy("fp").agg(
+            F.collect_list("media_id").alias("members")
+        ).collect()
+    }
+    expect = {}
+    for d in ids:
+        expect.setdefault(d - d % 3, []).append(d)
+    assert groups == {tuple(sorted(v)) for v in expect.values()}
+
+    unique = video_fingerprints(synthesize_video_media(docs))
+    assert unique.select("fp").distinct().count() == len(ids)
