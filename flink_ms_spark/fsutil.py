@@ -99,13 +99,22 @@ def replace_text(spark: SparkSession, path: str, text: str) -> None:
     """os.replace-style manifest flip: write ``<path>.tmp``, drop any
     stale destination, rename into place. Readers either see the old
     complete manifest or the new complete one on HDFS (atomic rename);
-    object stores get the best-available equivalent."""
+    object stores get the best-available equivalent.
+
+    Hadoop FileSystem reports many rename/delete failures by
+    RETURNING FALSE rather than throwing — the os.replace this
+    helper supplanted raised on every failure, so a silent false
+    here would destroy the manifest (readers see latest=0) with no
+    error anywhere. Both booleans are therefore checked and a false
+    fails loud; the tmp file survives a failed flip for forensics."""
     tmp = path + ".tmp"
     write_text(spark, tmp, text)
     fs, jpath, jvm = _fs(spark, path)
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    if fs.exists(jpath) and not fs.delete(jpath, False):
+        raise IOError(f"replace_text: failed to delete stale {path}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):
+        raise IOError(f"replace_text: rename {tmp} -> {path} failed "
+                      "(filesystem returned false); manifest flip aborted")
 
 
 def total_bytes(spark: SparkSession, path: str) -> int:

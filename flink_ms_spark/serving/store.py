@@ -127,11 +127,20 @@ class ModelStore:
         """Re-attach to a spill_dir left by a previous process: resume
         the generation counter past every ``gen-N`` present (complete
         or not, so a new spill never overwrites a predecessor's
-        directory) and, if a ``_SUCCESS``-marked generation exists,
-        adopt the newest one as the live spilled view. The generation's
-        ``_store_meta.json`` restores the bucket count it was written
-        with — a recovered store keeps pruning correctly even if the
-        constructor was called with a different ``spill_buckets``."""
+        directory) and adopt the newest COMPLETE generation as the
+        live spilled view.
+
+        The completion marker is ``_store_meta.json``, not Spark's
+        ``_SUCCESS``: the meta file is written AFTER the parquet
+        commit (:meth:`_write_generation`), so a crash between the two
+        leaves a ``_SUCCESS``-ed directory whose bucket layout was
+        never recorded. Attaching such a generation with the
+        CONSTRUCTOR's ``spill_buckets`` would make bucket-pruned point
+        lookups silently return None for keys that exist whenever the
+        counts differ (ADVICE r9) — so a meta-less generation is
+        incomplete debris: skipped here, GC'd on the next write. The
+        meta's bucket count then always wins over the constructor's,
+        keeping pruning aligned with the written layout."""
         gens = [
             (int(self._GEN_RE.match(name).group(1)), self._join(spill_dir, name))
             for name in self._list_gen_names(spill_dir)
@@ -140,22 +149,18 @@ class ModelStore:
             return
         self._gen = max(n for n, _ in gens)
         complete = [
-            (n, p) for n, p in gens if self._fs_exists(self._join(p, "_SUCCESS"))
+            (n, p)
+            for n, p in gens
+            if self._fs_exists(self._join(p, "_store_meta.json"))
         ]
         if not complete:
             return  # counter resumed, but nothing attachable
         _, gen_dir = max(complete)
-        meta_path = self._join(gen_dir, "_store_meta.json")
-        if self._fs_exists(meta_path):
-            meta = json.loads(self._fs_read_text(meta_path))
-            self.spill_buckets = int(meta["buckets"])
-            self._cols = list(meta["cols"])
+        meta = json.loads(self._fs_read_text(self._join(gen_dir, "_store_meta.json")))
+        self.spill_buckets = int(meta["buckets"])
+        self._cols = list(meta["cols"])
         self._gen_dir = gen_dir
         self._df = self.spark.read.parquet(gen_dir)
-        if self._cols is None:
-            # pre-metadata generation: file column order IS the written
-            # view order; the hive partition column reads back last
-            self._cols = [c for c in self._df.columns if c != "spill_bucket"]
         self._spilled = True
 
     def _gc_generations(self) -> None:
@@ -231,14 +236,31 @@ class ModelStore:
             return cached
         try:
             import pyarrow.dataset as ds
+            from pyarrow.lib import ArrowInvalid, ArrowNotImplementedError
 
             dataset = ds.dataset(
                 self._gen_dir, format="parquet", partitioning="hive"
             )
-        except Exception:  # pyarrow missing, or a filesystem it can't
-            # open (e.g. hdfs:// without libhdfs) — cache the verdict so
-            # every lookup doesn't re-probe, and let Spark's
-            # partition-pruned filter serve
+        except ImportError:
+            # pyarrow absent in this environment — permanent, cache it
+            self._arrow_cache = {self._gen_dir: False}
+            return None
+        except (OSError, ArrowInvalid, ArrowNotImplementedError,
+                ValueError) as exc:
+            # a filesystem pyarrow can't open (hdfs:// without libhdfs)
+            # or a layout it can't parse. Cache the verdict per
+            # GENERATION so lookups don't re-probe, but log ONCE — the
+            # degraded ms-class Spark path must be observable, and a
+            # narrow except keeps genuine programming errors loud
+            # instead of permanently demoting the store (ADVICE r9).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ModelStore %s: pyarrow cannot read generation %s (%s); "
+                "point lookups fall back to the Spark partition-pruned "
+                "path for this generation",
+                self.name, self._gen_dir, exc,
+            )
             self._arrow_cache = {self._gen_dir: False}
             return None
         self._arrow_cache = {self._gen_dir: dataset}  # keep only current gen

@@ -76,3 +76,55 @@ def test_total_bytes_and_count_files_match_os_walk(spark, tmp_path):
     assert fx.count_files(spark, out) > expect_parquet  # _SUCCESS etc.
     assert fx.total_bytes(spark, fx.join(root, "missing")) == 0
     assert fx.count_files(spark, fx.join(root, "missing")) == 0
+
+
+class _FakeJvmPath:
+    """Stands in for jvm.org.apache.hadoop.fs.Path in the fake below."""
+
+    def __getattr__(self, name):
+        return self
+
+    def __call__(self, path):
+        return path
+
+
+class _FakeFs:
+    """A FileSystem whose rename/delete return False — the failure mode
+    Hadoop reports WITHOUT throwing (unlike the os.replace these
+    helpers supplanted). Only the calls replace_text makes exist."""
+
+    def __init__(self, exists=True, delete_ok=True, rename_ok=True):
+        self._exists, self._delete_ok, self._rename_ok = exists, delete_ok, rename_ok
+
+    def exists(self, jpath):
+        return self._exists
+
+    def delete(self, jpath, recursive):
+        return self._delete_ok
+
+    def rename(self, src, dst):
+        return self._rename_ok
+
+
+def test_replace_text_failed_rename_raises(spark, monkeypatch):
+    """ADVICE r9 (medium): a false from fs.rename must abort the flip
+    loudly — silently returning would leave NO manifest at all."""
+    import pytest
+
+    monkeypatch.setattr(fx, "write_text", lambda *_a, **_k: None)
+    monkeypatch.setattr(
+        fx, "_fs", lambda s, p: (_FakeFs(rename_ok=False), p, _FakeJvmPath())
+    )
+    with pytest.raises(IOError, match="rename .* failed"):
+        fx.replace_text(spark, "/any/manifest.json", "v2")
+
+
+def test_replace_text_failed_delete_raises(spark, monkeypatch):
+    import pytest
+
+    monkeypatch.setattr(fx, "write_text", lambda *_a, **_k: None)
+    monkeypatch.setattr(
+        fx, "_fs", lambda s, p: (_FakeFs(delete_ok=False), p, _FakeJvmPath())
+    )
+    with pytest.raises(IOError, match="delete stale"):
+        fx.replace_text(spark, "/any/manifest.json", "v2")

@@ -223,3 +223,34 @@ def test_lookup_spark_fallback_when_arrow_cannot_read(spark, tmp_path):
     assert store.lookup("b").x == 2.0
     assert store.lookup("zz") is None
     assert store._arrow_cache == {store._gen_dir: False}  # no re-probe
+
+
+def test_recovery_treats_meta_less_generation_as_debris(spark, tmp_path):
+    """ADVICE r9 (medium): _store_meta.json is written AFTER the Spark
+    parquet commit, so a crash in that window leaves a _SUCCESS'd gen
+    with no meta. Attaching it with the constructor's bucket count
+    would silently break bucket-pruned lookups whenever the counts
+    differ — recovery must skip it (newest COMPLETE gen wins) and the
+    next write must GC the debris."""
+    root = str(tmp_path / "spill")
+    first = ModelStore(spark, "REC3", max_dict_keys=1, spill_buckets=8, spill_dir=root)
+    first.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
+    live = first._gen
+    del first
+
+    # simulated crash between parquet commit and meta write: a real
+    # Spark write (has _SUCCESS) whose _store_meta.json never landed
+    dead = os.path.join(root, f"gen-{live + 1}")
+    spark.createDataFrame([("x", 9.0)], "key string, x double").withColumn(
+        "spill_bucket", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0)
+    ).write.partitionBy("spill_bucket").parquet(dead)
+    assert os.path.exists(os.path.join(dead, "_SUCCESS"))
+
+    second = ModelStore(spark, "REC3", spill_buckets=2, spill_dir=root)
+    assert second._spilled
+    assert second.spill_buckets == 8  # the COMPLETE gen's meta wins
+    assert second._gen == live + 1  # counter resumed past the debris
+    assert second.lookup("a").x == 1.0 and second.lookup("x") is None
+    second.upsert_batch(_mk_batch(spark, [("c", 3.0)]))
+    assert second.lookup("c").x == 3.0
+    assert _gens(root) == [f"gen-{live + 2}"]  # debris GC'd with the old gen

@@ -501,3 +501,47 @@ def test_streaming_ewma_reseed_from_ledger_continues_series(spark):
     unseeded.update(batch((5.0, 15.0)), 2)
     assert abs(unseeded.state["a"] - 10.0) < 1e-12
     assert abs(unseeded.state["a"] - want) > 1.0
+
+
+def test_compact_registry_failed_swap_keeps_or_restores_registry(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: Hadoop rename reports failure by returning false; a
+    failed swap must abort loudly with the registry still present —
+    never silently leave NO registry (which would re-admit every
+    previously-dropped duplicate)."""
+    import pytest
+
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.streaming import neardup as nd_mod
+
+    reg = str(tmp_path / "reg_swap")
+    nd = nd_mod.StreamingNearDup(reg)
+    nd.process_batch(
+        spark.createDataFrame([(1, "alpha beta gamma " * 4)], DOC_SCHEMA), 0
+    ).collect()
+    rows_before = spark.read.parquet(reg).count()
+    real_rename = fsutil.rename
+
+    # failure on the FIRST rename (live -> .old): registry untouched
+    monkeypatch.setattr(fsutil, "rename", lambda s, a, b: False)
+    with pytest.raises(IOError, match="aside"):
+        nd_mod.compact_registry(spark, reg, target_files=1)
+    assert spark.read.parquet(reg).count() == rows_before
+
+    # failure on the SECOND rename (tmp -> live): old registry restored
+    calls = {"n": 0}
+
+    def fail_second(s, a, b):
+        calls["n"] += 1
+        return real_rename(s, a, b) if calls["n"] != 2 else False
+
+    monkeypatch.setattr(fsutil, "rename", fail_second)
+    with pytest.raises(IOError, match="restored"):
+        nd_mod.compact_registry(spark, reg, target_files=1)
+    assert spark.read.parquet(reg).count() == rows_before
+
+    # and with renames healthy again the compaction still succeeds
+    monkeypatch.setattr(fsutil, "rename", real_rename)
+    stats = nd_mod.compact_registry(spark, reg, target_files=1)
+    assert stats["rows_after"] == rows_before
