@@ -1,17 +1,24 @@
 """Spilled-store generation lifecycle — retention GC, snapshot pinning,
 restart recovery, and the loud-failure guards (VERDICT r8 task 4 +
-ADVICE r8 items on serving/store.py).
+ADVICE r8/r9 items on serving/store.py).
 
 Reference parity context: the reference's queryable state lives in
 Flink's state backend with checkpoint-owned retention
 (QueryClientHelper.java:104-139 reads it; Flink GCs old checkpoints).
-Our parquet generations are the analogous persisted state, so they need
-the analogous retention story: live view + held snapshots pin
-generations, everything else is deleted.
+Our manifest generations are the analogous persisted state, so they
+need the analogous retention story: the live manifest + held snapshots
+pin leaf directories, everything else is deleted.
+
+Round-10 layout (VERDICT r9 task 5): a generation is a ``gen-N.json``
+manifest mapping each crc32 bucket to an immutable leaf directory
+``data-G/spill_bucket=B``; an upsert rewrites ONLY touched buckets'
+leaves and the new manifest shares every untouched leaf with its
+predecessor — per-batch write cost is O(touched), never O(|store|).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -19,45 +26,117 @@ import pytest
 from flink_ms_spark.serving.store import ModelStore
 
 
-def _gens(root: str) -> list[str]:
-    return sorted(d for d in os.listdir(root) if d.startswith("gen-"))
+def _manifests(root: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(root) if f.startswith("gen-") and f.endswith(".json")
+    )
+
+
+def _leaves(root: str) -> set[str]:
+    """Every data-G/spill_bucket=B leaf dir on disk, root-relative."""
+    out = set()
+    for d in os.listdir(root):
+        if d.startswith("data-") and os.path.isdir(os.path.join(root, d)):
+            for leaf in os.listdir(os.path.join(root, d)):
+                if leaf.startswith("spill_bucket="):
+                    out.add(f"{d}/{leaf}")
+    return out
+
+
+def _leaf_stats(root: str) -> dict[str, tuple]:
+    """(inode, mtime_ns, size) of every parquet file under every leaf —
+    byte-identity evidence for the sharing tests."""
+    stats = {}
+    for rel in _leaves(root):
+        for f in os.listdir(os.path.join(root, rel)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(root, rel, f))
+                stats[f"{rel}/{f}"] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return stats
 
 
 def _mk_batch(spark, rows):
     return spark.createDataFrame(rows, "key string, x double")
 
 
+def test_partial_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """THE scale property of the round-10 redesign: a spilled upsert
+    whose keys land in one bucket writes exactly one new leaf, and
+    every other bucket's parquet files stay byte-identical (same
+    inode/mtime/size — never rewritten, just re-referenced by the new
+    manifest)."""
+    root = str(tmp_path / "spill")
+    store = ModelStore(spark, "PARTIAL", max_dict_keys=1, spill_buckets=8, spill_dir=root)
+    seed = [(f"k{i}", float(i)) for i in range(64)]
+    store.upsert_batch(_mk_batch(spark, seed))
+    assert store._spilled
+    before = _leaf_stats(root)
+    touched_bucket = store._bucket_of("k7")
+    untouched_before = {
+        p: s for p, s in before.items()
+        if f"spill_bucket={touched_bucket}" not in p
+    }
+    assert untouched_before  # the seed populated other buckets
+
+    store.upsert_batch(_mk_batch(spark, [("k7", 700.0)]))
+
+    after = _leaf_stats(root)
+    untouched_after = {
+        p: s for p, s in after.items()
+        if f"spill_bucket={touched_bucket}" not in p
+    }
+    # untouched buckets: exact same files, byte-identical, not rewritten
+    assert untouched_after == untouched_before
+    # exactly ONE new leaf exists (the touched bucket's), in a new data dir
+    new_files = set(after) - set(before)
+    assert len({p.rsplit("/", 1)[0] for p in new_files}) == 1
+    assert all(f"spill_bucket={touched_bucket}" in p for p in new_files)
+    # semantics intact: the touched key updated, its bucket-mates and
+    # every other bucket's keys preserved
+    assert store.lookup("k7").x == 700.0
+    for i in (0, 1, 13, 63):
+        if i != 7:
+            assert store.lookup(f"k{i}").x == float(i)
+    assert len(store) == 64
+
+
 def test_generation_gc_bounds_disk_with_no_snapshots(spark, tmp_path):
-    """N post-spill upserts with zero snapshots held leave exactly ONE
-    generation on disk (the leak was O(view_size × n_upserts))."""
+    """N post-spill upserts with zero snapshots held leave exactly the
+    live manifest's leaves on disk and ONE manifest file (the leak was
+    O(view_size × n_upserts); superseded leaves must not accumulate
+    either)."""
     root = str(tmp_path / "spill")
     store = ModelStore(spark, "GC", max_dict_keys=1, spill_buckets=4, spill_dir=root)
     store.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
     assert store._spilled
     for i in range(4):
         store.upsert_batch(_mk_batch(spark, [("a", float(i)), (f"k{i}", 0.5)]))
-    assert _gens(root) == [os.path.basename(store._gen_dir)]
+    assert _manifests(root) == [f"gen-{store._gen}.json"]
+    assert _leaves(root) == set(store._manifest.values())
     assert store.lookup("a").x == 3.0
     assert store.lookup("k3").x == 0.5
     assert store.lookup("nope") is None
 
 
-def test_snapshot_pins_generation_and_release_collects_it(spark, tmp_path):
+def test_snapshot_pins_leaves_and_release_collects_them(spark, tmp_path):
     root = str(tmp_path / "spill")
     store = ModelStore(spark, "PIN", max_dict_keys=1, spill_buckets=4, spill_dir=root)
     store.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
     v = store.snapshot()
-    pinned = store._gen_dir
+    pinned_map = dict(store._manifest)
     store.upsert_batch(_mk_batch(spark, [("a", 9.0)]))
-    # two generations live: the snapshot's and the current one
-    assert set(_gens(root)) == {os.path.basename(pinned), os.path.basename(store._gen_dir)}
+    # disk holds the union of the pinned and live manifests' leaves —
+    # shared (untouched) leaves are the SAME directories, not copies
+    assert _leaves(root) == set(pinned_map.values()) | set(store._manifest.values())
     # rollback still green while the snapshot is held
     store.rollback(v)
     assert store.lookup("a").x == 1.0
-    # roll forward again by upserting, then release: the pinned gen goes away
+    # roll forward again by upserting, then release: the superseded
+    # leaves go away and only the live manifest's remain
     store.upsert_batch(_mk_batch(spark, [("a", 9.0)]))
     store.release_snapshot(v)
-    assert _gens(root) == [os.path.basename(store._gen_dir)]
+    assert _leaves(root) == set(store._manifest.values())
+    assert _manifests(root) == [f"gen-{store._gen}.json"]
     assert store.lookup("a").x == 9.0
     with pytest.raises(KeyError):
         store.release_snapshot(v)
@@ -70,9 +149,10 @@ def test_expire_snapshots_drops_all_pins(spark, tmp_path):
     for i in range(3):
         store.snapshot()
         store.upsert_batch(_mk_batch(spark, [("a", float(i))]))
-    assert len(_gens(root)) == 4
+    # three pinned superseded copies of a's leaf exist alongside the live one
+    assert len(_leaves(root)) > len(set(store._manifest.values()))
     store.expire_snapshots()
-    assert _gens(root) == [os.path.basename(store._gen_dir)]
+    assert _leaves(root) == set(store._manifest.values())
     assert store.lookup("a").x == 2.0
 
 
@@ -86,7 +166,7 @@ def test_restart_recovery_reattaches_and_never_clobbers(spark, tmp_path):
     old_gen = first._gen
     del first
 
-    # constructor passes a DIFFERENT bucket count: the generation's
+    # constructor passes a DIFFERENT bucket count: the manifest's
     # metadata wins, so bucket pruning still matches the written layout
     second = ModelStore(spark, "REC", spill_buckets=2, spill_dir=root)
     assert second._spilled
@@ -122,11 +202,11 @@ def test_reserved_column_rejected_before_any_mutation(spark):
     assert len(store) == 1 and store.lookup("b") is None
 
 
-def test_duplicate_key_generation_fails_loud(spark, tmp_path):
-    """ADVICE r8: an externally-written generation with duplicate keys
-    must raise, not silently serve an arbitrary row."""
+def test_duplicate_key_leaf_fails_loud(spark, tmp_path):
+    """ADVICE r8: an externally-written leaf with duplicate keys must
+    raise on lookup, not silently serve an arbitrary row."""
     root = str(tmp_path / "spill")
-    gen = os.path.join(root, "gen-1")
+    data = os.path.join(root, "data-1")
     from pyspark.sql import functions as F
 
     dup = spark.createDataFrame(
@@ -135,11 +215,14 @@ def test_duplicate_key_generation_fails_loud(spark, tmp_path):
         "spill_bucket",
         F.pmod(F.crc32(F.encode(F.col("key"), "UTF-8")), F.lit(4)).cast("int"),
     )
-    dup.repartition(1).write.partitionBy("spill_bucket").parquet(gen)
-    import json
-
-    with open(os.path.join(gen, "_store_meta.json"), "w") as fh:
-        json.dump({"buckets": 4, "cols": ["key", "x"]}, fh)
+    dup.repartition(1).write.partitionBy("spill_bucket").parquet(data)
+    leaves = {
+        d.split("=")[1]: f"data-1/{d}"
+        for d in os.listdir(data)
+        if d.startswith("spill_bucket=")
+    }
+    with open(os.path.join(root, "gen-1.json"), "w") as fh:
+        json.dump({"buckets": 4, "cols": ["key", "x"], "map": leaves}, fh)
 
     store = ModelStore(spark, "DUP", spill_dir=root)
     assert store._spilled
@@ -152,8 +235,9 @@ def test_streaming_loop_snapshot_validate_release_bounds_disk(spark, tmp_path):
     """The operational serving loop the GC enables, end-to-end through
     the STREAMING loader (K4/X1): each incremental model drop is
     upserted via stream_model_into_store, snapshotted, validated by
-    point lookup, and released — disk stays at one generation across
-    the whole run, and a deliberately-held snapshot still rolls back."""
+    point lookup, and released — disk stays at live + held-pin leaves
+    across the whole run, and a deliberately-held snapshot still rolls
+    back."""
     from flink_ms_spark.streaming.loader import stream_model_into_store
 
     src = tmp_path / "model_in"
@@ -173,84 +257,103 @@ def test_streaming_loop_snapshot_validate_release_bounds_disk(spark, tmp_path):
     drop("a.txt", ["1,U,1.0;2.0", "2,U,3.0;4.0"])  # spills (2 > cap 1)
     assert store._spilled
     held = store.snapshot()  # pin the v1 model for rollback
+    held_map = dict(store._manifest)
     for i, fname in enumerate(("b.txt", "c.txt", "d.txt")):
         drop(fname, [f"1,U,{i + 10}.0;0.0"])
         v = store.snapshot()
         assert list(store.lookup("1-U").factors) == [float(i + 10), 0.0]
         store.release_snapshot(v)  # validated → un-pin
-    # one generation for the live view + one pinned by the held snapshot
-    assert len(_gens(root)) == 2
+        # disk = live manifest's leaves + the held pin's — nothing else
+        assert _leaves(root) == set(store._manifest.values()) | set(held_map.values())
     store.rollback(held)
     assert list(store.lookup("1-U").factors) == [1.0, 2.0]
     store.release_snapshot(held)
 
 
-def test_recovery_skips_incomplete_newest_generation(spark, tmp_path):
-    """A crash mid-write leaves a gen-N with no _SUCCESS: recovery
-    attaches the newest COMPLETE generation but still resumes the
-    counter past the dead one, and the next write GCs the debris."""
+def test_recovery_skips_unmanifested_data_as_debris(spark, tmp_path):
+    """ADVICE r9 (medium): the manifest is written AFTER the leaf
+    parquet commit, so a crash in that window leaves a data-N dir
+    (even a _SUCCESS'd one) no manifest references. Attaching it with
+    the constructor's bucket count would silently break bucket-pruned
+    lookups — recovery must skip it (newest manifest wins), resume the
+    counter past it, and the next write must GC the debris."""
     root = str(tmp_path / "spill")
-    first = ModelStore(spark, "REC2", max_dict_keys=1, spill_buckets=4, spill_dir=root)
+    first = ModelStore(spark, "REC2", max_dict_keys=1, spill_buckets=8, spill_dir=root)
     first.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
     live = first._gen
-    dead = os.path.join(root, f"gen-{live + 1}")
-    os.makedirs(dead)  # simulated crashed write: directory, no _SUCCESS
-    with open(os.path.join(dead, "part-00000.parquet"), "wb") as fh:
-        fh.write(b"torn write")
     del first
 
-    second = ModelStore(spark, "REC2", spill_dir=root)
+    # simulated crash between parquet commit and manifest write: a real
+    # Spark write (has _SUCCESS) whose gen-N.json never landed
+    dead = os.path.join(root, f"data-{live + 1}")
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame([("x", 9.0)], "key string, x double").withColumn(
+        "spill_bucket", F.lit(0)
+    ).write.partitionBy("spill_bucket").parquet(dead)
+    assert os.path.exists(os.path.join(dead, "_SUCCESS"))
+
+    second = ModelStore(spark, "REC2", spill_buckets=2, spill_dir=root)
+    assert second._spilled
+    assert second.spill_buckets == 8  # the manifested generation wins
+    assert second._gen == live + 1  # counter resumed past the debris
+    assert second.lookup("a").x == 1.0 and second.lookup("x") is None
+    second.upsert_batch(_mk_batch(spark, [("c", 3.0)]))
+    assert second.lookup("c").x == 3.0
+    assert not os.path.exists(dead)  # debris GC'd by the write
+    assert _leaves(root) == set(second._manifest.values())
+
+
+def test_recovery_falls_back_past_torn_manifest(spark, tmp_path):
+    """A torn manifest WRITE (unparseable gen-N.json) must not brick
+    recovery: the next-newest parseable manifest attaches, and the
+    counter still resumes past the torn number so it is never reused."""
+    root = str(tmp_path / "spill")
+    first = ModelStore(spark, "TORN", max_dict_keys=1, spill_buckets=4, spill_dir=root)
+    first.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
+    live = first._gen
+    del first
+    with open(os.path.join(root, f"gen-{live + 1}.json"), "w") as fh:
+        fh.write('{"buckets": 4, "cols": ["k')  # torn mid-write
+
+    second = ModelStore(spark, "TORN", spill_dir=root)
     assert second._spilled and second._gen == live + 1
     assert second.lookup("a").x == 1.0
     second.upsert_batch(_mk_batch(spark, [("a", 5.0)]))
     assert second._gen == live + 2
     assert second.lookup("a").x == 5.0
-    # GC removed both the superseded live gen and the torn one
-    assert _gens(root) == [f"gen-{live + 2}"]
+    assert _manifests(root) == [f"gen-{live + 2}.json"]  # torn file GC'd
 
 
 def test_lookup_spark_fallback_when_arrow_cannot_read(spark, tmp_path):
-    """A generation pyarrow can't open (e.g. hdfs:// without libhdfs)
-    caches a known-bad verdict and every lookup serves through the
-    partition-pruned Spark filter with identical rows."""
+    """A leaf pyarrow can't open (e.g. hdfs:// without libhdfs) caches
+    a known-bad verdict and every lookup on that leaf serves through
+    the leaf-scoped Spark filter with identical rows."""
     root = str(tmp_path / "spill")
     store = ModelStore(spark, "FB", max_dict_keys=1, spill_buckets=4, spill_dir=root)
     store.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
     assert store._spilled
     via_arrow = store.lookup("a")
-    store._arrow_cache = {store._gen_dir: False}  # simulate unreadable
+    poisoned = {store._leaf_abs(p): False for p in store._manifest.values()}
+    store._arrow_cache = dict(poisoned)  # simulate unreadable leaves
     assert store.lookup("a") == via_arrow
     assert store.lookup("b").x == 2.0
     assert store.lookup("zz") is None
-    assert store._arrow_cache == {store._gen_dir: False}  # no re-probe
+    assert store._arrow_cache == poisoned  # no re-probe
 
 
-def test_recovery_treats_meta_less_generation_as_debris(spark, tmp_path):
-    """ADVICE r9 (medium): _store_meta.json is written AFTER the Spark
-    parquet commit, so a crash in that window leaves a _SUCCESS'd gen
-    with no meta. Attaching it with the constructor's bucket count
-    would silently break bucket-pruned lookups whenever the counts
-    differ — recovery must skip it (newest COMPLETE gen wins) and the
-    next write must GC the debris."""
+def test_arrow_cache_survives_upserts_to_other_buckets(spark, tmp_path):
+    """Leaves are immutable, so an untouched bucket's warm pyarrow
+    dataset must survive an upsert to a different bucket (the previous
+    full-rewrite design invalidated the whole cache every batch)."""
     root = str(tmp_path / "spill")
-    first = ModelStore(spark, "REC3", max_dict_keys=1, spill_buckets=8, spill_dir=root)
-    first.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
-    live = first._gen
-    del first
-
-    # simulated crash between parquet commit and meta write: a real
-    # Spark write (has _SUCCESS) whose _store_meta.json never landed
-    dead = os.path.join(root, f"gen-{live + 1}")
-    spark.createDataFrame([("x", 9.0)], "key string, x double").withColumn(
-        "spill_bucket", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0)
-    ).write.partitionBy("spill_bucket").parquet(dead)
-    assert os.path.exists(os.path.join(dead, "_SUCCESS"))
-
-    second = ModelStore(spark, "REC3", spill_buckets=2, spill_dir=root)
-    assert second._spilled
-    assert second.spill_buckets == 8  # the COMPLETE gen's meta wins
-    assert second._gen == live + 1  # counter resumed past the debris
-    assert second.lookup("a").x == 1.0 and second.lookup("x") is None
-    second.upsert_batch(_mk_batch(spark, [("c", 3.0)]))
-    assert second.lookup("c").x == 3.0
-    assert _gens(root) == [f"gen-{live + 2}"]  # debris GC'd with the old gen
+    store = ModelStore(spark, "WARM", max_dict_keys=1, spill_buckets=8, spill_dir=root)
+    store.upsert_batch(_mk_batch(spark, [(f"k{i}", float(i)) for i in range(32)]))
+    assert store._spilled
+    probe = next(k for k in ("k0", "k1", "k2") if store._bucket_of(k) != store._bucket_of("k7"))
+    assert store.lookup(probe).x == float(probe[1:])
+    warm = store._arrow_cache[store._leaf_abs(store._manifest[store._bucket_of(probe)])]
+    store.upsert_batch(_mk_batch(spark, [("k7", 700.0)]))
+    leaf = store._leaf_abs(store._manifest[store._bucket_of(probe)])
+    assert store._arrow_cache.get(leaf) is warm  # same dataset object
+    assert store.lookup(probe).x == float(probe[1:])

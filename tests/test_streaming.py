@@ -877,14 +877,15 @@ def test_rules_ban_keeps_null_source_rows(spark):
 
 
 def test_spilled_store_bucket_pruned_layout(spark):
-    """Round-8 spill redesign (VERDICT r7 task 5): the spilled view is
-    a parquet generation hive-partitioned by crc32(key) % B, so a
-    point lookup computes the bucket DRIVER-side and reads one
-    partition directory. Pins: (a) the on-disk layout, (b) driver
-    zlib.crc32 agrees with Spark's crc32 about every key's partition,
-    (c) the Spark partition-pruned fallback answers identically to the
-    pyarrow fast path, (d) payload columns may not shadow the
-    partition column."""
+    """Round-8 spill redesign + round-10 manifest layout (VERDICT r7
+    task 5, r9 task 5): the spilled view lives in immutable per-bucket
+    leaf dirs ``data-G/spill_bucket=B`` referenced by a manifest, so a
+    point lookup computes the bucket DRIVER-side and reads one leaf.
+    Pins: (a) the on-disk layout — one leaf per occupied bucket, every
+    manifest entry present, (b) driver zlib.crc32 agrees with Spark's
+    crc32 about every key's bucket, (c) the leaf-scoped Spark fallback
+    answers identically to the pyarrow fast path, (d) payload columns
+    may not shadow the bucket column."""
     import os
 
     import zlib
@@ -899,13 +900,14 @@ def test_spilled_store_bucket_pruned_layout(spark):
     store.upsert_batch(kv)
     assert store._spilled
 
-    # (a) hive layout, one dir per occupied bucket
-    dirs = sorted(
-        d for d in os.listdir(store._gen_dir) if d.startswith("spill_bucket=")
-    )
-    assert dirs and all(d.split("=")[1].isdigit() for d in dirs)
+    # (a) manifest layout: every referenced leaf exists on disk and is
+    # named for the bucket it holds
+    assert store._manifest
+    for b, rel in store._manifest.items():
+        assert rel.endswith(f"spill_bucket={b}")
+        assert os.path.isdir(store._leaf_abs(rel))
 
-    # (b) Spark placed each key in the partition the driver computes
+    # (b) Spark placed each key in the bucket the driver computes
     placed = {
         r.key: r.spill_bucket
         for r in store._df.select("key", "spill_bucket").collect()
@@ -913,21 +915,26 @@ def test_spilled_store_bucket_pruned_layout(spark):
     assert len(placed) == 40
     for k, b in placed.items():
         assert store._bucket_of(k) == b == zlib.crc32(k.encode()) % 8
+        # ...and that bucket's leaf really holds the key
+        leaf = store._leaf_abs(store._manifest[b])
+        assert spark.read.parquet(leaf).where(F.col("key") == k).count() == 1
 
-    # (c) arrow fast path == Spark pruned-filter fallback, hits and miss
+    # (c) arrow fast path == leaf-scoped Spark fallback, hits and miss
     for k in ("k0", "k13", "k39", "absent"):
         via_arrow = store.lookup(k)
-        b = store._bucket_of(k)
+        rel = store._manifest.get(store._bucket_of(k))
         rows = (
-            store._df.where(
-                (F.col("spill_bucket") == b) & (F.col("key") == k)
-            ).collect()
+            spark.read.parquet(store._leaf_abs(rel))
+            .where(F.col("key") == k)
+            .collect()
+            if rel is not None
+            else []
         )
         if via_arrow is None:
             assert not rows
         else:
             d = rows[0].asDict()
-            d.pop("key"), d.pop("spill_bucket")
+            d.pop("key")
             assert via_arrow.asDict() == d
 
     # (d) collision guard is loud
