@@ -287,7 +287,9 @@ def spilled_lookup_bench(spark, kv, n_queries: int = 50) -> dict[str, float]:
     p50, now ~2 ms). Measured single-shot, 50 hits on known keys, so
     the spill price stays a recorded fact rather than a docstring
     claim."""
-    store = ModelStore(spark, "ALS_MODEL_SPILLED", max_dict_keys=1)
+    # hot_cache_keys=0 so every timed lookup pays the real leaf read —
+    # the LRU warm tier is measured separately below
+    store = ModelStore(spark, "ALS_MODEL_SPILLED", max_dict_keys=1, hot_cache_keys=0)
     store.upsert_batch(kv)
     assert store._spilled, "spilled-lookup bench requires an engaged spill"
     keys = [r.key for r in kv.select("key").limit(n_queries).collect()]
@@ -299,9 +301,26 @@ def spilled_lookup_bench(spark, kv, n_queries: int = 50) -> dict[str, float]:
         lat.append((time.perf_counter() - t0) * 1000.0)
         assert row is not None
     lat.sort()
+    # the r10 hot tier: repeat hits on cached keys are dict-speed (the
+    # reference's RocksDB block-cache analogue); measured min-of-2 per
+    # key like the in-memory tier, same pause-outlier rationale
+    store.hot_cache_keys = n_queries
+    for k in keys:
+        store.lookup(k)  # populate the tier (not counted)
+    hot = []
+    for k in keys:
+        t0 = time.perf_counter()
+        store.lookup(k)
+        ms = (time.perf_counter() - t0) * 1000.0
+        t0 = time.perf_counter()
+        store.lookup(k)
+        hot.append(min(ms, (time.perf_counter() - t0) * 1000.0))
+    hot.sort()
     return {
         "point_lookup_spilled_p50_ms": round(lat[len(lat) // 2], 4),
         "point_lookup_spilled_p95_ms": round(lat[int(len(lat) * 0.95)], 4),
+        "point_lookup_hot_tier_p50_ms": round(hot[len(hot) // 2], 4),
+        "point_lookup_hot_tier_p95_ms": round(hot[int(len(hot) * 0.95)], 4),
     }
 
 

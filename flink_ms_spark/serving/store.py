@@ -57,6 +57,7 @@ import json
 import re
 import tempfile
 import zlib
+from collections import OrderedDict
 from typing import Optional
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -75,11 +76,22 @@ class ModelStore:
         max_dict_keys: int | None = None,
         spill_buckets: int = 32,
         spill_dir: str | None = None,
+        hot_cache_keys: int = 4096,
     ):
         self.spark = spark
         self.name = name
         self.max_dict_keys = max_dict_keys
         self.spill_buckets = spill_buckets
+        # LRU warm tier in front of the SPILLED store: µs-class repeat
+        # hits on the head of the key distribution, ms-class pyarrow
+        # reads underneath — the reference's RocksDB block-cache
+        # hot/cold reality (ALSKafkaConsumer.java:53-65 state backend).
+        # Misses are cached too (a miss costs the same leaf read).
+        # Coherence: upserts evict every cached entry in a TOUCHED
+        # bucket (driver knows each key's bucket), rollback/recovery
+        # clear. 0 disables.
+        self.hot_cache_keys = hot_cache_keys
+        self._hot: OrderedDict[str, Optional[Row]] = OrderedDict()
         # on a cluster point spill_dir at shared storage (HDFS/S3) so
         # the spilled view survives driver restarts: the constructor
         # scans for the newest COMPLETE generation (a `_SUCCESS`-marked
@@ -392,6 +404,7 @@ class ModelStore:
         leaves = self._write_leaves(self._df, self.spill_buckets)
         self._install_manifest(leaves, cols)
         self._dict = {}
+        self._hot.clear()
         self._spilled = True
 
     def _merge_spilled(self, latest: DataFrame) -> None:
@@ -447,6 +460,13 @@ class ModelStore:
         finally:
             latest.unpersist()
         self._install_manifest({**self._manifest, **new_leaves}, self._cols)
+        # hot-tier coherence at bucket granularity: any cached entry
+        # (hit or miss sentinel) whose key hashes into a rewritten
+        # bucket may be stale now; untouched buckets' entries stay warm
+        if self._hot:
+            touched_set = set(touched)
+            for k in [k for k in self._hot if self._bucket_of(k) in touched_set]:
+                del self._hot[k]
 
     def _rebuild_df(self, schema) -> None:
         # align EVERY accumulated row to the CURRENT schema BY NAME:
@@ -480,6 +500,17 @@ class ModelStore:
         ms-class latency the reference's network lookup already pays."""
         if not self._spilled:
             return self._dict.get(key)
+        if self.hot_cache_keys and key in self._hot:
+            self._hot.move_to_end(key)
+            return self._hot[key]
+        row = self._lookup_leaf(key)
+        if self.hot_cache_keys:
+            self._hot[key] = row
+            if len(self._hot) > self.hot_cache_keys:
+                self._hot.popitem(last=False)
+        return row
+
+    def _lookup_leaf(self, key: str) -> Optional[Row]:
         rel = self._manifest.get(self._bucket_of(key))
         if rel is None:
             return None  # no key ever hashed into this bucket
@@ -576,6 +607,7 @@ class ModelStore:
         self._manifest = dict(manifest) if manifest is not None else None
         self._manifest_no = manifest_no
         self._cols = cols
+        self._hot.clear()  # cached rows belong to the rolled-away state
 
     def release_snapshot(self, version: int) -> None:
         """Drop a snapshot; any generation it alone was pinning is

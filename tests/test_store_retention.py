@@ -330,7 +330,12 @@ def test_lookup_spark_fallback_when_arrow_cannot_read(spark, tmp_path):
     a known-bad verdict and every lookup on that leaf serves through
     the leaf-scoped Spark filter with identical rows."""
     root = str(tmp_path / "spill")
-    store = ModelStore(spark, "FB", max_dict_keys=1, spill_buckets=4, spill_dir=root)
+    # hot_cache_keys=0: the LRU tier would otherwise serve these
+    # repeat lookups and the fallback path under test would never run
+    store = ModelStore(
+        spark, "FB", max_dict_keys=1, spill_buckets=4, spill_dir=root,
+        hot_cache_keys=0,
+    )
     store.upsert_batch(_mk_batch(spark, [("a", 1.0), ("b", 2.0)]))
     assert store._spilled
     via_arrow = store.lookup("a")
@@ -347,7 +352,10 @@ def test_arrow_cache_survives_upserts_to_other_buckets(spark, tmp_path):
     dataset must survive an upsert to a different bucket (the previous
     full-rewrite design invalidated the whole cache every batch)."""
     root = str(tmp_path / "spill")
-    store = ModelStore(spark, "WARM", max_dict_keys=1, spill_buckets=8, spill_dir=root)
+    store = ModelStore(
+        spark, "WARM", max_dict_keys=1, spill_buckets=8, spill_dir=root,
+        hot_cache_keys=0,  # exercise the pyarrow tier, not the LRU
+    )
     store.upsert_batch(_mk_batch(spark, [(f"k{i}", float(i)) for i in range(32)]))
     assert store._spilled
     probe = next(k for k in ("k0", "k1", "k2") if store._bucket_of(k) != store._bucket_of("k7"))
@@ -357,3 +365,53 @@ def test_arrow_cache_survives_upserts_to_other_buckets(spark, tmp_path):
     leaf = store._leaf_abs(store._manifest[store._bucket_of(probe)])
     assert store._arrow_cache.get(leaf) is warm  # same dataset object
     assert store.lookup(probe).x == float(probe[1:])
+
+
+def test_hot_tier_semantics_and_coherence(spark, tmp_path):
+    """The LRU warm tier (VERDICT r9 stretch — the reference's RocksDB
+    block-cache hot/cold shape): repeat hits serve from the driver
+    dict; an upsert evicts exactly the touched buckets' cached entries
+    (hits AND miss sentinels), so a hot key never serves stale and an
+    untouched key never pays the leaf read twice; rollback clears."""
+    root = str(tmp_path / "spill")
+    store = ModelStore(
+        spark, "HOT", max_dict_keys=1, spill_buckets=8, spill_dir=root,
+        hot_cache_keys=3,
+    )
+    store.upsert_batch(_mk_batch(spark, [(f"k{i}", float(i)) for i in range(32)]))
+    assert store._spilled
+
+    # a miss is cached as a sentinel...
+    assert store.lookup("ghost") is None
+    assert "ghost" in store._hot and store._hot["ghost"] is None
+    # ...and a hit is cached as its row
+    assert store.lookup("k7").x == 7.0
+    assert store._hot["k7"].x == 7.0
+
+    # upsert k7's bucket + make "ghost" real in ITS bucket: both
+    # cached entries must be evicted and re-read correctly
+    v = store.snapshot()
+    store.upsert_batch(_mk_batch(spark, [("k7", 700.0), ("ghost", 1.0)]))
+    assert store.lookup("k7").x == 700.0
+    assert store.lookup("ghost").x == 1.0  # miss sentinel evicted
+
+    # an entry in an untouched bucket survives the upsert warm
+    probe = next(
+        k for k in (f"k{i}" for i in range(32))
+        if store._bucket_of(k) not in {store._bucket_of("k7"), store._bucket_of("ghost")}
+    )
+    store.lookup(probe)
+    cached = store._hot[probe]
+    store.upsert_batch(_mk_batch(spark, [("k7", 701.0)]))
+    assert store._hot.get(probe) is cached  # same object — never re-read
+
+    # LRU cap: never more than hot_cache_keys entries
+    for k in ("k1", "k2", "k3", "k5"):
+        store.lookup(k)
+    assert len(store._hot) <= 3
+
+    # rollback discards the cache wholesale (rows belong to new state)
+    store.rollback(v)
+    assert not store._hot
+    assert store.lookup("k7").x == 7.0 and store.lookup("ghost") is None
+    store.release_snapshot(v)
