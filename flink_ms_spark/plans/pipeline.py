@@ -1391,3 +1391,116 @@ def q_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021 §A1.1) — the full
+# non-repetition rule set as one pass (repetition rules live in
+# ``repetition_stats``): word-count band, mean-word-length band,
+# symbol-to-word ratio (# and ...), alphabetic-word fraction, and the
+# required-stopword floor (≥2 of the 8 canonical Gopher stop words).
+# Everything is per-row column math over the token array (one narrow
+# map, NO explode — the arrays stay row-local), then a single
+# partial-aggregating shuffle keyed by source. At 100 TB: a scan-shaped
+# job; the per-source agg is a handful of keys with map-side combine.
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, text,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+d AS (SELECT source,
+             len(t) AS n_words,
+             CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE)
+               / len(t) AS mean_wl,
+             CAST((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) / 3
+                  AS DOUBLE) / len(t) AS sym_ratio,
+             CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS DOUBLE) / len(t) AS alpha_frac,
+             len(list_distinct(list_filter(t,
+                 w -> list_contains({list(_GOPHER_STOPS)}, w)))) AS stop_hits
+      FROM toks),
+r AS (SELECT source,
+             (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+             (mean_wl >= 3 AND mean_wl <= 10) AS r_meanlen,
+             (sym_ratio < 0.1) AS r_symbol,
+             (alpha_frac >= 0.8) AS r_alpha,
+             (stop_hits >= 2) AS r_stop
+      FROM d)
+SELECT source, count(*) AS n_docs,
+       CAST(round(avg(CASE WHEN r_wordcount THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS wordcount_rate,
+       CAST(round(avg(CASE WHEN r_meanlen THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS meanlen_rate,
+       CAST(round(avg(CASE WHEN r_symbol THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS symbol_rate,
+       CAST(round(avg(CASE WHEN r_alpha THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS alpha_rate,
+       CAST(round(avg(CASE WHEN r_stop THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS stop_rate,
+       CAST(sum(CASE WHEN r_wordcount AND r_meanlen AND r_symbol
+                      AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+@register("gopher_rules", oracle=_GOPHER_ORACLE)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass rates for the Gopher §A1.1 quality rules."""
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.expr("split(trim(text), '\\\\s+')").alias("t"),
+        F.col("text"),
+    ).select(
+        "source",
+        F.size("t").alias("n_words"),
+        (
+            F.expr("aggregate(t, 0L, (a, w) -> a + length(w))").cast("double")
+            / F.size("t")
+        ).alias("mean_wl"),
+        (
+            (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+                + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+            ).cast("double")
+            / F.size("t")
+        ).alias("sym_ratio"),
+        (
+            F.size(F.expr("filter(t, w -> w rlike '[A-Za-z]')")).cast("double")
+            / F.size("t")
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_distinct(F.expr(f"filter(t, w -> w IN ({stops}))"))
+        ).alias("stop_hits"),
+    )
+    r = d.select(
+        "source",
+        F.col("n_words").between(50, 100000).alias("r_wordcount"),
+        ((F.col("mean_wl") >= 3) & (F.col("mean_wl") <= 10)).alias("r_meanlen"),
+        (F.col("sym_ratio") < 0.1).alias("r_symbol"),
+        (F.col("alpha_frac") >= 0.8).alias("r_alpha"),
+        (F.col("stop_hits") >= 2).alias("r_stop"),
+    )
+
+    def rate(c: str):
+        return F.round(
+            F.avg(F.when(F.col(c), F.lit(1.0)).otherwise(F.lit(0.0))), 6
+        )
+
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        rate("r_wordcount").alias("wordcount_rate"),
+        rate("r_meanlen").alias("meanlen_rate"),
+        rate("r_symbol").alias("symbol_rate"),
+        rate("r_alpha").alias("alpha_rate"),
+        rate("r_stop").alias("stop_rate"),
+        F.sum(
+            F.when(
+                F.col("r_wordcount")
+                & F.col("r_meanlen")
+                & F.col("r_symbol")
+                & F.col("r_alpha")
+                & F.col("r_stop"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_pass_all"),
+    ).orderBy("source")

@@ -1404,3 +1404,67 @@ FROM j WHERE len(regexp_extract_all(journey, 'vc*p')) >= 1
 ORDER BY user_id
 """,
 )
+
+
+# Lakehouse CDC MERGE (Delta/Iceberg MERGE INTO shape): the last two
+# observed days of the event log are a change feed applied to the
+# snapshot built from everything before — latest-wins per user on both
+# sides (max_by over the zero-padded ts||event_id key, the same
+# sort-free arg-max as user_last_event), 'error' events are tombstones.
+# The FULL OUTER join classifies every key as insert / update / delete
+# / keep, with the post-merge value (NULL for deletes). At scale both
+# sides partial-aggregate map-side before ONE key-partitioned join;
+# there is no window sort over the raw log.
+register_sql(
+    "cdc_upsert_merge",
+    spark_sql="""
+WITH e AS (SELECT user_id, event_type, value,
+                  CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT) AS day_no,
+                  lpad(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING), 20, '0')
+                    || lpad(CAST(event_id AS STRING), 12, '0') AS ok
+           FROM events),
+cut AS (SELECT max(day_no) - 1 AS d0 FROM e),
+base AS (SELECT user_id, max_by(value, ok) AS value
+         FROM e, cut WHERE day_no < d0 GROUP BY user_id),
+delta AS (SELECT user_id,
+                 CASE WHEN max_by(event_type, ok) = 'error' THEN 'D'
+                      ELSE 'U' END AS op,
+                 max_by(value, ok) AS value
+          FROM e, cut WHERE day_no >= d0 GROUP BY user_id)
+SELECT coalesce(b.user_id, d.user_id) AS user_id,
+       CASE WHEN d.user_id IS NULL THEN 'keep'
+            WHEN d.op = 'D' THEN 'delete'
+            WHEN b.user_id IS NULL THEN 'insert'
+            ELSE 'update' END AS action,
+       CAST(round(CASE WHEN d.user_id IS NULL THEN b.value
+                       WHEN d.op = 'D' THEN NULL
+                       ELSE d.value END, 6) AS DOUBLE) AS new_value
+FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+ORDER BY user_id
+""",
+    duck_sql="""
+WITH e AS (SELECT user_id, event_type, value,
+                  epoch_us(ts) // 86400000000 AS day_no,
+                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                    || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+           FROM events),
+cut AS (SELECT max(day_no) - 1 AS d0 FROM e),
+base AS (SELECT user_id, max_by(value, ok) AS value
+         FROM e, cut WHERE day_no < d0 GROUP BY user_id),
+delta AS (SELECT user_id,
+                 CASE WHEN max_by(event_type, ok) = 'error' THEN 'D'
+                      ELSE 'U' END AS op,
+                 max_by(value, ok) AS value
+          FROM e, cut WHERE day_no >= d0 GROUP BY user_id)
+SELECT coalesce(b.user_id, d.user_id) AS user_id,
+       CASE WHEN d.user_id IS NULL THEN 'keep'
+            WHEN d.op = 'D' THEN 'delete'
+            WHEN b.user_id IS NULL THEN 'insert'
+            ELSE 'update' END AS action,
+       CAST(round(CASE WHEN d.user_id IS NULL THEN b.value
+                       WHEN d.op = 'D' THEN NULL
+                       ELSE d.value END, 6) AS DOUBLE) AS new_value
+FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+ORDER BY user_id
+""",
+)
