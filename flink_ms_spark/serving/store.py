@@ -112,6 +112,9 @@ class ModelStore:
         # written and may be shared by many manifests
         self._manifest: dict[int, str] | None = None
         self._manifest_no: int | None = None
+        # leaf schema (StructType json) of the live generation — what
+        # lets an empty-map generation keep a typed view
+        self._leaf_schema_json: str | None = None
         self._cols: list[str] | None = None  # view column order
         self._arrow_cache: dict[str, object] = {}  # abs leaf dir -> dataset
         self._snapshots: dict[
@@ -203,6 +206,9 @@ class ModelStore:
                 continue  # torn manifest write — debris, try older
             self.spill_buckets = int(meta["buckets"])
             self._cols = list(meta["cols"])
+            self._leaf_schema_json = meta.get("schema")
+            if not meta["map"] and not self._leaf_schema_json:
+                continue  # empty pre-schema manifest: unreconstructable
             self._manifest = {int(b): p for b, p in meta["map"].items()}
             self._manifest_no = int(self._MANIFEST_RE.match(name).group(1))
             self._df = self._read_view()
@@ -213,7 +219,16 @@ class ModelStore:
         """The full spilled view: one multi-path scan over the
         manifest's distinct leaves (each leaf is a plain parquet dir;
         the bucket id is re-derived as a column so the view's schema
-        matches the pre-manifest layout's read-back)."""
+        matches the pre-manifest layout's read-back). An EMPTY manifest
+        (every key deleted) reconstructs an empty frame from the
+        manifest's recorded leaf schema — there are no leaves to scan."""
+        if not self._manifest:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(self._leaf_schema_json))
+            return self.spark.createDataFrame([], schema).withColumn(
+                "spill_bucket", self._bucket_expr()
+            )
         leaves = sorted({self._leaf_abs(p) for p in self._manifest.values()})
         return self.spark.read.parquet(*leaves).withColumn(
             "spill_bucket", self._bucket_expr()
@@ -270,6 +285,10 @@ class ModelStore:
         opens a single file instead of one-per-shuffle-task."""
         data_name = f"data-{self._gen}"
         data_dir = self._join(self._spill_root, data_name)
+        # recorded in the manifest so an empty-map generation (every
+        # key deleted) can still reconstruct a typed empty view, both
+        # live and across a driver restart
+        self._leaf_schema_json = view_df.schema.json()
         (
             view_df.withColumn("spill_bucket", self._bucket_expr())
             .repartition(max(n_buckets_hint, 1), "spill_bucket")
@@ -295,6 +314,7 @@ class ModelStore:
                 {
                     "buckets": self.spill_buckets,
                     "cols": cols,
+                    "schema": self._leaf_schema_json,
                     "map": {str(b): p for b, p in sorted(new_map.items())},
                 }
             ),
@@ -468,6 +488,68 @@ class ModelStore:
             for k in [k for k in self._hot if self._bucket_of(k) in touched_set]:
                 del self._hot[k]
 
+    def delete_keys(self, keys, key_col: str = "key") -> int:
+        """CDC tombstones — the delete arm of a MERGE change feed (the
+        serving-side twin of ``cdc_upsert_merge``'s 'delete' action;
+        the reference's ValueState surface has upsert-only mutation,
+        ALSKafkaConsumer.java:85-92, so this is engine-side widening).
+        Accepts an iterable of keys or a batch-scale DataFrame carrying
+        ``key_col``; returns how many of them existed.
+
+        In-memory: dict pops + view rebuild. Spilled: rewrites ONLY the
+        buckets the keys hash into (left_anti over their leaves) — the
+        same O(batch + touched buckets) cost shape as upsert_batch. A
+        bucket emptied by the delete leaves the new manifest entirely
+        (absence of a bucket IS its tombstone; lookups in it are miss
+        by construction), untouched leaves are shared byte-identically.
+        Snapshots taken before the delete keep serving the deleted
+        keys; rollback restores them."""
+        if isinstance(keys, DataFrame):
+            key_list = [r[0] for r in keys.select(key_col).distinct().collect()]
+        else:
+            key_list = list(dict.fromkeys(keys))
+        if not key_list:
+            return 0
+        if not self._spilled:
+            n = sum(1 for k in key_list if self._dict.pop(k, None) is not None)
+            if n and self._df is not None:
+                self._rebuild_df(self._df.schema)
+            return n
+        by_bucket: dict[int, list[str]] = {}
+        for k in key_list:
+            by_bucket.setdefault(self._bucket_of(k), []).append(k)
+        # a key hashing into a bucket with no leaf cannot exist — the
+        # rewrite touches only buckets that hold data today
+        touched = sorted(b for b in by_bucket if b in self._manifest)
+        if not touched:
+            return 0
+        doomed = sorted(k for b in touched for k in by_bucket[b])
+        keys_df = self.spark.createDataFrame(
+            [(k,) for k in doomed], "key string"
+        )
+        old = self.spark.read.parquet(
+            *[self._leaf_abs(self._manifest[b]) for b in touched]
+        ).select(*self._cols).persist()  # two actions below
+        try:
+            n_existed = old.join(keys_df, "key", "semi").count()
+            if n_existed == 0:
+                return 0  # nothing present: manifest unchanged
+            survivors = old.join(keys_df, "key", "left_anti")
+            self._gen += 1
+            new_leaves = self._write_leaves(survivors, len(touched))
+        finally:
+            old.unpersist()
+        new_map = {
+            b: p for b, p in self._manifest.items() if b not in set(touched)
+        }
+        new_map.update(new_leaves)
+        self._install_manifest(new_map, self._cols)
+        if self._hot:
+            touched_set = set(touched)
+            for k in [k for k in self._hot if self._bucket_of(k) in touched_set]:
+                del self._hot[k]
+        return n_existed
+
     def _rebuild_df(self, schema) -> None:
         # align EVERY accumulated row to the CURRENT schema BY NAME:
         # createDataFrame maps Row objects positionally, so a later
@@ -626,6 +708,44 @@ class ModelStore:
         and compact on a schedule."""
         self._snapshots.clear()
         self._gc_generations()
+
+
+def apply_cdc_batch(
+    store: ModelStore,
+    batch: DataFrame,
+    key_col: str = "key",
+    op_col: str = "op",
+    delete_op: str = "D",
+    ordinal_col: str | None = None,
+) -> tuple[int, int]:
+    """Apply a MIXED change feed (upserts + tombstones) to a store —
+    the serving arm of the ``cdc_upsert_merge`` query: the LATEST op
+    per key within the batch decides its fate (``ordinal_col`` is the
+    source-offset order; input order when omitted), deletes remove the
+    key, everything else upserts the row's payload (op column never
+    stored). Returns ``(n_upserted, n_deleted)`` where n_deleted
+    counts tombstones whose key actually existed.
+
+    One keyed shuffle over the batch for the latest-wins dedup, then
+    the two store paths — both bucket-pruned when spilled. Upserts are
+    applied before deletes; the key sets are disjoint after the dedup,
+    so the order is immaterial to the final state."""
+    if ordinal_col is None:
+        batch = batch.withColumn("_cdc_ord", F.monotonically_increasing_id())
+        ordinal_col = "_cdc_ord"
+    latest = latest_per_key(batch, key_col=key_col, ordinal_col=ordinal_col)
+    latest = latest.persist()  # feeds both arms
+    try:
+        ups = latest.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+        n_up = ups.count()
+        if n_up:
+            # already one row per key — the ordinal is only a tiebreak
+            store.upsert_batch(ups.withColumn("_ord", F.lit(0)), ordinal_col="_ord")
+        dels = latest.where(F.col(op_col) == F.lit(delete_op)).select("key")
+        n_del = store.delete_keys(dels)
+    finally:
+        latest.unpersist()
+    return n_up, n_del
 
 
 def latest_per_key(df: DataFrame, key_col: str = "key", ordinal_col: str = "_ord") -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from flink_ms_spark.functions.codecs import parse_model_line
 from flink_ms_spark.operators.sgd import sgd_step
-from flink_ms_spark.serving.store import ModelStore
+from flink_ms_spark.serving.store import ModelStore, apply_cdc_batch
 from flink_ms_spark.sources.text import parse_rating_lines
 
 
@@ -63,6 +63,44 @@ def stream_model_into_store(
         store.upsert_batch(batch_df)
 
     writer = parsed.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def stream_cdc_into_store(
+    spark: SparkSession,
+    path: str,
+    store: ModelStore,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    trigger_interval: str = "60 seconds",
+):
+    """CDC change-feed loader: text stream of ``key,OP,x`` lines (OP =
+    ``U`` upsert / ``D`` tombstone) applied to the store with
+    latest-op-per-key-wins micro-batch semantics via
+    :func:`flink_ms_spark.serving.store.apply_cdc_batch` — the
+    streaming twin of the ``cdc_upsert_merge`` catalog query, and the
+    delete-capable extension of :func:`stream_model_into_store`
+    (the reference's consumer is upsert-only,
+    ALSKafkaConsumer.java:85-92). Spilled stores pay only a
+    touched-bucket rewrite per micro-batch on BOTH arms."""
+    lines = spark.readStream.text(path)
+    parts = F.split(F.col("value"), ",")
+    parsed = lines.select(
+        parts.getItem(0).alias("key"),
+        parts.getItem(1).alias("op"),
+        parts.getItem(2).cast("double").alias("x"),
+    ).where(F.col("key").isNotNull() & (F.col("key") != ""))
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch(store, batch_df)
+
+    writer = parsed.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:
