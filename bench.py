@@ -180,6 +180,14 @@ HEADLINE = [
     "snapshot_incremental_dedup",
     # round-9 widening: real video demux + temporal features
     "media_frame_features",
+    # round-10 additions (VERDICT r9 items 3/7): the per-frame decode
+    # lane and the content-fingerprint video dedup join the record now
+    # that both carry driver CORRECTNESS rows in the r10 window, plus
+    # the round's two new queries
+    "media_frames",
+    "media_video_dedup",
+    "gopher_rules",
+    "cdc_upsert_merge",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
@@ -202,6 +210,7 @@ MEDIA_QUERIES = {
     "media_spectral_features",
     "media_dup_pairs",
     "media_frame_features",
+    "media_video_dedup",
 }
 
 
