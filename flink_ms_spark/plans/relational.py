@@ -1468,3 +1468,51 @@ FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
 ORDER BY user_id
 """,
 )
+
+# Slowly-changing-dimension type-2 interval build — the warehouse twin
+# of user_state_intervals (which reports run STATS): one row per
+# consecutive same-state run per user with [valid_from, valid_to)
+# bounds, valid_to = next run's start (NULL while current). Island id =
+# the classic two-window rn - rn_t trick; timestamps surface as epoch
+# micros (BIGINT) so cross-engine dtype canonicalization is exact.
+# Scale shape: both windows and the final lead() are PARTITIONED BY
+# user_id — per-key sorts, no global window; the agg partial-combines.
+register_sql(
+    "scd2_intervals",
+    spark_sql="""
+WITH o AS (SELECT user_id, event_type,
+                  unix_micros(CAST(ts AS TIMESTAMP)) AS tsu,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn_t
+           FROM events),
+runs AS (SELECT user_id, event_type AS state,
+                min(tsu) AS valid_from, count(*) AS n_events,
+                min(rn) AS ord
+         FROM o GROUP BY user_id, event_type, rn - rn_t)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY ord)
+         AS valid_to,
+       n_events
+FROM runs ORDER BY user_id, valid_from
+""",
+    duck_sql="""
+WITH o AS (SELECT user_id, event_type,
+                  epoch_us(ts) AS tsu,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn_t
+           FROM events),
+runs AS (SELECT user_id, event_type AS state,
+                min(tsu) AS valid_from, count(*) AS n_events,
+                min(rn) AS ord
+         FROM o GROUP BY user_id, event_type, rn - rn_t)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY ord)
+         AS valid_to,
+       n_events
+FROM runs ORDER BY user_id, valid_from
+""",
+)
