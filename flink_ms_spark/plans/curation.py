@@ -704,3 +704,209 @@ def q_snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunk dedup (round 10) — the storage-system view of
+# corpus redundancy. Documents are split at ROLLING-HASH boundaries
+# (operators/chunking.py — LBFS/restic-style CDC: window 8, min 16,
+# max 128, divisor 16), so an edited near-duplicate still shares every
+# chunk the edit did not touch; fixed windows (`doc_chunks`) would
+# shift all of them. Per source: chunk count, how many occurrences are
+# redundant (their md5 already owned by an earlier (doc_id, chunk_idx)
+# anywhere in the corpus), and the character volume dedup would save.
+#
+# Scale: chunking is a narrow map (no shuffle); the canonical-owner
+# reduction and the back-join both key on md5 chunk_hash (uniform —
+# the only hot keys are genuinely mass-duplicated chunks, which AQE
+# skew-split handles); the report is |sources| rows. Oracle: deferred
+# scalar-int Python replay of the SAME boundary contract written
+# independently of the numpy path (plain ord()/mask arithmetic), exact
+# because everything is integer except one final rounded division done
+# in SQL on both engines.
+
+
+def _cdc_chunk_oracle() -> str:
+    import hashlib as _hashlib
+    import os as _os
+
+    import duckdb as _duckdb
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    con = _duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, source, text FROM read_parquet(?) ORDER BY doc_id",
+        [_os.path.join(sf_dir, "documents.parquet")],
+    ).fetchall()
+    mask = (1 << 64) - 1
+    base, w, mn, mx, dv = 1099511628211, 8, 16, 128, 16
+    bw = pow(base, w, 1 << 64)
+    owner: dict[str, tuple[int, int]] = {}
+    per_doc: list[tuple[int, str, list[tuple[int, str]]]] = []
+    for doc_id, source, text in rows:
+        text = text or ""
+        n = len(text)
+        h, last = 0, 0
+        bounds = []
+        for i in range(1, n + 1):
+            h = (h * base + ord(text[i - 1])) & mask
+            if i > w:
+                h = (h - ord(text[i - 1 - w]) * bw) & mask
+            if (i - last >= mn and h % dv == 0) or (i - last >= mx):
+                bounds.append(i)
+                last = i
+        if last < n:
+            bounds.append(n)
+        chunks = []
+        start = 0
+        for idx, b in enumerate(bounds):
+            digest = _hashlib.md5(text[start:b].encode()).hexdigest()
+            chunks.append((b - start, digest))
+            if digest not in owner:
+                owner[digest] = (doc_id, idx)
+            start = b
+        per_doc.append((doc_id, source, chunks))
+    stats: dict[str, list[int]] = {}
+    for doc_id, source, chunks in per_doc:
+        st = stats.setdefault(source, [0, 0, 0, 0])
+        for idx, (length, digest) in enumerate(chunks):
+            st[0] += 1
+            st[2] += length
+            if owner[digest] != (doc_id, idx):
+                st[1] += 1
+                st[3] += length
+    body = ", ".join(
+        f"('{src}', {v[0]}, {v[1]}, {v[2]}, {v[3]})"
+        for src, v in sorted(stats.items())
+    )
+    return (
+        "SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks, "
+        "CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks, "
+        "CAST(n_chars_total AS BIGINT) AS n_chars_total, "
+        "CAST(dup_chars AS BIGINT) AS dup_chars, "
+        "round(CAST(dup_chars AS DOUBLE) * 100 / n_chars_total, 6) "
+        "AS dup_pct "
+        + values_clause(
+            body, "t(source, n_chunks, n_dup_chunks, n_chars_total, dup_chars)"
+        )
+        + " ORDER BY source"
+    )
+
+
+@register("cdc_chunk_dedup", oracle=_cdc_chunk_oracle)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-defined-chunk dedup report."""
+    from flink_ms_spark.operators.chunking import cdc_chunk_spans
+
+    spans = cdc_chunk_spans(load_table(spark, sf_dir, "documents"))
+    canon = spans.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("canon")
+    )
+    flagged = spans.join(canon, "chunk_hash").withColumn(
+        "is_dup",
+        (F.col("doc_id") != F.col("canon.doc_id"))
+        | (F.col("chunk_idx") != F.col("canon.chunk_idx")),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
+            F.sum("length").cast("long").alias("n_chars_total"),
+            F.sum(F.when(F.col("is_dup"), F.col("length")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        .withColumn(
+            "dup_pct",
+            F.round(
+                F.col("dup_chars").cast("double") * 100
+                / F.col("n_chars_total"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index build (round 10) — the postings-list materialization
+# step of a search index (term -> document frequency + the head of the
+# sorted postings list), for the 100 highest-df terms (ties broken by
+# token, so the cut is deterministic at any scale). tfidf/heavy-hitter
+# queries count terms; this one materializes WHERE each term lives,
+# which is the artifact a retrieval system actually ships.
+#
+# Scale: df is a pure count (partial-aggregating). The postings head
+# is the classic unbounded-collect trap — collect_list per term
+# explodes on stopword-grade terms — so the Spark side computes it as
+# a TWO-PHASE BOUNDED min-k: per (term, salt=doc_id%16) keep the 10
+# smallest doc_ids (partial state <= 10 rows), then merge the <=16
+# partial heads per term and cut to 10. The 10 global smallest are
+# always among the per-salt 10 smallest, so this is exact, and no
+# aggregation state ever exceeds 160 ids regardless of corpus size.
+# Only the 100 surviving terms (broadcast semi-join) reach the
+# postings stage at all.
+
+_INVERTED_INDEX_ORACLE = """
+WITH raw AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                      AS token
+             FROM documents),
+toks AS (SELECT DISTINCT doc_id, token FROM raw WHERE length(token) >= 3),
+dfx AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+top AS (SELECT token, df FROM dfx ORDER BY df DESC, token LIMIT 100),
+heads AS (SELECT t.token,
+                 array_to_string(list_sort(list(t.doc_id))[1:10], ',')
+                   AS postings_head
+          FROM toks t JOIN top USING (token) GROUP BY t.token)
+SELECT top.token, CAST(top.df AS BIGINT) AS df, heads.postings_head
+FROM top JOIN heads USING (token)
+ORDER BY df DESC, token
+"""
+
+
+@register("inverted_index", oracle=_INVERTED_INDEX_ORACLE)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100-df inverted index with bounded postings heads."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), "[^a-z0-9]+"),
+                        lambda x: F.length(x) >= 3,
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    dfx = toks.groupBy("token").agg(F.count("*").alias("df"))
+    top = dfx.orderBy(F.desc("df"), "token").limit(100)
+    # two-phase bounded min-k postings head (see block comment)
+    part = (
+        toks.join(F.broadcast(top.select("token")), "token")
+        .groupBy("token", F.pmod("doc_id", F.lit(16)).alias("salt"))
+        .agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
+                "part_head"
+            )
+        )
+    )
+    heads = part.groupBy("token").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("part_head"))), 1, 10)
+        .alias("head10")
+    )
+    return (
+        top.join(heads, "token")
+        .select(
+            "token",
+            "df",
+            F.array_join(
+                F.transform(F.col("head10"), lambda x: x.cast("string")), ","
+            ).alias("postings_head"),
+        )
+        .orderBy(F.desc("df"), "token")
+    )

@@ -1516,3 +1516,39 @@ SELECT user_id, state, valid_from,
 FROM runs ORDER BY user_id, valid_from
 """,
 )
+
+# TPC-H Q21 flavor (round 10) — suppliers who kept orders waiting: for
+# finished ('F') orders, the supplier whose line shipped >90 days after
+# the order date while EVERY other supplier on the same multi-supplier
+# order shipped on time. The fixture has no l_commitdate/l_receiptdate
+# (TESTDATA.md), so lateness is defined against o_orderdate; the SHAPE
+# is the point — the same correlated EXISTS (semi) + NOT EXISTS (anti,
+# with a non-equality outer reference) self-join pair as the standard
+# Q21, the hardest decorrelation case in the TPC-H suite.
+#
+# Scale: Catalyst decorrelates both subqueries into left-semi /
+# left-anti joins keyed on l_orderkey — the same key as the
+# orders⋈lineitem join, so AQE reuses one exchange of lineitem across
+# all three; supplier/nation broadcast. Dialect-shared SQL.
+register_sql(
+    "tpch_q21",
+    spark_sql="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)

@@ -1,0 +1,146 @@
+"""Content-defined chunking (operators/chunking.py): boundary-contract
+properties, edit locality (the reason CDC exists), and the exactness
+of the inverted-index two-phase bounded postings head."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from flink_ms_spark.operators.chunking import (
+    BASE,
+    cdc_chunk_spans,
+    chunk_boundaries,
+    _doc_chunks_numpy,
+)
+
+W, MIN, MAX, DIV = 8, 16, 128, 16
+
+
+def _text(n: int, seed: str = "cdc") -> str:
+    """Deterministic pseudo-random lowercase text (no RNG module)."""
+    out = []
+    i = 0
+    while len(out) < n:
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        out.extend(chr(ord("a") + int(c, 16) % 26) for c in h)
+        i += 1
+    return "".join(out[:n])
+
+
+# ------------------------------------------------------------------ unit
+
+def test_boundaries_forced_every_max_when_no_candidates():
+    assert chunk_boundaries([], 300, MIN, MAX) == [128, 256, 300]
+
+
+def test_boundaries_candidate_at_min_wins():
+    # candidate exactly at min_len is eligible; one inside the
+    # min-gap is skipped
+    assert chunk_boundaries([10, 16, 40], 50, 16, 128) == [16, 40, 50]
+
+
+def test_boundaries_empty_text():
+    assert chunk_boundaries([], 0, MIN, MAX) == []
+
+
+def test_min_len_below_window_rejected(spark):
+    from flink_ms_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError):
+        cdc_chunk_spans(docs, window=8, min_len=4)
+
+
+# ------------------------------------------------------------ properties
+
+@pytest.mark.parametrize("n", [0, 1, 15, 16, 17, 127, 128, 129, 5000])
+def test_spans_partition_the_text(n):
+    text = _text(n)
+    spans = _doc_chunks_numpy(text, W, MIN, MAX, DIV)
+    pos = 0
+    for start, length, digest in spans:
+        assert start == pos
+        assert 1 <= length <= MAX
+        assert digest == hashlib.md5(
+            text[start : start + length].encode()
+        ).hexdigest()
+        pos = start + length
+    assert pos == n
+    # every chunk except the tail respects min_len
+    for start, length, _ in spans[:-1]:
+        assert length >= MIN
+
+
+def test_edit_locality_vs_fixed_windows():
+    """Insert one char near the front: CDC re-shares the untouched
+    tail, a fixed-width splitter shares (almost) nothing."""
+    text = _text(4000)
+    edited = text[:50] + "X" + text[50:]
+    cdc_a = {d for _, _, d in _doc_chunks_numpy(text, W, MIN, MAX, DIV)}
+    cdc_b = {d for _, _, d in _doc_chunks_numpy(edited, W, MIN, MAX, DIV)}
+    shared = len(cdc_a & cdc_b) / len(cdc_a)
+    assert shared > 0.8, f"CDC should re-share most chunks, got {shared:.2f}"
+
+    def fixed(t):
+        return {
+            hashlib.md5(t[i : i + 64].encode()).hexdigest()
+            for i in range(0, len(t), 64)
+        }
+
+    fixed_shared = len(fixed(text) & fixed(edited)) / len(fixed(text))
+    assert fixed_shared < 0.1, (
+        f"fixed windows should shift everywhere, got {fixed_shared:.2f}"
+    )
+
+
+def test_base_is_odd():
+    # invertibility mod 2**64 is what makes the prefix trick exact
+    assert BASE % 2 == 1
+
+
+# ------------------------------------------------------------- dataframe
+
+def test_cdc_chunk_spans_matches_local(spark):
+    from flink_ms_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start, r.length, r.chunk_hash)
+        for r in cdc_chunk_spans(docs).collect()
+    }
+    local = {}
+    for row in docs.select("doc_id", "text").collect():
+        for idx, span in enumerate(
+            _doc_chunks_numpy(row.text, W, MIN, MAX, DIV)
+        ):
+            local[(row.doc_id, idx)] = span
+    assert got == local
+
+
+def test_inverted_index_two_phase_is_exact(spark):
+    """The salted bounded min-k must equal the true 10 smallest doc
+    ids per token — including when one salt bucket holds >10 docs."""
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    out = {
+        r.token: (r.df, r.postings_head)
+        for r in QUERIES["inverted_index"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    from flink_ms_spark.sources.tables import load_table
+    import re
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    postings: dict[str, set[int]] = {}
+    for row in docs.select("doc_id", "text").collect():
+        for tok in set(re.split("[^a-z0-9]+", row.text.lower())):
+            if len(tok) >= 3:
+                postings.setdefault(tok, set()).add(row.doc_id)
+    top = sorted(postings, key=lambda t: (-len(postings[t]), t))[:100]
+    assert set(out) == set(top)
+    for tok in top:
+        want = ",".join(str(d) for d in sorted(postings[tok])[:10])
+        assert out[tok] == (len(postings[tok]), want), tok
