@@ -1504,3 +1504,154 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_pass_all"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (round 10) — the scale path of
+# `decontaminate`. The exact variant broadcasts the eval-gram SET as a
+# hash relation; at web scale that set (billions of grams) cannot
+# ship, but its BLOOM FILTER (~10 bits/item for ~1% fp) can. Spark's
+# internal BloomFilterAggregate/might_contain pair is NOT in the
+# public SQL registry (4.1: runtime-filter-only), so the filter is
+# built explicitly — which also keeps every bit reproducible:
+# k=5 positions per gram from JVM-side xxhash64(seed, gram) mod m,
+# positions collected ONCE (distinct, ≤ min(k·n, m) ints — a bloom
+# must fit in memory by definition, that is its point), packed into a
+# numpy bitmap and broadcast; the train-side membership test is the
+# same k JVM hash columns + one Arrow-batched pandas UDF doing bitmap
+# fancy-indexing (the sanctioned vectorized-Python exception — there
+# is no built-in that probes a broadcast bitmap). The prefilter
+# discards ~everything at scan speed with ZERO shuffle; an exact
+# left-semi join then confirms only the bloom hits (false positives
+# die here; blooms have no false negatives, so the result is EXACTLY
+# the plain semi join the oracle runs). A doc is contaminated on ANY
+# confirmed 4-gram hit (the GPT-3-style any-collision rule —
+# 13-grams in the paper, 4 here because the synthetic fixture's
+# ~60-token docs share no span longer than 4 tokens — vs
+# `decontaminate`'s 50%-of-5-grams overlap score).
+
+_BLOOM_SEEDS = (17, 89, 251, 509, 1021)
+_BLOOM_BITS = 1 << 21  # ~2M bits; ~10 bits/item at the fixture scale
+
+
+def _bloom_positions(col):
+    """k bit positions for a gram: xxhash64 over (seed literal, gram)
+    — a seeded family, deterministic on both build and probe sides."""
+    return [
+        F.pmod(F.xxhash64(F.lit(s), col), F.lit(_BLOOM_BITS)).cast("long")
+        for s in _BLOOM_SEEDS
+    ]
+
+_BLOOM_DECON_ORACLE = """
+WITH toks AS (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+g AS (SELECT DISTINCT doc_id, source, gram FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+3], ' '))) AS gram
+        FROM toks WHERE len(t) >= 4)),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+hits AS (SELECT DISTINCT tr.doc_id, tr.source
+         FROM (SELECT * FROM g WHERE doc_id % 100 <> 0) tr
+         JOIN ev ON tr.gram = ev.gram),
+train AS (SELECT DISTINCT doc_id, source FROM toks
+          WHERE doc_id % 100 <> 0 AND len(t) >= 4),
+agg AS (SELECT t.source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_contaminated
+        FROM train t LEFT JOIN hits h
+          ON t.doc_id = h.doc_id GROUP BY t.source)
+SELECT source, n_docs, n_contaminated,
+       round(CAST(n_contaminated AS DOUBLE) * 100 / n_docs, 6)
+         AS contaminated_pct
+FROM agg ORDER BY source
+"""
+
+
+@register("bloom_decontaminate", oracle=_BLOOM_DECON_ORACLE)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source any-8-gram eval contamination via bloom prefilter +
+    exact confirm."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t")
+        )
+        .filter(F.size("t") >= 4)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 3),"
+                        " i -> concat_ws(' ', slice(t, i, 4)))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    ev = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
+    # build: distinct set-bit positions of the eval grams (bounded by
+    # the bitmap size), packed into a broadcast numpy bitmap — at
+    # corpus scale the caller sizes _BLOOM_BITS to the REAL eval
+    # cardinality (bits scale linearly, ~10 bits/item for ~1% fp)
+    import numpy as np
+
+    positions = (
+        ev.select(F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(_BLOOM_BITS, dtype=bool)
+    bitmap[[r.pos for r in positions]] = True
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _might_contain(h0, h1, h2, h3, h4):
+        import pandas as pd
+
+        bm = bc.value
+        hit = bm[h0.to_numpy()]
+        for h in (h1, h2, h3, h4):
+            hit &= bm[h.to_numpy()]
+        return pd.Series(hit)
+
+    probes = _bloom_positions(F.col("gram"))
+    prefiltered = (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .where(_might_contain(*probes))
+    )
+    confirmed = prefiltered.join(F.broadcast(ev), "gram", "left_semi")
+    hit_docs = confirmed.select("doc_id").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    train_docs = (
+        docs.filter(F.col("doc_id") % 100 != 0)
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 4)
+        .select("doc_id", "source")
+    )
+    return (
+        train_docs.join(hit_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") * 100
+                / F.col("n_docs"),
+                6,
+            ).alias("contaminated_pct"),
+        )
+        .orderBy("source")
+    )

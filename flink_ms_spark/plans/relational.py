@@ -1552,3 +1552,85 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """,
 )
+
+
+# Z-order layout skipping report (round 10) — the data-layout design
+# artifact behind multi-dimensional file pruning. Events are mapped to
+# a Morton (bit-interleaved) key over (user offset, day offset); files
+# are modeled as 64 equal key-range buckets, and the report compares a
+# Z-ORDERED layout against a time-LINEAR one on the same box query
+# (20 users x 20 days): per layout, how many buckets a min/max-pruned
+# scan must touch and what fraction of rows it skips. On a real
+# cluster this is exactly parquet footer min/max skipping after
+# `df.sort(zvalue).write` — the query is the planning report that
+# justifies the layout before rewriting 100 TB.
+#
+# Scale: the z-value is a pure narrow map (integer bit arithmetic, no
+# UDF); per-bucket min/max/count is a partial-aggregating shuffle on a
+# 64-key space; the min-offset attach is a one-row broadcast cross
+# join (the sanctioned aggregate-attach pattern). Everything is exact
+# integer math except the final rounded skip percentage, computed
+# identically on both engines.
+
+
+def _interleave_expr(x: str, y: str, bits: int, div: str) -> str:
+    """Morton key: bit k of x -> bit 2k, bit k of y -> bit 2k+1,
+    written as pure integer arithmetic ((v DIV 2^k) % 2 * 2^m) so the
+    same builder serves Spark (`div`) and DuckDB (`//`)."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"(({x} {div} {1 << k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"(({y} {div} {1 << k}) % 2) * {1 << (2 * k + 1)}")
+    return " + ".join(terms)
+
+
+def _zorder_sql(div: str, day_expr: str) -> str:
+    z = _interleave_expr("x", "y", 8, div)
+    return f"""
+WITH e AS (SELECT user_id, {day_expr} AS day_no FROM events),
+m AS (SELECT min(user_id) AS mu, min(day_no) AS md FROM e),
+n AS (SELECT least(user_id - mu, 255) AS x,
+             least(day_no - md, 255) AS y
+      FROM e CROSS JOIN m),
+z AS (SELECT x, y, ({z}) AS zv FROM n),
+zb AS (SELECT zv {div} 1024 AS bucket,
+              min(x) AS min_x, max(x) AS max_x,
+              min(y) AS min_y, max(y) AS max_y,
+              count(*) AS n_rows
+       FROM z GROUP BY zv {div} 1024),
+lb AS (SELECT y {div} 4 AS bucket,
+              min(x) AS min_x, max(x) AS max_x,
+              min(y) AS min_y, max(y) AS max_y,
+              count(*) AS n_rows
+       FROM z GROUP BY y {div} 4),
+boxed AS (
+  SELECT 'linear' AS layout, bucket, n_rows,
+         CASE WHEN max_x >= 10 AND min_x <= 29
+               AND max_y >= 5 AND min_y <= 24 THEN 1 ELSE 0 END AS hit
+  FROM lb
+  UNION ALL
+  SELECT 'zorder' AS layout, bucket, n_rows,
+         CASE WHEN max_x >= 10 AND min_x <= 29
+               AND max_y >= 5 AND min_y <= 24 THEN 1 ELSE 0 END AS hit
+  FROM zb)
+SELECT layout,
+       count(*) AS n_buckets,
+       CAST(sum(hit) AS BIGINT) AS buckets_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN hit = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       round(CAST(sum(CASE WHEN hit = 0 THEN n_rows ELSE 0 END) AS DOUBLE)
+             * 100 / sum(n_rows), 6) AS skip_pct
+FROM boxed
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+register_sql(
+    "zorder_skipping",
+    spark_sql=_zorder_sql(
+        "div", "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+    ),
+    duck_sql=_zorder_sql("//", "epoch_us(ts) // 86400000000"),
+)

@@ -154,3 +154,29 @@ def test_attribution_and_item_cf_joins_are_keyed(spark, sf_oracle):
         plan = _plan(QUERIES[q](spark, sf_oracle))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_zorder_interleave_expr_matches_python():
+    """The generated (v DIV 2^k)%2 arithmetic must equal true Morton
+    interleaving for every 8-bit pair on a grid (exhaustive on a
+    stride so the test stays fast)."""
+    import duckdb
+
+    from flink_ms_spark.plans.relational import _interleave_expr
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for k in range(8):
+            z |= ((x >> k) & 1) << (2 * k)
+            z |= ((y >> k) & 1) << (2 * k + 1)
+        return z
+
+    expr = _interleave_expr("x", "y", 8, "//")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT x, y, {expr} AS z FROM (SELECT unnest(range(0, 256, 7)) x),"
+        " (SELECT unnest(range(0, 256, 11)) y)"
+    ).fetchall()
+    assert rows
+    for x, y, z in rows:
+        assert z == morton(x, y), (x, y, z)
