@@ -188,6 +188,13 @@ HEADLINE = [
     "media_video_dedup",
     "gopher_rules",
     "cdc_upsert_merge",
+    # round-10 second wave: SCD2 interval build, the CDC-chunk storage
+    # dedup report, the bounded postings-head index build, and the
+    # correlated semi+anti TPC-H shape
+    "scd2_intervals",
+    "cdc_chunk_dedup",
+    "inverted_index",
+    "tpch_q21",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
