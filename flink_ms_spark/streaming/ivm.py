@@ -54,6 +54,14 @@ class IncrementalRollup:
     def __init__(self, key_expr: str, value_col: str, journal_dir: str | None = None):
         self.key_expr = key_expr
         self.value_col = value_col
+        if journal_dir and "://" in journal_dir:
+            # the journal is DRIVER-LOCAL by design (module docstring):
+            # os-level IO on a URI would mkdir a literal "hdfs:" dir
+            # and journal into the void — refuse loudly instead
+            raise ValueError(
+                f"journal_dir must be a driver-local path, got URI "
+                f"{journal_dir!r}; point it at a driver-mounted filesystem"
+            )
         self.journal_dir = journal_dir
         self.view: dict = {}
         self.applied: set[int] = set()

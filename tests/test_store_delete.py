@@ -229,3 +229,34 @@ def test_stream_cdc_into_store(spark, tmp_path):
     assert store.lookup("c") is None
     assert store.lookup("d").x == 4.0
     assert len(store) == 2  # a, d
+
+
+def test_apply_cdc_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once absorption: re-applying the SAME mixed feed (the
+    replay a crashed-before-checkpoint micro-batch produces) leaves
+    the spilled store byte-for-byte in the same logical state —
+    upserts are latest-wins overwrites of identical rows, tombstone
+    re-deletes hit nothing (n_del 0 second time)."""
+    from flink_ms_spark.serving.store import ModelStore, apply_cdc_batch
+
+    store = ModelStore(
+        spark, "CDC_REPLAY", max_dict_keys=4,
+        spill_dir=str(tmp_path / "spill"), spill_buckets=8,
+    )
+    seed = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(10)], "key string, x double"
+    )
+    store.upsert_batch(seed)
+    assert store._spilled
+    feed = spark.createDataFrame(
+        [("k1", "U", 100.0), ("k2", "D", 0.0), ("new", "U", 7.0)],
+        "key string, op string, x double",
+    )
+    n_up1, n_del1 = apply_cdc_batch(store, feed, op_col="op", delete_op="D")
+    state1 = {k: store.lookup(k) for k in store.keys()}
+    n_up2, n_del2 = apply_cdc_batch(store, feed, op_col="op", delete_op="D")
+    state2 = {k: store.lookup(k) for k in store.keys()}
+    assert (n_up1, n_del1) == (2, 1)
+    assert (n_up2, n_del2) == (2, 0)  # re-delete of a gone key is a no-op
+    assert state1 == state2
+    assert store.lookup("k2") is None
