@@ -1030,3 +1030,59 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "user_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join (round 10) — the execution-side answer to
+# `key_skew_report`'s diagnosis: a user-cohort dim (first-seen day per
+# user) joined back to the full event log with an 8-way deterministic
+# salt (operators/skewjoin.py — fact rows salted by xxhash64(event_id),
+# dim rows replicated 8×, join on (user_id, _salt)), then a per-cohort
+# rollup. Match-for-match identical to the plain join — the oracle IS
+# the plain join — while a Zipf-hot user's rows span 8 tasks instead
+# of one. At local scale the win is invisible; the operator, the
+# deterministic-salt construction, and the result-parity pin are what
+# ship to the cluster.
+
+_SALTED_JOIN_ORACLE = """
+WITH dim AS (SELECT user_id,
+                    min(epoch_us(ts) // 86400000000) AS first_day
+             FROM events GROUP BY user_id)
+SELECT first_day,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM events e JOIN dim USING (user_id)
+GROUP BY first_day
+ORDER BY first_day
+"""
+
+
+@register("skew_salted_join", oracle=_SALTED_JOIN_ORACLE)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-day cohort rollup via an 8-way salted join."""
+    from flink_ms_spark.operators.skewjoin import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day_no"),
+    )
+    dim = ev.groupBy("user_id").agg(F.min("day_no").alias("first_day"))
+    joined = salted_join(
+        ev, dim, on="user_id", n_salts=8,
+        salt_expr=F.xxhash64("event_id"),
+    )
+    return (
+        joined.groupBy("first_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("first_day")
+    )
