@@ -108,3 +108,41 @@ def test_scan_pushdown_and_column_pruning(spark, sf_smoke):
     plan = _executed_plan(spark, sf_smoke, "big_orders")
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas and all(len(s.split(",")) <= 2 for s in schemas), schemas
+
+
+def test_tpch_q21_decorrelates_to_semi_and_anti(spark, sf_smoke):
+    """The correlated EXISTS / NOT EXISTS pair must decorrelate into
+    left-semi + left-anti joins (a regression to a per-row subquery
+    plan would be quadratic at scale)."""
+    plan = _executed_plan(spark, sf_smoke, "tpch_q21")
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_is_map_side(spark, sf_smoke):
+    """bloom_decontaminate's prefilter must be a pure map over the
+    train grams: the only exchanges in the plan belong to the distinct
+    /aggregate stages, and the membership probe itself (ArrowEvalPython
+    over the broadcast bitmap) must appear UNDER no exchange of the
+    probe input — pinned the simple way: the probe side plans no
+    SortMergeJoin (the confirm join stays broadcast) and no shuffle of
+    the full gram explode reaches a join."""
+    plan = _executed_plan(spark, sf_smoke, "bloom_decontaminate")
+    assert "ArrowEvalPython" in plan, plan[:2000]  # vectorized probe
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_salted_join_exchanges_on_salt(spark, sf_smoke):
+    """skew_salted_join must key its join exchange on (user_id, _salt)
+    — if the salt ever falls out of the partitioning, the hot key
+    collapses back into one task."""
+    from flink_ms_spark.plans.catalog import QUERIES
+
+    plan = (
+        QUERIES["skew_salted_join"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "_salt" in plan, plan[:2000]
