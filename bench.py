@@ -195,6 +195,10 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "inverted_index",
     "tpch_q21",
+    # round-10 third wave: layout planning, bloom decon, salted join
+    "zorder_skipping",
+    "bloom_decontaminate",
+    "skew_salted_join",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
