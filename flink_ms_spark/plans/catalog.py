@@ -31,23 +31,24 @@ import flink_ms_spark.plans.relational  # noqa: F401
 from flink_ms_spark.plans.registry import ORACLE_SQL, QUERIES  # noqa: F401
 
 # Round-10 window, REGENERATED mid-round by `scripts/rotate_window.py
-# --changed media_frames` after this round's NINE new registrations
-# (staleness after r9: {never: 10, r5: 18, r6: 49, r7: 46, r8: 49,
+# --changed media_frames` after this round's TEN new registrations
+# (staleness after r9: {never: 11, r5: 18, r6: 49, r7: 46, r8: 49,
 # r9: 50}; no red rows). Per the rotation contract: media_frames
 # leads because its oracle changed AFTER the r9 gate ran
-# (content-bearing decode, commit 7807c67); then the ten
+# (content-bearing decode, commit 7807c67); then the eleven
 # never-checked names alphabetically — bloom_decontaminate,
 # cdc_chunk_dedup, cdc_upsert_merge, gopher_rules, inverted_index,
-# scd2_intervals, skew_salted_join, tpch_q21 and zorder_skipping
+# k_anonymity, scd2_intervals, skew_salted_join, tpch_q21 and
+# zorder_skipping
 # (new this round, registered BEFORE the gate so they never repeat
 # the media_video_dedup gap) and media_video_dedup itself (registered
 # in the final r9 commit, post-gate); then the 18 r5-stale names; then
-# the first 21 of the 49 r6-stale names alphabetically. After this
+# the first 20 of the 49 r6-stale names alphabetically. After this
 # window's driver run the oldest green record rises from r5 to r6 and
 # every catalog query has a driver row.
 #
-# ROUND-11 CONTRACT: front-load the 28 r6-stale names this window
-# could not fit (ivf_topk, lang_id, lsh_pairs, mad_outliers, mean_vector,
+# ROUND-11 CONTRACT: front-load the 29 r6-stale names this window
+# could not fit (ivf_kmeans_topk, ivf_topk, lang_id, lsh_pairs, mad_outliers, mean_vector,
 # media_features, media_meta, minhash, model_codec, mse, nan_guard,
 # new_vs_returning, ngram_jaccard, order_backlog, parse_ratings,
 # peak_concurrency, pii_scrub, posexplode_1idx, range_concat,
@@ -60,13 +61,14 @@ from flink_ms_spark.plans.registry import ORACLE_SQL, QUERIES  # noqa: F401
 _PRIORITY = [
     # oracle changed after the r9 gate ran — re-check first
     "media_frames",
-    # never-checked: alphabetical — the nine round-10 registrations
+    # never-checked: alphabetical — the ten round-10 registrations
     # and the post-r9-gate one
     "bloom_decontaminate",
     "cdc_chunk_dedup",
     "cdc_upsert_merge",
     "gopher_rules",
     "inverted_index",
+    "k_anonymity",
     "media_video_dedup",
     "scd2_intervals",
     "skew_salted_join",
@@ -91,7 +93,7 @@ _PRIORITY = [
     "unpivot_segment_stats",
     "volume_shipping",
     "window_lag",
-    # r6-stale, first 21 alphabetically (of 49)
+    # r6-stale, first 20 alphabetically (of 49)
     "allpairs_jaccard",
     "als_dot",
     "als_topn_recs",
@@ -112,7 +114,6 @@ _PRIORITY = [
     "funnel_3step",
     "heavy_hitter_terms",
     "item_item_cosine",
-    "ivf_kmeans_topk",
 ]
 
 

@@ -37,7 +37,7 @@ from flink_ms_spark.operators.text import (
     scrub_pii,
     token_count,
 )
-from flink_ms_spark.plans.registry import register
+from flink_ms_spark.plans.registry import register, register_sql
 from flink_ms_spark.sources.tables import load_table
 
 # Shared DuckDB fragments
@@ -1233,3 +1233,46 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_r") == 1)
         .select("a", "label_a", "b", "label_b", "cos_sim", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (round 10) — the METADATA twin of `pii_census`
+# (which scans content): how re-identifiable is a document from its
+# quasi-identifier combination (source, lang, size bucket) alone?
+# Sweeney's k-anonymity: a row is at risk if its quasi-identifier
+# group holds fewer than k rows. Report for k in {2, 5, 10}: groups
+# below k, documents at risk, and the risk share — the release-gate
+# numbers a privacy review asks for before publishing corpus metadata.
+#
+# Scale: ONE partial-aggregating shuffle builds the group-cardinality
+# table (bounded by |sources|x|langs|x|size buckets|, never by corpus
+# bytes); the k sweep and the total attach are cross joins against a
+# 3-row spine and a 1-row aggregate. Dialect split is div vs // and
+# explode vs unnest only.
+
+
+def _k_anon_sql(div: str, kspine: str) -> str:
+    return f"""
+WITH q AS (SELECT source, lang, n_chars {div} 100 AS size_bucket
+           FROM documents),
+g AS (SELECT source, lang, size_bucket, count(*) AS n
+      FROM q GROUP BY source, lang, size_bucket),
+t AS (SELECT count(*) AS total FROM documents),
+ks AS (SELECT {kspine} AS k)
+SELECT k,
+       CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below,
+       CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+         AS docs_at_risk,
+       round(CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE)
+             * 100 / max(total), 6) AS risk_pct
+FROM g CROSS JOIN ks CROSS JOIN t
+GROUP BY k ORDER BY k
+"""
+
+
+register_sql(
+    "k_anonymity",
+    spark_sql=_k_anon_sql("div", "explode(array(2, 5, 10))"),
+    duck_sql=_k_anon_sql("//", "unnest([2, 5, 10])"),
+)
