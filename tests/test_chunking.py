@@ -144,3 +144,44 @@ def test_inverted_index_two_phase_is_exact(spark):
     for tok in top:
         want = ",".join(str(d) for d in sorted(postings[tok])[:10])
         assert out[tok] == (len(postings[tok]), want), tok
+
+
+def test_long_document_is_linear_and_bounded():
+    """A 1M-char document must chunk in well under a second (the numpy
+    path is O(n)) and every chunk must respect the max bound — the
+    pathological single-giant-doc case a web crawl always contains."""
+    import time
+
+    text = _text(1_000_000)
+    t0 = time.perf_counter()
+    spans = _doc_chunks_numpy(text, W, MIN, MAX, DIV)
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, f"1M chars took {dt:.2f}s — not linear"
+    assert all(1 <= ln <= MAX for _, ln, _ in spans)
+    assert sum(ln for _, ln, _ in spans) == len(text)
+
+
+def test_non_bmp_unicode_matches_scalar_replay():
+    """Astral-plane code points (emoji) stress the utf-32 code-point
+    view: the numpy path must agree with a plain ord()-loop replay."""
+    import hashlib as h
+
+    text = ("data 🜁 pipeline 🚀 " * 40) + _text(500)
+    got = _doc_chunks_numpy(text, W, MIN, MAX, DIV)
+    MASK = (1 << 64) - 1
+    bw = pow(BASE, W, 1 << 64)
+    hh, last, bounds = 0, 0, []
+    for i in range(1, len(text) + 1):
+        hh = (hh * BASE + ord(text[i - 1])) & MASK
+        if i > W:
+            hh = (hh - ord(text[i - 1 - W]) * bw) & MASK
+        if (i - last >= MIN and hh % DIV == 0) or (i - last >= MAX):
+            bounds.append(i)
+            last = i
+    if last < len(text):
+        bounds.append(len(text))
+    want, s = [], 0
+    for b in bounds:
+        want.append((s, b - s, h.md5(text[s:b].encode()).hexdigest()))
+        s = b
+    assert got == want
