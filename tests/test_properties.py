@@ -315,3 +315,54 @@ def test_store_spill_parity_under_random_upserts(spark, batches, cap):
     for k, v in expected.items():
         assert capped.lookup(k).v == plain.lookup(k).v == v
     assert capped.lookup("miss") is None and plain.lookup("miss") is None
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking: the numpy prefix-product path must agree
+# with a direct scalar replay of the boundary contract on ARBITRARY
+# unicode, and always partition the text.
+
+
+def _scalar_cdc(text: str, w: int, mn: int, mx: int, dv: int):
+    import hashlib
+
+    from flink_ms_spark.operators.chunking import BASE
+
+    mask = (1 << 64) - 1
+    bw = pow(BASE, w, 1 << 64)
+    h, last, bounds = 0, 0, []
+    for i in range(1, len(text) + 1):
+        h = (h * BASE + ord(text[i - 1])) & mask
+        if i > w:
+            h = (h - ord(text[i - 1 - w]) * bw) & mask
+        if (i - last >= mn and h % dv == 0) or (i - last >= mx):
+            bounds.append(i)
+            last = i
+    if last < len(text):
+        bounds.append(len(text))
+    out, s = [], 0
+    for b in bounds:
+        out.append((s, b - s, hashlib.md5(text[s:b].encode()).hexdigest()))
+        s = b
+    return out
+
+
+@given(
+    text=st.text(
+        # full unicode minus surrogates (unencodable in utf-8)
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=1500,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_cdc_chunker_matches_scalar_replay(text):
+    from flink_ms_spark.operators.chunking import _doc_chunks_numpy
+
+    got = _doc_chunks_numpy(text, 8, 16, 128, 16)
+    assert got == _scalar_cdc(text, 8, 16, 128, 16)
+    # partition property: contiguous, complete, bounded
+    pos = 0
+    for start, length, _ in got:
+        assert start == pos and 1 <= length <= 128
+        pos += length
+    assert pos == len(text)
