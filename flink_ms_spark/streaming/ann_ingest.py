@@ -46,12 +46,15 @@ class StreamingAnnIngest:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         out = fsutil.join(self.index_path, _INC, f"batch_id={batch_id}")
-        (
-            pq_encode(batch_df, self.codebooks,
-                      id_col=self.id_col, vec_col=self.vec_col)
-            .write.mode("overwrite")
-            .parquet(out)
-        )
+        codes = pq_encode(batch_df, self.codebooks,
+                          id_col=self.id_col, vec_col=self.vec_col)
+        # a micro-batch may carry the same id twice; "latest" within
+        # one batch is undefined (no intrinsic order), but the landed
+        # row must be DETERMINISTIC or load_codes' recency window
+        # breaks ties differently run-to-run (replays stop being
+        # idempotent). Collapse to max(code) — arbitrary but stable.
+        codes = codes.groupBy(self.id_col).agg(F.max("code").alias("code"))
+        codes.write.mode("overwrite").parquet(out)
 
     def run(self, stream_df: DataFrame, checkpoint: str,
             available_now: bool = True):

@@ -78,3 +78,36 @@ def test_streaming_ann_ingest_end_to_end(spark, tmp_path):
     ).json(str(src))
     ingest2.run(stream2, str(tmp_path / "ckpt2")).awaitTermination()
     assert load_codes(spark, idx).count() == 50
+
+
+def test_within_batch_duplicate_id_lands_one_deterministic_row(spark, tmp_path):
+    """A micro-batch carrying the same vec_id twice must land exactly
+    ONE code row, identical across a replay (the recency window in
+    load_codes cannot be left to break an equal-batch_id tie)."""
+    from flink_ms_spark.operators.similarity import build_pq_index
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest, load_codes
+
+    rng = np.random.default_rng(23)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(16)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    idx = str(tmp_path / "idx")
+    build_pq_index(base, idx, n_subspaces=4, n_codes=8)
+
+    dup_batch = spark.createDataFrame(
+        [
+            (500, [float(x) for x in rng.normal(size=8)]),
+            (500, [float(x) for x in rng.normal(size=8)]),
+            (501, [float(x) for x in rng.normal(size=8)]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    ingest = StreamingAnnIngest(spark, idx)
+    ingest.process_batch(dup_batch, batch_id=0)
+    first = {r.vec_id: r.code for r in load_codes(spark, idx).collect()}
+    assert list(first).count(500) == 1
+    # replay the same batch (same batch_id): byte-identical outcome
+    ingest.process_batch(dup_batch, batch_id=0)
+    second = {r.vec_id: r.code for r in load_codes(spark, idx).collect()}
+    assert first == second
