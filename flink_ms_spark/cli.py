@@ -428,6 +428,54 @@ def cmd_dedup_ingest(args: argparse.Namespace) -> None:
     print(f"ingested into {args.output}")
 
 
+def cmd_chunk_dedup(args: argparse.Namespace) -> None:
+    """Content-defined chunk dedup over a documents parquet: write the
+    chunk span table (doc_id, chunk_idx, start, length, chunk_hash)
+    and print the per-source dedup report — the ops lane for
+    operators/chunking.py (same semantics as the `cdc_chunk_dedup`
+    catalog query)."""
+    from flink_ms_spark.operators.chunking import cdc_chunk_spans
+
+    spark = _spark("[CHUNK-DEDUP]")
+    docs = spark.read.parquet(args.input)
+    spans = cdc_chunk_spans(
+        docs,
+        window=args.window,
+        min_len=args.min_len,
+        max_len=args.max_len,
+        divisor=args.divisor,
+    )
+    spans.write.mode("overwrite").parquet(args.output)
+    spans = spark.read.parquet(args.output)  # report reads the landed table
+    canon = spans.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("canon")
+    )
+    rep = (
+        spans.join(canon, "chunk_hash")
+        .withColumn(
+            "is_dup",
+            (F.col("doc_id") != F.col("canon.doc_id"))
+            | (F.col("chunk_idx") != F.col("canon.chunk_idx")),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+            F.sum("length").cast("long").alias("chars"),
+            F.sum(F.when(F.col("is_dup"), F.col("length")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        .orderBy("source")
+    )
+    for r in rep.collect():
+        print(
+            f"{r.source}\t{r.n_chunks} chunks\t{r.n_dup} dup\t"
+            f"{r.dup_chars}/{r.chars} dup chars"
+        )
+    print(f"chunk table written to {args.output}")
+
+
 def cmd_build_ann_index(args: argparse.Namespace) -> None:
     """Build-once half of the ANN lifecycle: train PQ codebooks on the
     embedding parquet and persist codebooks + codes (see
@@ -784,6 +832,15 @@ def build_parser() -> argparse.ArgumentParser:
     mx.add_argument("--budget-frac", type=float, default=0.5)
     mx.add_argument("--max-epochs", type=int, default=2)
     mx.set_defaults(func=cmd_mix)
+
+    cd = sub.add_parser("chunk-dedup")
+    cd.add_argument("--input", required=True, help="documents parquet path")
+    cd.add_argument("--output", required=True, help="chunk table output dir")
+    cd.add_argument("--window", type=int, default=8)
+    cd.add_argument("--min-len", type=int, default=16)
+    cd.add_argument("--max-len", type=int, default=128)
+    cd.add_argument("--divisor", type=int, default=16)
+    cd.set_defaults(func=cmd_chunk_dedup)
 
     di = sub.add_parser("dedup-ingest")
     di.add_argument("--input-dir", required=True, help="JSONL corpus dir")

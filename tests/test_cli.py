@@ -380,3 +380,31 @@ def test_cli_media_report_prints_all_sections(sf_smoke, capsys):
     assert "audio:" in out and "centroid" in out
     assert "video:" in out and "sampled frames" in out and "motion" in out
     assert "feature-space dup census:" in out and "signature groups" in out
+
+
+def test_cli_chunk_dedup(tmp_path, capsys, spark):
+    """chunk-dedup lane: chunk table lands, report prints per source,
+    and the landed spans match the operator's direct output."""
+    from flink_ms_spark import cli
+    from flink_ms_spark.operators.chunking import cdc_chunk_spans
+
+    out = str(tmp_path / "chunks")
+    cli.main(
+        [
+            "chunk-dedup",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+        ]
+    )
+    printed = capsys.readouterr().out
+    assert "chunks" in printed and "dup chars" in printed
+    landed = {
+        (r.doc_id, r.chunk_idx): (r.start, r.length, r.chunk_hash)
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = {
+        (r.doc_id, r.chunk_idx): (r.start, r.length, r.chunk_hash)
+        for r in cdc_chunk_spans(docs).collect()
+    }
+    assert landed == direct
