@@ -211,6 +211,10 @@ ITERATIVE = [
 
 # Arrow-mapInPandas decode queries — the only headline rows whose wall
 # is dominated by the Python worker fleet rather than JVM codegen.
+# (cdc_chunk_dedup / bloom_decontaminate also ride Arrow but stay in
+# the reps=2 tier: the r10 record was built at that depth, and the
+# pre-warm noop covers their worker-spawn exposure; revisit in r11 if
+# either shows a respawn spike in the driver record.)
 MEDIA_QUERIES = {
     "media_meta",
     "media_pixel_stats",
