@@ -166,11 +166,24 @@ class ModelFileWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         for m in messages:
-            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
-                base = os.path.basename(m.tmp_path)[len("_tmp-"):]
-                os.replace(
-                    m.tmp_path, os.path.join(os.path.dirname(m.tmp_path), base)
+            if m is None or not m.tmp_path:
+                continue
+            if not os.path.exists(m.tmp_path):
+                # the task reported rows written; a missing temp file
+                # means the executor's filesystem is not the driver's
+                # (this writer requires a SHARED mount on a cluster —
+                # local path or NFS/fuse; plain executor-local disks
+                # are invisible here). Silently skipping would commit
+                # a write with rows missing — fail loud instead.
+                raise IOError(
+                    f"flinkms_model commit: task temp file {m.tmp_path} "
+                    "not visible on the driver — the output path must be "
+                    "on a filesystem shared by driver and executors"
                 )
+            base = os.path.basename(m.tmp_path)[len("_tmp-"):]
+            os.replace(
+                m.tmp_path, os.path.join(os.path.dirname(m.tmp_path), base)
+            )
 
     def abort(self, messages) -> None:
         for m in messages:

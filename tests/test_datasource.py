@@ -123,3 +123,17 @@ def test_streaming_monitored_dir_source(spark, tmp_path):
     got.clear()
     run()
     assert got == []
+
+
+def test_model_writer_commit_fails_loud_on_missing_temp(spark, tmp_path):
+    """A commit message naming a temp file the driver cannot see must
+    raise, not silently drop that task's rows (the no-shared-mount
+    cluster misconfiguration)."""
+    import pytest
+
+    from flink_ms_spark.sources.datasource import ModelFileWriter, _FileCommit
+
+    w = ModelFileWriter({"path": str(tmp_path / "out")}, overwrite=True)
+    gone = str(tmp_path / "out" / "_tmp-part-deadbeef.txt")
+    with pytest.raises(IOError, match="shared"):
+        w.commit([_FileCommit(gone)])
