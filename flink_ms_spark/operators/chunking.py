@@ -156,9 +156,13 @@ def cdc_chunk_spans(
         # boundary check past that region.
         raise ValueError(f"min_len ({min_len}) must be >= window ({window})")
     w, mn, mx, dv = window, min_len, max_len, divisor
+    src = (
+        F.col(source_col) if source_col in docs.columns
+        else F.lit(None)  # source is annotation, not an input contract
+    )
     cols = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(source_col).cast("string").alias("source"),
+        src.cast("string").alias("source"),
         F.col(text_col).cast("string").alias("text"),
     )
 
