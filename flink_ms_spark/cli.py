@@ -476,6 +476,26 @@ def cmd_chunk_dedup(args: argparse.Namespace) -> None:
     print(f"chunk table written to {args.output}")
 
 
+def cmd_chunk_ingest(args: argparse.Namespace) -> None:
+    """Streaming chunk-level dedup ingest: watch a JSONL directory,
+    reject docs whose content is already ≥ --max-dup-ratio present in
+    the chunk registry (edit- and quilt-robust where dedup-ingest's
+    whole-doc LSH is not), write survivors per batch."""
+    from flink_ms_spark.sources.jsonl import CORPUS_SCHEMA
+    from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+    spark = _spark("[CHUNK-INGEST]")
+    sd = StreamingChunkDedup(
+        os.path.join(args.output, "_chunk_registry"),
+        max_dup_ratio=args.max_dup_ratio,
+        out_dir=args.output,
+    )
+    stream = spark.readStream.schema(CORPUS_SCHEMA).json(args.input_dir)
+    q = sd.run(stream, os.path.join(args.output, "_checkpoint"))
+    q.awaitTermination()
+    print(f"ingested into {args.output}")
+
+
 def cmd_build_ann_index(args: argparse.Namespace) -> None:
     """Build-once half of the ANN lifecycle: train PQ codebooks on the
     embedding parquet and persist codebooks + codes (see
@@ -841,6 +861,12 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--max-len", type=int, default=128)
     cd.add_argument("--divisor", type=int, default=16)
     cd.set_defaults(func=cmd_chunk_dedup)
+
+    ci = sub.add_parser("chunk-ingest")
+    ci.add_argument("--input-dir", required=True, help="JSONL corpus dir")
+    ci.add_argument("--output", required=True)
+    ci.add_argument("--max-dup-ratio", type=float, default=0.5)
+    ci.set_defaults(func=cmd_chunk_ingest)
 
     di = sub.add_parser("dedup-ingest")
     di.add_argument("--input-dir", required=True, help="JSONL corpus dir")

@@ -408,3 +408,37 @@ def test_cli_chunk_dedup(tmp_path, capsys, spark):
         for r in cdc_chunk_spans(docs).collect()
     }
     assert landed == direct
+
+
+def test_cli_chunk_ingest(tmp_path, capsys, spark):
+    """chunk-ingest lane: the streaming chunk-dedup filter runs from
+    the shell — an in-batch copy is rejected, survivors land."""
+    import hashlib
+    import json
+
+    from flink_ms_spark import cli
+
+    def text(seed):
+        out = []
+        for i in range(40):
+            out.append(hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
+        return "".join(out)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": text("A"), "lang": "en", "source": "s0"},
+        {"doc_id": 2, "text": text("A"), "lang": "en", "source": "s0"},
+        {"doc_id": 3, "text": text("B"), "lang": "en", "source": "s1"},
+    ]
+    with open(src / "b.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "corpus")
+    cli.main(["chunk-ingest", "--input-dir", str(src), "--output", out])
+    assert "ingested" in capsys.readouterr().out
+    kept = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out + "/batch_id=0").collect()
+    )
+    assert kept == [1, 3]
