@@ -55,6 +55,15 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    for side, df in (("fact", fact), ("dim", dim)):
+        if "_salt" in df.columns:
+            # withColumn would silently REPLACE a caller's _salt column
+            # and the final drop would erase it from the result —
+            # corrupting data is worse than refusing (ADVICE r10)
+            raise ValueError(
+                f"salted_join: {side} side already has a '_salt' column "
+                "— rename it before salting"
+            )
     keys = [on] if isinstance(on, str) else list(on)
     if salt_expr is None:
         salt_expr = F.xxhash64(*[F.col(c) for c in fact.columns])

@@ -160,6 +160,15 @@ def salted_join(
     user/item distributions) and AQE's skew-split — which only splits
     by partition, not by key — still leaves a straggler.
     """
+    for side, df in (("big", big), ("small", small)):
+        if "_salt" in df.columns:
+            # withColumn would silently replace the caller's column and
+            # the final drop erase it — refuse instead (ADVICE r10,
+            # same hazard as operators/skewjoin.py)
+            raise ValueError(
+                f"salted_join: {side} side already has a '_salt' column "
+                "— rename it before salting"
+            )
     big_cols = [c for c in big.columns]
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big_cols]), F.lit(n_salt))

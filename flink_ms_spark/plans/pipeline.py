@@ -1571,7 +1571,7 @@ FROM agg ORDER BY source
 
 @register("bloom_decontaminate", oracle=_BLOOM_DECON_ORACLE)
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source any-8-gram eval contamination via bloom prefilter +
+    """Per-source any-4-gram eval contamination via bloom prefilter +
     exact confirm."""
     docs = load_table(spark, sf_dir, "documents")
     grams = (

@@ -10,32 +10,201 @@ whole-doc signature catches. A document is rejected when the share of
 its characters living in already-owned chunks exceeds
 ``max_dup_ratio``.
 
-Registry layout: ``registry_dir/batch_id=N/`` parquet of the ADMITTED
-docs' chunk rows (doc_id, chunk_hash, length) — the same idempotent
-dynamic-partition-overwrite discipline as the neardup registry, so a
-replayed micro-batch rewrites its own partition.
+Registry layout — TWO tiers:
 
-Decision determinism under replay (the neardup doc_id-keyed rule,
-extended to chunk granularity):
+- **live tier** ``registry_dir/batch_id=N/`` — parquet of the ADMITTED
+  docs' chunk rows (doc_id, chunk_hash, length), one partition per
+  micro-batch, written with the same idempotent
+  dynamic-partition-overwrite discipline as the neardup registry so a
+  replayed micro-batch rewrites its own partition;
+- **base tier** ``registry_dir + "_base"`` — the compacted form
+  (:func:`compact_chunk_registry`): at most two witness rows per
+  chunk_hash, stored as a BUCKETED parquet table clustered by
+  chunk_hash, so the per-batch probe joins it with NO exchange on the
+  registry side and no per-batch ``distinct()`` over the corpus — the
+  O(|registry|) scan-and-shuffle per micro-batch that the un-compacted
+  layout pays is the straggler at corpus scale.
+
+Decision determinism under replay — three rules, each load-bearing:
 
 - WITHIN a batch, every chunk hash has one canonical owner — the
   smallest (doc_id, chunk_idx) over the WHOLE batch, admitted or not —
   so the intra-batch verdict depends only on batch content, which a
   replay repeats bit-for-bit;
-- the REGISTRY probe counts a chunk as duplicated only when its hash
-  is registered to a DIFFERENT doc_id, so a replayed batch's admitted
-  docs find their own first-attempt rows and do not self-collide;
-- rejected docs never enter the registry, so their verdicts cannot
-  drift across replays either.
+- the registry probe IGNORES rows whose ``batch_id`` equals the
+  in-flight batch's: unlike neardup (where ANY collision drops a doc,
+  so co-admitted docs never share buckets and the doc_id rule alone
+  suffices), the RATIO rule legally co-admits docs that partially
+  share chunks — e.g. a 400-char doc fully contained in a co-admitted
+  1000-char doc is 0% dup on the first attempt; without the batch
+  exclusion, a replay would see the big doc's first-attempt rows as
+  foreign owners, read the small doc as 100% dup, and silently drop it
+  (the replay-idempotency violation ADVICE r10 flagged);
+- rows registered to the probing doc's OWN doc_id never count as
+  foreign, so a doc re-arriving across batches (or surviving rows
+  folded into the base tier) cannot self-collide.
+
+Compaction safety: :func:`compact_chunk_registry` must run from a
+maintenance window — stream stopped, every live ``batch_id=N``
+partition committed in the checkpoint (the same contract as
+``neardup.compact_registry``). Base rows therefore all come from
+batches that can never replay again, which is why the batch-exclusion
+rule only needs to consult the LIVE tier's batch_id column. The
+two-witness rule (keep the two smallest distinct owner doc_ids per
+chunk_hash) preserves every future verdict exactly: the probe's
+predicate is "∃ registered owner with doc_id ≠ mine", and for ANY
+probing doc two distinct witnesses answer that predicate identically
+to the full owner set — both pinned in tests/test_chunk_dedup_stream.py.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_ms_spark import fsutil
 from flink_ms_spark.operators.chunking import cdc_chunk_spans
+
+_MANIFEST = "MANIFEST.json"
+
+
+def _base_dir(registry_dir: str) -> str:
+    return registry_dir.rstrip("/") + "_base"
+
+
+def _read_manifest(spark: SparkSession, base_dir: str) -> dict | None:
+    path = fsutil.join(base_dir, _MANIFEST)
+    if not fsutil.exists(spark, path):
+        return None
+    return json.loads(fsutil.read_text(spark, path))
+
+
+def base_table(spark: SparkSession, registry_dir: str) -> DataFrame | None:
+    """The compacted base tier as a catalog-registered BUCKETED table
+    (or None before the first compaction).
+
+    The manifest — written last, so it is the commit marker (the
+    serving/store.py discipline) — names the current generation dir;
+    the table is (re-)declared over those files on demand because the
+    in-memory catalog does not survive a SparkSession restart. The
+    files were written by Spark's bucketed writer, so re-declaring
+    ``CLUSTERED BY (chunk_hash)`` over them is exact, and a join on
+    chunk_hash plans no Exchange on this side (pinned in
+    tests/test_chunk_dedup_stream.py)."""
+    base = _base_dir(registry_dir)
+    man = _read_manifest(spark, base)
+    if man is None:
+        return None
+    name = man["table"]
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} "
+            "(doc_id BIGINT, chunk_hash STRING, length INT) "
+            "USING PARQUET CLUSTERED BY (chunk_hash) "
+            f"SORTED BY (chunk_hash) INTO {man['buckets']} BUCKETS "
+            f"LOCATION '{man['path']}'"
+        )
+    return spark.table(name)
+
+
+def compact_chunk_registry(
+    spark: SparkSession, registry_dir: str, buckets: int = 8
+) -> dict:
+    """Fold the live per-batch partitions (and any previous base
+    generation) into a fresh bucketed base generation; empty the live
+    tier. Run ONLY from a maintenance window (stream stopped, all live
+    partitions checkpoint-committed — see module docstring).
+
+    Row rule: per chunk_hash keep the TWO smallest distinct owner
+    doc_ids (window over chunk_hash — per-key sort, never global).
+    Two distinct witnesses decide "∃ owner ≠ me" identically to the
+    full owner set for every possible prober, so no admission verdict
+    can change across compaction; rows collapse from O(admitted
+    chunk rows) to ≤ 2 per distinct hash, and the layout collapses
+    from O(#micro-batches) partition dirs to ``buckets`` files.
+
+    Crash ordering: new generation files first, manifest flip second
+    (the commit point), live-tier/old-generation deletes last. A crash
+    between flip and delete leaves rows present in BOTH tiers — the
+    probe OR-combines the tiers, so duplicates cannot flip a verdict;
+    the next compaction folds the debris away.
+    """
+    from pyspark.sql.window import Window
+
+    base = _base_dir(registry_dir)
+    man = _read_manifest(spark, base)
+
+    tiers = []
+    if fsutil.count_files(spark, registry_dir, ".parquet") > 0:
+        tiers.append(
+            spark.read.parquet(registry_dir).select(
+                "doc_id", "chunk_hash", "length"
+            )
+        )
+    prev = base_table(spark, registry_dir)
+    if prev is not None:
+        tiers.append(prev.select("doc_id", "chunk_hash", "length"))
+    if not tiers:
+        raise ValueError(f"compact_chunk_registry: no registry rows under "
+                         f"{registry_dir} (live) or {base} (base)")
+    allrows = tiers[0]
+    for t in tiers[1:]:
+        allrows = allrows.unionByName(t)
+
+    owners = allrows.groupBy("chunk_hash", "doc_id").agg(
+        F.min("length").alias("length")
+    )
+    witnesses = (
+        owners.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("chunk_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("_rn") <= 2)
+        .select("doc_id", "chunk_hash", "length")
+    )
+
+    gen = 0 if man is None else man["generation"] + 1
+    gen_dir = fsutil.join(base, f"gen={gen}")
+    # unique-per-location table name: the in-memory catalog is
+    # session-scoped, but a long-lived session compacting twice must
+    # not collide with its own previous registration
+    tbl = f"chunkreg_{hashlib.md5(registry_dir.encode()).hexdigest()[:10]}_g{gen}"
+    rows_before = allrows.count()
+    (
+        witnesses.repartition(buckets, "chunk_hash")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "chunk_hash")
+        .sortBy("chunk_hash")
+        .option("path", gen_dir)
+        .saveAsTable(tbl)
+    )
+    rows_after = spark.table(tbl).count()
+    fsutil.replace_text(
+        spark,
+        fsutil.join(base, _MANIFEST),
+        json.dumps(
+            {"generation": gen, "path": gen_dir, "buckets": buckets, "table": tbl}
+        ),
+    )
+    # commit point passed — clear the folded-away layouts
+    for name in fsutil.list_names(spark, registry_dir, dirs_only=True):
+        if name.startswith("batch_id="):
+            fsutil.delete(spark, fsutil.join(registry_dir, name))
+    if man is not None:
+        if spark.catalog.tableExists(man["table"]):
+            spark.sql(f"DROP TABLE {man['table']}")
+        fsutil.delete(spark, man["path"])
+    return {
+        "generation": gen,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_after": fsutil.count_files(spark, gen_dir, ".parquet"),
+    }
 
 
 class StreamingChunkDedup:
@@ -60,17 +229,68 @@ class StreamingChunkDedup:
         )
         self.out_dir = out_dir
 
-    def _registry(self, spark: SparkSession) -> DataFrame | None:
+    def _live(self, spark: SparkSession) -> DataFrame | None:
         # fsutil, not os.path: a shared-storage registry URI must not
         # read as "empty" just because the driver's disk lacks it
         if fsutil.count_files(spark, self.registry_dir, ".parquet") == 0:
             return None
         return spark.read.parquet(self.registry_dir)
 
+    def probe(self, spans: DataFrame, batch_id: int) -> DataFrame:
+        """Per-chunk foreign-ownership flags against both tiers:
+        (doc_id, chunk_idx, length, _reg_dup).
+
+        Base tier: bucketed-by-chunk_hash table — the join shuffles
+        only the batch side (no Exchange over the corpus registry,
+        plan-pinned) and needs no ``distinct()`` because compaction
+        already bounded it at two rows per hash. Live tier: the
+        since-last-compaction tail, filtered to OTHER batches (the
+        replay-exclusion rule) — small by construction, so Spark
+        broadcasts it.
+        """
+        spark = spans.sparkSession
+        probe = spans.select("doc_id", "chunk_idx", "length", "chunk_hash")
+
+        base = base_table(spark, self.registry_dir)
+        if base is not None:
+            probe = probe.join(
+                base.select(
+                    "chunk_hash", F.col("doc_id").alias("_base_doc")
+                ),
+                "chunk_hash",
+                "left",
+            )
+        else:
+            probe = probe.withColumn("_base_doc", F.lit(None).cast("long"))
+
+        live = self._live(spark)
+        if live is not None:
+            tail = live.where(F.col("batch_id") != F.lit(batch_id)).select(
+                "chunk_hash", F.col("doc_id").alias("_live_doc")
+            )
+            probe = probe.join(tail, "chunk_hash", "left")
+        else:
+            probe = probe.withColumn("_live_doc", F.lit(None).cast("long"))
+
+        # a hash may match several registry owners (≤2 base witnesses
+        # × live tail rows); one foreign owner suffices — collapse
+        # back to one row per chunk
+        return probe.groupBy("doc_id", "chunk_idx", "length").agg(
+            F.max(
+                (
+                    F.col("_base_doc").isNotNull()
+                    & (F.col("_base_doc") != F.col("doc_id"))
+                )
+                | (
+                    F.col("_live_doc").isNotNull()
+                    & (F.col("_live_doc") != F.col("doc_id"))
+                )
+            ).alias("_reg_dup")
+        )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Returns the batch's admitted docs; registers their chunks.
         Idempotent per batch_id."""
-        spark = batch_df.sparkSession
         spans = cdc_chunk_spans(batch_df, **self.chunk_params).persist()
 
         # within-batch canonical owner per chunk hash (admission-blind
@@ -78,30 +298,17 @@ class StreamingChunkDedup:
         canon = spans.groupBy("chunk_hash").agg(
             F.min(F.struct("doc_id", "chunk_idx")).alias("_canon")
         )
-        flagged = spans.join(canon, "chunk_hash").withColumn(
-            "_intra_dup", F.col("doc_id") != F.col("_canon.doc_id")
+        intra = (
+            spans.join(canon, "chunk_hash")
+            .select(
+                "doc_id",
+                "chunk_idx",
+                (F.col("doc_id") != F.col("_canon.doc_id")).alias("_intra_dup"),
+            )
         )
-
-        reg = self._registry(spark)
-        if reg is not None:
-            seen = (
-                reg.select("chunk_hash", F.col("doc_id").alias("_reg_doc"))
-                .distinct()
-            )
-            flagged = (
-                flagged.join(seen, "chunk_hash", "left")
-                .withColumn(
-                    "_reg_dup",
-                    F.col("_reg_doc").isNotNull()
-                    & (F.col("_reg_doc") != F.col("doc_id")),
-                )
-                # a hash may match several registry owners; one foreign
-                # owner suffices — collapse back to one row per chunk
-                .groupBy("doc_id", "chunk_idx", "length", "_intra_dup")
-                .agg(F.max("_reg_dup").alias("_reg_dup"))
-            )
-        else:
-            flagged = flagged.withColumn("_reg_dup", F.lit(False))
+        flagged = self.probe(spans, batch_id).join(
+            intra, ["doc_id", "chunk_idx"]
+        )
 
         verdict = (
             flagged.withColumn(
@@ -135,6 +342,10 @@ class StreamingChunkDedup:
         )
         spans.unpersist()
         return survivors
+
+    def compact(self, spark: SparkSession, buckets: int = 8) -> dict:
+        """See :func:`compact_chunk_registry` (maintenance window only)."""
+        return compact_chunk_registry(spark, self.registry_dir, buckets=buckets)
 
     def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
         survivors = self.process_batch(batch_df, batch_id)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 
 def _text(n: int, seed: str) -> str:
     out = []
@@ -56,6 +58,144 @@ def test_within_batch_copies_keep_min_id_and_replay_stable(spark, tmp_path):
     assert _ids(first) == [10, 12], "copy keeps the smallest doc_id"
     replay = sd.process_batch(batch, batch_id=0)
     assert _ids(replay) == [10, 12], "replay must not flip the verdict"
+
+
+def test_replay_with_partial_overlap_keeps_verdicts(spark, tmp_path):
+    """ADVICE r10 scenario: the ratio rule legally co-admits two docs
+    that PARTIALLY share chunks (a 400-char doc fully contained in a
+    co-admitted 1000-char doc). A foreachBatch replay must reach the
+    same verdicts — without the batch-exclusion rule the small doc
+    would see the big doc's first-attempt registry rows as foreign
+    owners, flip to 100% dup, and silently vanish from the batch."""
+    from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+    sd = StreamingChunkDedup(str(tmp_path / "reg"), max_dup_ratio=0.5)
+    a = _text(400, "A")
+    b = a + _text(600, "Bfresh")  # contains all of A, 40% dup at most
+    batch = _docs(spark, [(1, a), (2, b)])
+    first = sd.process_batch(batch, batch_id=0)
+    assert _ids(first) == [1, 2], "both legally admitted under the ratio rule"
+    replay = sd.process_batch(batch, batch_id=0)
+    assert _ids(replay) == [1, 2], (
+        "replay flipped a verdict: the probe is reading the in-flight "
+        "batch's own first-attempt rows"
+    )
+    # and a LATER batch still rejects a copy of the contained doc
+    out2 = sd.process_batch(_docs(spark, [(3, a)]), batch_id=1)
+    assert _ids(out2) == []
+
+
+def test_compaction_decision_invariance(spark, tmp_path):
+    """Two identical pipelines, one compacted mid-stream: every later
+    admission verdict must be identical, the live tier must be empty
+    after compaction, and rows must collapse to <=2 witnesses/hash."""
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+    plain = StreamingChunkDedup(str(tmp_path / "plain"), max_dup_ratio=0.5)
+    comp = StreamingChunkDedup(str(tmp_path / "comp"), max_dup_ratio=0.5)
+
+    batches = [
+        _docs(spark, [(1, _text(600, "A")), (2, _text(600, "B"))]),
+        _docs(spark, [(3, _text(600, "C")), (4, _text(600, "A"))]),
+        _docs(spark, [(5, _text(600, "D"))]),
+    ]
+    for i, b in enumerate(batches):
+        assert _ids(plain.process_batch(b, i)) == _ids(comp.process_batch(b, i))
+
+    stats = comp.compact(spark)
+    assert stats["rows_after"] <= stats["rows_before"]
+    assert fsutil.count_files(spark, comp.registry_dir, ".parquet") == 0, (
+        "live tier must be empty after compaction"
+    )
+
+    # probe batch mixes: corpus dup (A), edited corpus doc (C+edit),
+    # fresh, and a within-batch copy pair
+    edited_c = _text(600, "C")[:50] + "QQ" + _text(600, "C")[50:]
+    probe = _docs(
+        spark,
+        [
+            (10, _text(600, "A")),
+            (11, edited_c),
+            (12, _text(600, "F")),
+            (13, _text(600, "F")),
+        ],
+    )
+    assert _ids(plain.process_batch(probe, 3)) == _ids(comp.process_batch(probe, 3))
+
+    # two-witness bound: no chunk_hash keeps more than 2 owner rows
+    from flink_ms_spark.streaming.chunk_dedup import base_table
+
+    base = base_table(spark, comp.registry_dir)
+    worst = (
+        base.groupBy("chunk_hash")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert worst <= 2
+
+
+def test_replay_idempotent_after_compaction(spark, tmp_path):
+    """A post-compaction batch that replays (task retry before the
+    checkpoint commits) must reach identical verdicts — base rows all
+    predate it, and its own live rows are batch-excluded."""
+    from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+    sd = StreamingChunkDedup(str(tmp_path / "reg"), max_dup_ratio=0.5)
+    sd.process_batch(_docs(spark, [(1, _text(600, "A"))]), 0)
+    sd.process_batch(_docs(spark, [(2, _text(600, "B"))]), 1)
+    sd.compact(spark)
+
+    a = _text(400, "N")
+    batch = _docs(spark, [(10, a), (11, a + _text(600, "M")), (12, _text(600, "A"))])
+    first = sd.process_batch(batch, 2)
+    assert _ids(first) == [10, 11], "12 is a corpus dup, 10/11 co-admit"
+    replay = sd.process_batch(batch, 2)
+    assert _ids(replay) == [10, 11]
+
+
+def test_probe_join_has_no_exchange_on_registry_side(spark, tmp_path):
+    """The compacted base tier is a bucketed-by-chunk_hash table: the
+    probe join must scan it bucketed (no Exchange over the corpus
+    registry — only the arriving batch shuffles), and the table must
+    re-register from the on-disk manifest after a catalog wipe (a
+    SparkSession restart loses the in-memory catalog)."""
+    from flink_ms_spark.operators.chunking import cdc_chunk_spans
+    from flink_ms_spark.streaming.chunk_dedup import (
+        StreamingChunkDedup,
+        base_table,
+    )
+
+    sd = StreamingChunkDedup(str(tmp_path / "reg"), max_dup_ratio=0.5)
+    sd.process_batch(
+        _docs(spark, [(1, _text(600, "A")), (2, _text(600, "B"))]), 0
+    )
+    sd.compact(spark)
+
+    # simulate a session restart: drop the catalog entry, re-resolve
+    tbl = base_table(spark, sd.registry_dir)
+    name = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("chunkreg_")
+    ]
+    assert name, "compaction must register the bucketed table"
+    spark.sql(f"DROP TABLE {name[0]}")
+    tbl = base_table(spark, sd.registry_dir)
+    assert tbl.count() > 0, "manifest must re-register the table"
+
+    spans = cdc_chunk_spans(_docs(spark, [(9, _text(600, "A"))]))
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        flags = sd.probe(spans, batch_id=1)
+        plan = flags._jdf.queryExecution().executedPlan().toString()
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan[:3000]
+    # exactly two exchanges: the batch side of the join + the final
+    # per-chunk aggregation; a third would mean the registry shuffled
+    assert plan.count("Exchange") == 2, plan[:3000]
 
 
 def test_streaming_run_writes_partitioned_survivors(spark, tmp_path):

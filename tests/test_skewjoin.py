@@ -65,3 +65,18 @@ def test_unsupported_how_rejected(spark):
     fact, dim = _sides(spark)
     with pytest.raises(ValueError):
         salted_join(fact, dim, "user_id", how="full")
+
+
+def test_preexisting_salt_column_rejected(spark):
+    """A caller's _salt column must not be silently clobbered and then
+    dropped from the result (ADVICE r10) — refuse loudly instead."""
+    fact, dim = _sides(spark)
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(fact.withColumn("_salt", F.lit(1)), dim, "user_id")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(fact, dim.withColumn("_salt", F.lit(1)), "user_id")
+
+    from flink_ms_spark.partitioning import salted_join as psalted
+
+    with pytest.raises(ValueError, match="_salt"):
+        psalted(fact.withColumn("_salt", F.lit(1)), dim, "user_id")
