@@ -18,16 +18,23 @@ streaming pieces in ONE foreachBatch pipeline per micro-batch:
    applied as scan-speed column math inside the same batch plan;
 4. **near-dup suppression** (streaming/neardup.py): incremental LSH
    registry — drop docs colliding with the already-ingested corpus;
-5. **curated write**: survivors land in ``batch_id=N`` parquet dirs
+5. **chunk-level content dedup** (streaming/chunk_dedup.py, optional
+   via ``chunk_max_dup_ratio``): drop docs whose content-defined
+   chunks are mostly already owned by the corpus — catches
+   boilerplate quilts and heavy-edit near-copies that survive the
+   whole-doc signature gate;
+6. **curated write**: survivors land in ``batch_id=N`` parquet dirs
    (idempotent dynamic overwrite per batch → exactly-once under
    replay), and a running JSON manifest tracks per-batch decisions.
 
 Scale: each stage is the one-shuffle/keyed-join shape documented in
 its module; the composition adds no new shuffles — the batch flows
-gate → score → registry probe → write, with only the LSH probe
-shuffling. State = the band registry (hash-partitioned parquet) +
-the drift baseline (model-scale vector), nothing driver-resident but
-the manifest.
+gate → score → registry probes → write, with only the dedup probes
+shuffling. State = the band registry + the chunk registry (both
+hash-partitioned parquet with compaction twins) + the drift baseline
+(model-scale vector), nothing driver-resident but the manifest. Both
+registries key replay-exclusion so a re-fired batch_id reaches
+identical verdicts and rewrites only its own partitions.
 """
 
 from __future__ import annotations
@@ -52,6 +59,7 @@ class StreamingIngest:
         drift_threshold_bits: float = 4.0,
         quality_threshold: float | None = None,
         n_buckets: int = 64,
+        chunk_max_dup_ratio: float | None = None,
     ):
         self.out_dir = out_dir
         self.baseline = baseline
@@ -63,6 +71,14 @@ class StreamingIngest:
         self.drift_threshold_bits = drift_threshold_bits
         self.quality_threshold = quality_threshold
         self.neardup = StreamingNearDup(fsutil.join(out_dir, "_registry"))
+        self.chunkdedup = None
+        if chunk_max_dup_ratio is not None:
+            from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+            self.chunkdedup = StreamingChunkDedup(
+                fsutil.join(out_dir, "_chunk_registry"),
+                max_dup_ratio=chunk_max_dup_ratio,
+            )
         self.manifest: list[dict] = []
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -105,6 +121,11 @@ class StreamingIngest:
             }
         else:
             kept = self.neardup.process_batch(gated, batch_id)
+            if self.chunkdedup is not None:
+                # content-level gate AFTER the signature gate: only
+                # signature-unique docs pay the chunking map, and only
+                # their chunks enter the chunk registry
+                kept = self.chunkdedup.process_batch(kept, batch_id)
             out = fsutil.join(self.out_dir, f"batch_id={batch_id}")
             kept.write.mode("overwrite").parquet(out)
             n_written = kept.sparkSession.read.parquet(out).count()

@@ -545,3 +545,73 @@ def test_compact_registry_failed_swap_keeps_or_restores_registry(
     monkeypatch.setattr(fsutil, "rename", real_rename)
     stats = nd_mod.compact_registry(spark, reg, target_files=1)
     assert stats["rows_after"] == rows_before
+
+
+def test_streaming_ingest_with_chunk_gate_capstone(spark, tmp_path):
+    """Full ingestion story (VERDICT r10 #7): signature dedup -> chunk
+    content dedup -> write, with BOTH registries idempotent under a
+    replayed batch_id. The quilt doc (60% of an admitted doc's content
+    + 40% fresh) deterministically passes the LSH signature gate (no
+    band collision at this overlap for these fixed texts — minhash is
+    pure md5 math) and must be caught by the chunk-level gate."""
+    import hashlib as _hl
+
+    from flink_ms_spark.sources.tables import load_table
+    from flink_ms_spark.streaming.drift import bucket_profile
+    from flink_ms_spark.streaming.ingest import StreamingIngest
+
+    def _txt(n, seed):
+        out, i = [], 0
+        while len(out) < n:
+            h = _hl.md5(f"{seed}:{i}".encode()).hexdigest()
+            out.extend(chr(ord("a") + int(c, 16) % 26) for c in h)
+            i += 1
+        return "".join(out[:n])
+
+    baseline = bucket_profile(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    out = tmp_path / "corpus"
+    ing = StreamingIngest(
+        str(out), baseline, drift_threshold_bits=1e9,
+        chunk_max_dup_ratio=0.45,
+    )
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, source STRING"
+        )
+
+    p = _txt(600, "P")
+    # batch 0: unique doc + its exact copy (signature gate drops it)
+    ing.process_batch(_batch([(1, p, "ok"), (2, p, "ok")]), 0)
+    assert ing.manifest[0]["n_written"] == 1
+    assert [r.doc_id for r in spark.read.parquet(str(out / "batch_id=0")).collect()] == [1]
+
+    # batch 1: quilt (passes LSH, 60% chunk-dup -> chunk gate drops)
+    # + a genuinely fresh doc
+    quilt = p[:360] + _txt(240, "Q")
+    fresh = _txt(600, "R")
+    ing.process_batch(_batch([(10, quilt, "ok"), (11, fresh, "ok")]), 1)
+    kept1 = sorted(
+        r.doc_id for r in spark.read.parquet(str(out / "batch_id=1")).collect()
+    )
+    assert kept1 == [11], "quilt must fall to the chunk gate, fresh admitted"
+
+    def _reg_state():
+        band = spark.read.parquet(str(out / "_registry"))
+        chunk = spark.read.parquet(str(out / "_chunk_registry"))
+        return (
+            sorted(map(tuple, band.select("doc_id", "band", "band_sig").collect())),
+            sorted(map(tuple, chunk.select("doc_id", "chunk_hash").collect())),
+        )
+
+    before = _reg_state()
+    # replay batch 1 (foreachBatch retry): identical verdicts, both
+    # registries bit-identical afterwards
+    ing.process_batch(_batch([(10, quilt, "ok"), (11, fresh, "ok")]), 1)
+    kept1r = sorted(
+        r.doc_id for r in spark.read.parquet(str(out / "batch_id=1")).collect()
+    )
+    assert kept1r == [11]
+    assert _reg_state() == before
