@@ -234,3 +234,62 @@ def test_partitioned_write_prunes_at_listing_time(spark, tmp_path):
     # the data filter list must NOT carry the partition predicate —
     # pruning happened above the parquet reader
     assert scan.count() == 2500
+
+
+def test_zorder_report_and_layout_agree_at_sf001(spark, tmp_path):
+    """The zorder_skipping catalog query is the PLANNING REPORT that
+    justifies a Z-order rewrite; zorder_write is the rewrite. At
+    sf0.01 the two must agree: the skip rate measured from the written
+    files' parquet footer min/max stats lands within 10 points of the
+    report's zorder model (observed 75.0% vs 78.2%) and far above the
+    report's linear-layout model (20.4%) on the same 20x20 box."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_ms_spark.plans.catalog import QUERIES
+    from flink_ms_spark.partitioning import zorder_write
+    from flink_ms_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    report = {r.layout: r.asDict() for r in QUERIES["zorder_skipping"](spark, sf).collect()}
+
+    # the exact normalized point set the report models
+    e = load_table(spark, sf, "events").selectExpr(
+        "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day_no"
+    )
+    m = e.agg(F.min("user_id").alias("mu"), F.min("day_no").alias("md"))
+    xy = e.crossJoin(m).selectExpr(
+        "least(user_id - mu, 255) AS x", "least(day_no - md, 255) AS y"
+    )
+
+    d = str(tmp_path / "zlayout")
+    zorder_write(xy, d, "x", "y", n_files=64, bits=8)
+
+    tot = scanned = 0
+    for f in glob.glob(d + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins = {"x": [], "y": []}
+        maxs = {"x": [], "y": []}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in mins:
+                    mins[col.path_in_schema].append(col.statistics.min)
+                    maxs[col.path_in_schema].append(col.statistics.max)
+        tot += md.num_rows
+        if (
+            max(maxs["x"]) >= 10 and min(mins["x"]) <= 29
+            and max(maxs["y"]) >= 5 and min(mins["y"]) <= 24
+        ):
+            scanned += md.num_rows
+
+    assert tot == report["zorder"]["rows_total"]
+    actual_skip = 100.0 * (tot - scanned) / tot
+    assert abs(actual_skip - report["zorder"]["skip_pct"]) <= 10.0, (
+        f"layout skip {actual_skip:.1f}% disagrees with the report's "
+        f"{report['zorder']['skip_pct']}%"
+    )
+    assert actual_skip > report["linear"]["skip_pct"] + 20, (
+        "the executable Z-layout must decisively beat the linear model"
+    )
