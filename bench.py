@@ -199,6 +199,8 @@ HEADLINE = [
     "zorder_skipping",
     "bloom_decontaminate",
     "skew_salted_join",
+    # round-11: the one r10 query the record missed (VERDICT r10 #4)
+    "k_anonymity",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
