@@ -496,6 +496,36 @@ def cmd_chunk_ingest(args: argparse.Namespace) -> None:
     print(f"ingested into {args.output}")
 
 
+def cmd_compact_registry(args: argparse.Namespace) -> None:
+    """Maintenance-window compaction for the streaming dedup registries
+    (run with the ingest stream STOPPED and its checkpoint committed —
+    the decision-safety contract both compactors document):
+
+    - ``--kind band`` folds the LSH bucket registry written by
+      dedup-ingest to one min-keeper row per (band, band_sig) in a
+      single batch_id=-1 partition (streaming/neardup.py);
+    - ``--kind chunk`` folds the chunk registry written by
+      chunk-ingest into the two-witness bucketed-by-chunk_hash base
+      table, emptying the live per-batch tier
+      (streaming/chunk_dedup.py).
+
+    Without periodic compaction a long-running ingest accumulates one
+    partition dir per micro-batch and the per-batch probe plans
+    O(#batches) inputs — layout growth, not row growth, is the scale
+    hazard. Prints rows/files before and after."""
+    spark = _spark("[COMPACT-REGISTRY]")
+    if args.kind == "band":
+        from flink_ms_spark.streaming.neardup import compact_registry
+
+        stats = compact_registry(spark, args.registry)
+    else:
+        from flink_ms_spark.streaming.chunk_dedup import compact_chunk_registry
+
+        stats = compact_chunk_registry(spark, args.registry, buckets=args.buckets)
+    for k, v in stats.items():
+        print(f"{k}\t{v}")
+
+
 def cmd_build_ann_index(args: argparse.Namespace) -> None:
     """Build-once half of the ANN lifecycle: train PQ codebooks on the
     embedding parquet and persist codebooks + codes (see
@@ -872,6 +902,15 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--input-dir", required=True, help="JSONL corpus dir")
     di.add_argument("--output", required=True)
     di.set_defaults(func=cmd_dedup_ingest)
+
+    cr = sub.add_parser("compact-registry")
+    cr.add_argument("--kind", choices=["band", "chunk"], required=True)
+    cr.add_argument("--registry", required=True,
+                    help="registry dir (the ingest lane's _registry / "
+                    "_chunk_registry)")
+    cr.add_argument("--buckets", type=int, default=8,
+                    help="chunk base-table bucket count")
+    cr.set_defaults(func=cmd_compact_registry)
 
     qs = sub.add_parser("quality-score")
     qs.add_argument("--input-dir", required=True, help="fixture sf dir")

@@ -442,3 +442,66 @@ def test_cli_chunk_ingest(tmp_path, capsys, spark):
         for r in spark.read.parquet(out + "/batch_id=0").collect()
     )
     assert kept == [1, 3]
+
+
+def test_cli_compact_registry_both_kinds(tmp_path, capsys, spark):
+    """compact-registry lane: folds both streaming registries from the
+    shell (maintenance window), and a post-compaction ingest still
+    rejects previously-admitted content — the decision survives the
+    layout rewrite end-to-end through the CLI."""
+    import hashlib
+    import json
+
+    from flink_ms_spark import cli
+    from flink_ms_spark import fsutil
+
+    def text(seed):
+        return "".join(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in range(40)
+        )
+
+    def jsonl(dirname, rows, fname="b.jsonl"):
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return d
+
+    # --- chunk kind ---
+    src = jsonl("cin", [
+        {"doc_id": 1, "text": text("A"), "lang": "en", "source": "s0"},
+    ])
+    out = str(tmp_path / "ccorpus")
+    cli.main(["chunk-ingest", "--input-dir", str(src), "--output", out])
+    capsys.readouterr()
+    cli.main(["compact-registry", "--kind", "chunk",
+              "--registry", out + "/_chunk_registry"])
+    printed = capsys.readouterr().out
+    assert "rows_after" in printed
+    assert fsutil.count_files(spark, out + "/_chunk_registry", ".parquet") == 0
+
+    # second wave arrives in the SAME watched dir (same checkpoint)
+    jsonl("cin", [
+        {"doc_id": 9, "text": text("A"), "lang": "en", "source": "s0"},
+        {"doc_id": 10, "text": text("C"), "lang": "en", "source": "s0"},
+    ], fname="b2.jsonl")
+    cli.main(["chunk-ingest", "--input-dir", str(src), "--output", out])
+    batches = [n for n in fsutil.list_names(spark, out, dirs_only=True)
+               if n.startswith("batch_id=") ]
+    latest = max(batches, key=lambda n: int(n.split("=")[1]))
+    kept = sorted(r.doc_id
+                  for r in spark.read.parquet(f"{out}/{latest}").collect())
+    assert kept == [10], "compacted registry must still reject doc 1's content"
+
+    # --- band kind ---
+    bsrc = jsonl("bin", [
+        {"doc_id": 1, "text": text("X"), "lang": "en", "source": "s0"},
+    ])
+    bout = str(tmp_path / "bcorpus")
+    cli.main(["dedup-ingest", "--input-dir", str(bsrc), "--output", bout])
+    capsys.readouterr()
+    cli.main(["compact-registry", "--kind", "band",
+              "--registry", bout + "/_registry"])
+    printed = capsys.readouterr().out
+    assert "rows_after" in printed and "files_after" in printed
