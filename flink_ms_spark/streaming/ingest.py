@@ -148,6 +148,15 @@ class StreamingIngest:
             json.dumps(self.manifest, indent=2),
         )
 
+    def compact_registries(self, spark) -> dict:
+        """Maintenance-window compaction of every registry this ingest
+        owns (stream stopped, checkpoint committed — each compactor's
+        documented contract). Returns per-registry stats."""
+        out = {"band": self.neardup.compact(spark)}
+        if self.chunkdedup is not None:
+            out["chunk"] = self.chunkdedup.compact(spark)
+        return out
+
     def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
         writer = (
             stream_df.writeStream.foreachBatch(self.process_batch)

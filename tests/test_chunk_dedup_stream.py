@@ -221,3 +221,25 @@ def test_streaming_run_writes_partitioned_survivors(spark, tmp_path):
     q.awaitTermination(120)
     surv = spark.read.parquet(out)
     assert _ids(surv) == [1]
+
+
+def test_two_witness_rule_is_exact_for_any_prober():
+    """The compaction row rule keeps the two smallest distinct owner
+    doc_ids per chunk_hash. Property (pure logic, engine-free): for
+    EVERY possible probing doc, "∃ owner ≠ prober" answers identically
+    over the witness pair and over the full owner set — so compaction
+    can never flip an admission verdict, whatever arrives later."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    @given(
+        owners=st.sets(st.integers(0, 20), min_size=1, max_size=12),
+        prober=st.integers(0, 20),
+    )
+    def check(owners, prober):
+        witnesses = sorted(owners)[:2]
+        assert any(o != prober for o in owners) == any(
+            o != prober for o in witnesses
+        )
+
+    check()

@@ -615,3 +615,16 @@ def test_streaming_ingest_with_chunk_gate_capstone(spark, tmp_path):
     )
     assert kept1r == [11]
     assert _reg_state() == before
+
+    # maintenance-window compaction of BOTH registries, then one more
+    # batch: the exact copy falls to the band gate, the quilt to the
+    # chunk gate (now served from the compacted base), fresh admitted
+    stats = ing.compact_registries(spark)
+    assert {"band", "chunk"} <= set(stats)
+    ing.process_batch(
+        _batch([(20, p, "ok"), (21, quilt, "ok"), (22, _txt(600, "S"), "ok")]), 2
+    )
+    kept2 = sorted(
+        r.doc_id for r in spark.read.parquet(str(out / "batch_id=2")).collect()
+    )
+    assert kept2 == [22]
