@@ -517,7 +517,7 @@ def cmd_compact_registry(args: argparse.Namespace) -> None:
     if args.kind == "band":
         from flink_ms_spark.streaming.neardup import compact_registry
 
-        stats = compact_registry(spark, args.registry)
+        stats = compact_registry(spark, args.registry, target_files=args.buckets)
     else:
         from flink_ms_spark.streaming.chunk_dedup import compact_chunk_registry
 
@@ -909,7 +909,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="registry dir (the ingest lane's _registry / "
                     "_chunk_registry)")
     cr.add_argument("--buckets", type=int, default=8,
-                    help="chunk base-table bucket count")
+                    help="compacted layout width: base-table bucket "
+                    "count (chunk) / target file count (band)")
     cr.set_defaults(func=cmd_compact_registry)
 
     qs = sub.add_parser("quality-score")

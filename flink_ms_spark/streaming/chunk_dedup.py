@@ -100,12 +100,17 @@ def base_table(spark: SparkSession, registry_dir: str) -> DataFrame | None:
         return None
     name = man["table"]
     if not spark.catalog.tableExists(name):
+        # single quotes in the path double-escape for the SQL literal
+        # (saveAsTable took the path as an option, so a quoted corpus
+        # dir only bites on re-attach); the table name is generated
+        # hex and needs no quoting
+        loc = man["path"].replace("'", "''")
         spark.sql(
             f"CREATE TABLE {name} "
             "(doc_id BIGINT, chunk_hash STRING, length INT) "
             "USING PARQUET CLUSTERED BY (chunk_hash) "
             f"SORTED BY (chunk_hash) INTO {man['buckets']} BUCKETS "
-            f"LOCATION '{man['path']}'"
+            f"LOCATION '{loc}'"
         )
     return spark.table(name)
 
@@ -191,14 +196,22 @@ def compact_chunk_registry(
             {"generation": gen, "path": gen_dir, "buckets": buckets, "table": tbl}
         ),
     )
-    # commit point passed — clear the folded-away layouts
+    # commit point passed — clear the folded-away layouts. GC sweeps
+    # EVERY generation dir and catalog entry the fresh manifest does
+    # not name (not just this run's direct predecessor): a crash in a
+    # previous compaction's window between ITS manifest flip and ITS
+    # cleanup leaves older generations orphaned, and a targeted
+    # predecessor-only delete would never reclaim them.
     for name in fsutil.list_names(spark, registry_dir, dirs_only=True):
         if name.startswith("batch_id="):
             fsutil.delete(spark, fsutil.join(registry_dir, name))
-    if man is not None:
-        if spark.catalog.tableExists(man["table"]):
-            spark.sql(f"DROP TABLE {man['table']}")
-        fsutil.delete(spark, man["path"])
+    for name in fsutil.list_names(spark, base, dirs_only=True):
+        if name.startswith("gen=") and name != f"gen={gen}":
+            fsutil.delete(spark, fsutil.join(base, name))
+    prefix = tbl.rsplit("_g", 1)[0] + "_g"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and t.name != tbl:
+            spark.sql(f"DROP TABLE {t.name}")
     return {
         "generation": gen,
         "rows_before": rows_before,
@@ -265,8 +278,14 @@ class StreamingChunkDedup:
 
         live = self._live(spark)
         if live is not None:
-            tail = live.where(F.col("batch_id") != F.lit(batch_id)).select(
-                "chunk_hash", F.col("doc_id").alias("_live_doc")
+            # distinct BEFORE the join: an admitted doc holding the
+            # same chunk k times registered k identical rows, and
+            # between compactions that duplication would fan the probe
+            # join out k-fold (the tail is small, the dedup is cheap)
+            tail = (
+                live.where(F.col("batch_id") != F.lit(batch_id))
+                .select("chunk_hash", F.col("doc_id").alias("_live_doc"))
+                .distinct()
             )
             probe = probe.join(tail, "chunk_hash", "left")
         else:
@@ -327,6 +346,14 @@ class StreamingChunkDedup:
             )
             .select("doc_id")
         )
+        # docs that produced NO chunks (empty/null text) have zero
+        # duplicated characters by definition — the span-derived
+        # verdict never sees them, and without this union they would
+        # silently vanish from the survivors (review r11)
+        chunkless = batch_df.select("doc_id").join(
+            spans.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        verdict = verdict.unionByName(chunkless)
         # materialize BEFORE the registry write: the verdict plan reads
         # the registry files the overwrite below replaces
         kept_ids = verdict.localCheckpoint(eager=True)
@@ -347,19 +374,27 @@ class StreamingChunkDedup:
         """See :func:`compact_chunk_registry` (maintenance window only)."""
         return compact_chunk_registry(spark, self.registry_dir, buckets=buckets)
 
-    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
-        survivors = self.process_batch(batch_df, batch_id)
+    def _require_sink(self) -> None:
         if self.out_dir is None:
             raise ValueError(
                 "StreamingChunkDedup.run needs out_dir — survivors are "
                 "stream-scale and must not collect on the driver"
             )
+
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._require_sink()
+        survivors = self.process_batch(batch_df, batch_id)
         survivors.write.mode("overwrite").parquet(
             fsutil.join(self.out_dir, f"batch_id={batch_id}")
         )
 
     def run(self, stream_df: DataFrame, checkpoint: str,
             available_now: bool = True):
+        # fail before the stream starts: raising from inside _sink
+        # would first process a whole batch (registry already
+        # mutated) and only then kill the query (review r11; the
+        # neardup sibling has always checked here)
+        self._require_sink()
         writer = stream_df.writeStream.foreachBatch(self._sink).option(
             "checkpointLocation", checkpoint
         )

@@ -151,10 +151,24 @@ class StreamingIngest:
     def compact_registries(self, spark) -> dict:
         """Maintenance-window compaction of every registry this ingest
         owns (stream stopped, checkpoint committed — each compactor's
-        documented contract). Returns per-registry stats."""
-        out = {"band": self.neardup.compact(spark)}
+        documented contract). An EMPTY registry (every batch
+        quarantined, or nothing ingested yet) is skipped, not an
+        error — and never aborts the other registry's compaction.
+        Returns per-registry stats."""
+        from flink_ms_spark import fsutil
+
+        def _maybe(tag, registry_dir, compact):
+            if fsutil.count_files(spark, registry_dir, ".parquet") == 0:
+                return {"skipped": "empty registry"}
+            return compact(spark)
+
+        out = {
+            "band": _maybe("band", self.neardup.registry_dir, self.neardup.compact)
+        }
         if self.chunkdedup is not None:
-            out["chunk"] = self.chunkdedup.compact(spark)
+            out["chunk"] = _maybe(
+                "chunk", self.chunkdedup.registry_dir, self.chunkdedup.compact
+            )
         return out
 
     def run(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):

@@ -101,6 +101,13 @@ def compact_registry(
     def _nfiles() -> int:
         return fsutil.count_files(spark, registry_dir, ".parquet")
 
+    if _nfiles() == 0:
+        # explicit beats AnalysisException: an ingest that never
+        # registered anything (all batches quarantined/empty) has no
+        # parquet here, and read.parquet would die on schema inference
+        raise ValueError(
+            f"compact_registry: no registry rows under {registry_dir}"
+        )
     reg = spark.read.parquet(registry_dir)
     compacted = (
         reg.groupBy("band", "band_sig")

@@ -243,3 +243,89 @@ def test_two_witness_rule_is_exact_for_any_prober():
         )
 
     check()
+
+
+def test_zero_chunk_docs_are_admitted_not_dropped(spark, tmp_path):
+    """A doc with empty or null text produces no chunk spans — it is
+    0% duplicated by definition and must survive the gate (review
+    r11: the span-derived verdict alone would silently drop it)."""
+    from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+    sd = StreamingChunkDedup(str(tmp_path / "reg"), max_dup_ratio=0.5)
+    batch = _docs(spark, [(1, _text(600, "A")), (2, ""), (3, None)])
+    out = sd.process_batch(batch, 0)
+    assert _ids(out) == [1, 2, 3]
+    # chunkless docs register nothing; a later real dup still rejects
+    out2 = sd.process_batch(_docs(spark, [(4, _text(600, "A")), (5, "")]), 1)
+    assert _ids(out2) == [5]
+
+
+def test_compaction_gc_reclaims_crash_orphaned_generations(spark, tmp_path):
+    """A crash between the manifest flip and cleanup leaves the prior
+    generation dir (and its catalog entry) orphaned; the NEXT
+    compaction must reclaim every generation the manifest does not
+    name, not just its direct predecessor."""
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+    sd = StreamingChunkDedup(str(tmp_path / "reg"), max_dup_ratio=0.5)
+    sd.process_batch(_docs(spark, [(1, _text(600, "A"))]), 0)
+    sd.compact(spark)  # gen=0
+
+    # simulate the g0→g1 crash debris: g0's dir survives a manifest
+    # that now points at g1 (copy the real layout to fake the orphan)
+    base = sd.registry_dir + "_base"
+    orphan = fsutil.join(base, "gen=99")
+    spark.read.parquet(fsutil.join(base, "gen=0")).write.parquet(orphan)
+    assert fsutil.exists(spark, orphan)
+
+    sd.process_batch(_docs(spark, [(2, _text(600, "B"))]), 1)
+    sd.compact(spark)  # writes gen=1, must sweep gen=0 AND gen=99
+    names = set(fsutil.list_names(spark, base, dirs_only=True))
+    assert names == {"gen=1"}, names
+    tables = [t.name for t in spark.catalog.listTables()
+              if t.name.startswith("chunkreg_")]
+    assert all(t.endswith("_g1") or not t.startswith(
+        "chunkreg_" + __import__("hashlib").md5(
+            sd.registry_dir.encode()).hexdigest()[:10]) for t in tables)
+
+
+def test_run_requires_sink_before_stream_starts(spark, tmp_path):
+    """run() without out_dir must refuse BEFORE the stream starts —
+    raising from inside the first batch would mutate the registry and
+    only then kill the query."""
+    import pytest
+
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+    sd = StreamingChunkDedup(str(tmp_path / "reg"))
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    with pytest.raises(ValueError, match="out_dir"):
+        sd.run(stream, str(tmp_path / "ckpt"))
+    assert not fsutil.exists(spark, str(tmp_path / "ckpt"))
+
+
+def test_base_table_reattaches_under_quoted_path(spark, tmp_path):
+    """Registry paths containing a single quote must survive the
+    manifest→CREATE TABLE re-registration round trip."""
+    from flink_ms_spark.streaming.chunk_dedup import (
+        StreamingChunkDedup,
+        base_table,
+    )
+
+    qdir = tmp_path / "o'brien"
+    qdir.mkdir()
+    sd = StreamingChunkDedup(str(qdir / "reg"), max_dup_ratio=0.5)
+    sd.process_batch(_docs(spark, [(1, _text(600, "A"))]), 0)
+    sd.compact(spark)
+    tbl = base_table(spark, sd.registry_dir)
+    # force the re-attach path
+    import hashlib as _h
+
+    name = f"chunkreg_{_h.md5(sd.registry_dir.encode()).hexdigest()[:10]}_g0"
+    spark.sql(f"DROP TABLE {name}")
+    tbl = base_table(spark, sd.registry_dir)
+    assert tbl.count() > 0

@@ -502,6 +502,9 @@ def test_cli_compact_registry_both_kinds(tmp_path, capsys, spark):
     cli.main(["dedup-ingest", "--input-dir", str(bsrc), "--output", bout])
     capsys.readouterr()
     cli.main(["compact-registry", "--kind", "band",
-              "--registry", bout + "/_registry"])
+              "--registry", bout + "/_registry", "--buckets", "2"])
     printed = capsys.readouterr().out
-    assert "rows_after" in printed and "files_after" in printed
+    assert "rows_after" in printed
+    assert "files_after\t2" in printed, (
+        "--buckets must drive the band compactor's target file count"
+    )

@@ -628,3 +628,24 @@ def test_streaming_ingest_with_chunk_gate_capstone(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(out / "batch_id=2")).collect()
     )
     assert kept2 == [22]
+
+
+def test_compact_registries_skips_empty_registries(spark, tmp_path):
+    """compact_registries on a virgin ingest (nothing registered yet)
+    must skip cleanly instead of dying on parquet schema inference —
+    and an empty band registry must not abort the chunk compaction."""
+    from flink_ms_spark.sources.tables import load_table
+    from flink_ms_spark.streaming.drift import bucket_profile
+    from flink_ms_spark.streaming.ingest import StreamingIngest
+
+    baseline = bucket_profile(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    ing = StreamingIngest(
+        str(tmp_path / "corpus"), baseline, chunk_max_dup_ratio=0.5
+    )
+    stats = ing.compact_registries(spark)
+    assert stats == {
+        "band": {"skipped": "empty registry"},
+        "chunk": {"skipped": "empty registry"},
+    }
