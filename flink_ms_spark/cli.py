@@ -544,12 +544,40 @@ def cmd_build_ann_index(args: argparse.Namespace) -> None:
         id_col=args.id_col,
         vec_col=args.vec_col,
         seed=args.seed,
+        # the ops lane records the build-time quantization error so
+        # reindex-ann can measure drift against it later
+        record_stats=True,
     )
     n = spark.read.parquet(f"{args.index}/codes").count()
     print(
         f"index {args.index}: {cb.shape[0]} subspaces x {cb.shape[1]} codes, "
         f"{n} vectors encoded"
     )
+
+
+def cmd_reindex_ann(args: argparse.Namespace) -> None:
+    """Monitor → reindex half of the ANN lifecycle: measure the
+    current corpus's quantization error under the serving index's
+    codebooks and rebuild + atomically swap the index when the error
+    has drifted past --max-drift times the build-time baseline
+    (operators/similarity.py:reindex_pq). ANN degrades silently under
+    distribution shift — queries still return k results, just worse
+    ones — so the pipeline needs this explicit health loop."""
+    from flink_ms_spark.operators.similarity import reindex_pq
+
+    spark = _spark("[ANN] reindex")
+    report = reindex_pq(
+        spark,
+        args.index,
+        spark.read.parquet(args.input),
+        max_drift=args.max_drift,
+        force=args.force,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        seed=args.seed,
+    )
+    for k, v in report.items():
+        print(f"{k}\t{v}")
 
 
 def cmd_ann_query(args: argparse.Namespace) -> None:
@@ -929,6 +957,17 @@ def build_parser() -> argparse.ArgumentParser:
     bi.add_argument("--vec-col", default="embedding")
     bi.add_argument("--seed", type=int, default=42)
     bi.set_defaults(func=cmd_build_ann_index)
+
+    ri = sub.add_parser("reindex-ann")
+    ri.add_argument("--index", required=True)
+    ri.add_argument("--input", required=True, help="current embeddings parquet")
+    ri.add_argument("--max-drift", type=float, default=1.2,
+                    help="rebuild when current/built error exceeds this")
+    ri.add_argument("--force", action="store_true")
+    ri.add_argument("--id-col", default="vec_id")
+    ri.add_argument("--vec-col", default="embedding")
+    ri.add_argument("--seed", type=int, default=42)
+    ri.set_defaults(func=cmd_reindex_ann)
 
     aq = sub.add_parser("ann-query")
     aq.add_argument("--index", required=True)

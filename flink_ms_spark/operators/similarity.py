@@ -731,6 +731,7 @@ def build_pq_index(
     seed: int = 42,
     sample_fraction: float | None = None,
     codebooks: np.ndarray | None = None,
+    record_stats: bool = False,
 ) -> np.ndarray:
     """Persist a PQ index: ``<path>/codebooks`` (subspace, code,
     centroid) + ``<path>/codes`` (id, code array) as parquet. Build
@@ -739,7 +740,13 @@ def build_pq_index(
     changes). Returns the codebooks. Pass precomputed ``codebooks``
     (e.g. from ``pq_codebooks_from_parquet``) to skip training — how
     the catalog query keeps its codebooks bit-identical to the DuckDB
-    oracle builder's."""
+    oracle builder's.
+
+    ``record_stats=True`` additionally writes ``<path>/stats.json``
+    with the build-time mean quantization error — the baseline
+    :func:`reindex_pq` compares against (opt-in: it costs one extra
+    corpus pass, and the catalog's benched build path doesn't need
+    it)."""
     cb = (
         np.asarray(codebooks, dtype=np.float64)
         if codebooks is not None
@@ -764,7 +771,153 @@ def build_pq_index(
     pq_encode(df, cb, id_col=id_col, vec_col=vec_col).write.mode("overwrite").parquet(
         f"{path}/codes"
     )
+    if record_stats:
+        import json as _json
+
+        from flink_ms_spark import fsutil
+
+        stats = pq_quantization_error(df, cb, vec_col=vec_col)
+        fsutil.replace_text(
+            spark, fsutil.join(path, "stats.json"), _json.dumps(stats)
+        )
     return cb
+
+
+def pq_quantization_error(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> dict:
+    """Mean squared quantization error of ``codebooks`` over the
+    corpus: per vector, Σ over subspaces of the distance to the
+    NEAREST centroid (what PQ loses by construction). This is the
+    index-health scalar the reindex policy watches — when the corpus
+    distribution drifts away from the codebooks' training snapshot,
+    reconstruction error rises even though every query still returns
+    k results (ANN degrades silently, unlike a failing join).
+
+    Scale: one vectorized narrow map (codebooks ride a broadcast, one
+    (batch × codes) distance matrix per subspace) emitting per-batch
+    partial (n, sum) rows; the aggregate is a two-number reduce.
+    Returns {"n": vectors, "mean_sq_err": float}."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sum_err", T.DoubleType(), False),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        n_sub, _, sub = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            err = np.zeros(len(v))
+            for s in range(n_sub):
+                blk = v[:, s * sub : (s + 1) * sub]
+                d2 = ((blk[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                err += d2.min(axis=1)
+            yield pd.DataFrame({"n": [len(v)], "sum_err": [float(err.sum())]})
+
+    row = (
+        df.select(vec_col)
+        .mapInPandas(part, schema=schema)
+        .agg(F.sum("n").alias("n"), F.sum("sum_err").alias("s"))
+        .collect()[0]
+    )
+    return {"n": int(row.n or 0), "mean_sq_err": float(row.s or 0.0) / max(int(row.n or 0), 1)}
+
+
+def reindex_pq(
+    spark,
+    path: str,
+    df: DataFrame,
+    max_drift: float = 1.2,
+    force: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Monitor → reindex half of the ANN lifecycle (the Faiss-ops
+    policy loop): measure the CURRENT corpus's quantization error
+    under the SERVING index's codebooks, compare to the error recorded
+    at build time (``stats.json``), and rebuild + atomically swap the
+    index when the ratio exceeds ``max_drift``.
+
+    Crash ordering mirrors neardup.compact_registry: the replacement
+    index is fully written to ``<path>.rebuilding``, then the live
+    index is renamed ASIDE (never deleted first) and the replacement
+    renamed in — a failure at any step leaves a serving-complete index
+    on disk, loud, with rollback where possible. Returns a report dict
+    ({action: healthy|rebuilt|stats-missing, drift ratio, errors}).
+
+    An index built before stats recording (no ``stats.json``) cannot
+    measure drift — it reports ``stats-missing`` and rebuilds only
+    under ``force`` (silently assuming health would defeat the
+    monitor)."""
+    import json as _json
+
+    from flink_ms_spark import fsutil
+
+    cb = load_pq_codebooks(spark, path)
+    cur = pq_quantization_error(df, cb, vec_col=vec_col)
+    stats_path = fsutil.join(path, "stats.json")
+    built = (
+        _json.loads(fsutil.read_text(spark, stats_path))
+        if fsutil.exists(spark, stats_path)
+        else None
+    )
+    if built is None and not force:
+        return {"action": "stats-missing", "current_err": cur["mean_sq_err"]}
+    ratio = (
+        cur["mean_sq_err"] / built["mean_sq_err"]
+        if built and built["mean_sq_err"] > 0
+        else float("inf")
+    )
+    if not force and ratio <= max_drift:
+        return {
+            "action": "healthy",
+            "drift_ratio": round(ratio, 4),
+            "built_err": built["mean_sq_err"],
+            "current_err": cur["mean_sq_err"],
+        }
+
+    tmp = path.rstrip("/") + ".rebuilding"
+    fsutil.delete(spark, tmp)  # stale debris from a prior crash
+    new_cb = build_pq_index(
+        df,
+        tmp,
+        n_subspaces=cb.shape[0],
+        n_codes=cb.shape[1],
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        record_stats=True,
+    )
+    new_err = _json.loads(fsutil.read_text(spark, fsutil.join(tmp, "stats.json")))
+    old = path.rstrip("/") + ".old"
+    fsutil.delete(spark, old)
+    if not fsutil.rename(spark, path, old):
+        raise IOError(f"reindex_pq: failed to move live index {path} aside; "
+                      f"rebuild left at {tmp}, serving index intact")
+    if not fsutil.rename(spark, tmp, path):
+        restored = fsutil.rename(spark, old, path)
+        raise IOError(f"reindex_pq: failed to install rebuilt index at {path}; "
+                      f"old index {'restored' if restored else f'left at {old}'}")
+    fsutil.delete(spark, old)
+    return {
+        "action": "rebuilt",
+        "drift_ratio": round(ratio, 4) if built else None,
+        "built_err": built["mean_sq_err"] if built else None,
+        "current_err": cur["mean_sq_err"],
+        "rebuilt_err": new_err["mean_sq_err"],
+        "subspaces": int(new_cb.shape[0]),
+        "codes": int(new_cb.shape[1]),
+    }
 
 
 def load_pq_codebooks(spark, path: str) -> np.ndarray:

@@ -508,3 +508,62 @@ def test_cli_compact_registry_both_kinds(tmp_path, capsys, spark):
     assert "files_after\t2" in printed, (
         "--buckets must drive the band compactor's target file count"
     )
+
+
+def test_cli_reindex_ann_drift_policy(spark, tmp_path, capsys):
+    """reindex-ann closes the ANN lifecycle loop: healthy corpus →
+    no-op with drift ratio ~1; distribution-shifted corpus → rebuild +
+    atomic swap, and the retrained codebooks fit the new distribution
+    strictly better than the stale ones; an index without a recorded
+    baseline refuses to guess (stats-missing) unless forced."""
+    import json as _json
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    src = tmp_path / "emb"
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(src))
+    idx = str(tmp_path / "idx")
+    cli.main(["build-ann-index", "--input", str(src), "--index", idx,
+              "--subspaces", "4", "--codes", "16"])
+    capsys.readouterr()
+    assert (tmp_path / "idx" / "stats.json").exists(), (
+        "the ops build lane must record the drift baseline"
+    )
+
+    # same corpus: healthy, ratio 1.0 (same codebooks, same vectors)
+    cli.main(["reindex-ann", "--index", idx, "--input", str(src)])
+    out = capsys.readouterr().out
+    assert "action\thealthy" in out and "drift_ratio\t1.0" in out
+
+    # shifted corpus (3x scale): stale codebooks' error blows up ~9x,
+    # the policy rebuilds, and the swap leaves a serving index whose
+    # retrained error beats the stale one on the new distribution
+    drift = tmp_path / "emb_drift"
+    spark.createDataFrame(
+        [(i, [float(3.0 * x) for x in vecs[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(drift))
+    cli.main(["reindex-ann", "--index", idx, "--input", str(drift)])
+    report = dict(
+        l.split("\t") for l in capsys.readouterr().out.splitlines() if "\t" in l
+    )
+    assert report["action"] == "rebuilt"
+    assert float(report["drift_ratio"]) > 1.2
+    assert float(report["rebuilt_err"]) < float(report["current_err"])
+    # the swapped index serves and carries a fresh baseline
+    stats = _json.loads((tmp_path / "idx" / "stats.json").read_text())
+    assert abs(stats["mean_sq_err"] - float(report["rebuilt_err"])) < 1e-9
+    cli.main(["reindex-ann", "--index", idx, "--input", str(drift)])
+    assert "action\thealthy" in capsys.readouterr().out
+
+    # no baseline → refuse to guess; --force rebuilds anyway
+    (tmp_path / "idx" / "stats.json").unlink()
+    cli.main(["reindex-ann", "--index", idx, "--input", str(drift)])
+    assert "action\tstats-missing" in capsys.readouterr().out
+    cli.main(["reindex-ann", "--index", idx, "--input", str(drift), "--force"])
+    assert "action\trebuilt" in capsys.readouterr().out
