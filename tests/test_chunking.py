@@ -147,18 +147,37 @@ def test_inverted_index_two_phase_is_exact(spark):
 
 
 def test_long_document_is_linear_and_bounded():
-    """A 1M-char document must chunk in well under a second (the numpy
-    path is O(n)) and every chunk must respect the max bound — the
-    pathological single-giant-doc case a web crawl always contains."""
+    """A 1M-char document must chunk at (near-)linear per-char cost —
+    the pathological single-giant-doc case a web crawl always contains.
+
+    Asserted as a RELATIVE bound: warm per-char rate at 1M chars vs
+    100k chars. An absolute wall-clock assert here flipped red on a
+    loaded box (first-call allocation/page-fault spikes of seconds on
+    an input that chunks in ~0.1s warm) while the kernel itself was
+    provably linear — so warm up first, then compare rates. A
+    quadratic kernel would show a ~10x rate blowup; 5x is generous
+    headroom for cache effects while still catching super-linearity."""
     import time
 
-    text = _text(1_000_000)
-    t0 = time.perf_counter()
-    spans = _doc_chunks_numpy(text, W, MIN, MAX, DIV)
-    dt = time.perf_counter() - t0
-    assert dt < 2.0, f"1M chars took {dt:.2f}s — not linear"
-    assert all(1 <= ln <= MAX for _, ln, _ in spans)
-    assert sum(ln for _, ln, _ in spans) == len(text)
+    small, big = _text(100_000), _text(1_000_000)
+
+    def rate(text: str) -> float:
+        best = float("inf")
+        for _ in range(3):  # min-of-3: the first rep absorbs warm-up
+            t0 = time.perf_counter()
+            spans = _doc_chunks_numpy(text, W, MIN, MAX, DIV)
+            best = min(best, time.perf_counter() - t0)
+        assert all(1 <= ln <= MAX for _, ln, _ in spans)
+        assert sum(ln for _, ln, _ in spans) == len(text)
+        return best / len(text)
+
+    small_rate = rate(small)  # also serves as process warm-up
+    big_rate = rate(big)
+    assert big_rate <= 5.0 * small_rate, (
+        f"per-char cost grew {big_rate / small_rate:.1f}x from 100k to "
+        f"1M chars ({small_rate * 1e6:.3f} vs {big_rate * 1e6:.3f} "
+        f"us/char) — not linear"
+    )
 
 
 def test_non_bmp_unicode_matches_scalar_replay():
