@@ -81,6 +81,12 @@ _EXPORTS = {
     "build_pq_index": "flink_ms_spark.operators.similarity",
     "load_pq_codebooks": "flink_ms_spark.operators.similarity",
     "pq_topk_codes": "flink_ms_spark.operators.similarity",
+    "reindex_pq": "flink_ms_spark.operators.similarity",
+    "build_ivf_index": "flink_ms_spark.operators.similarity",
+    "load_ivf_centroids": "flink_ms_spark.operators.similarity",
+    "reindex_ivf": "flink_ms_spark.operators.similarity",
+    "ivf_assignment_stats": "flink_ms_spark.operators.similarity",
+    "read_index_manifest": "flink_ms_spark.operators.similarity",
     "StreamingAnnIngest": "flink_ms_spark.streaming.ann_ingest",
     "load_codes": "flink_ms_spark.streaming.ann_ingest",
     # physical layout

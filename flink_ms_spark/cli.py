@@ -527,15 +527,31 @@ def cmd_compact_registry(args: argparse.Namespace) -> None:
 
 
 def cmd_build_ann_index(args: argparse.Namespace) -> None:
-    """Build-once half of the ANN lifecycle: train PQ codebooks on the
-    embedding parquet and persist codebooks + codes (see
-    operators/similarity.py:build_pq_index). Serving jobs then run
-    against the code table without retraining or touching raw
-    vectors."""
-    from flink_ms_spark.operators.similarity import build_pq_index
-
+    """Build-once half of the ANN lifecycle: train the index artifact
+    on the embedding parquet and persist it with a drift baseline.
+    --kind pq (default) trains PQ codebooks + encodes the code table
+    (operators/similarity.py:build_pq_index); --kind ivf trains the
+    coarse k-means quantizer ivf_kmeans_topk/ivf_pq_topk serve
+    (build_ivf_index). Serving jobs then run against the persisted
+    artifact without retraining."""
     spark = _spark("[ANN] build-index")
     df = spark.read.parquet(args.input)
+    if args.kind == "ivf":
+        from flink_ms_spark.operators.similarity import build_ivf_index
+
+        cents = build_ivf_index(
+            df,
+            args.index,
+            n_cells=args.cells,
+            vec_col=args.vec_col,
+            seed=args.seed,
+            record_stats=True,
+        )
+        print(f"index {args.index}: ivf, {cents.shape[0]} cells, "
+              f"dim {cents.shape[1]}")
+        return
+    from flink_ms_spark.operators.similarity import build_pq_index
+
     cb = build_pq_index(
         df,
         args.index,
@@ -562,20 +578,41 @@ def cmd_reindex_ann(args: argparse.Namespace) -> None:
     has drifted past --max-drift times the build-time baseline
     (operators/similarity.py:reindex_pq). ANN degrades silently under
     distribution shift — queries still return k results, just worse
-    ones — so the pipeline needs this explicit health loop."""
-    from flink_ms_spark.operators.similarity import reindex_pq
+    ones — so the pipeline needs this explicit health loop. The index
+    KIND (pq codebooks vs ivf coarse quantizer) is read from the index
+    manifest, so one lane monitors both families."""
+    from flink_ms_spark.operators.similarity import (
+        read_index_manifest,
+        reindex_ivf,
+        reindex_pq,
+    )
 
     spark = _spark("[ANN] reindex")
-    report = reindex_pq(
-        spark,
-        args.index,
-        spark.read.parquet(args.input),
-        max_drift=args.max_drift,
-        force=args.force,
-        id_col=args.id_col,
-        vec_col=args.vec_col,
-        seed=args.seed,
-    )
+    df = spark.read.parquet(args.input)
+    kind = read_index_manifest(spark, args.index)["kind"]
+    if kind == "ivf":
+        report = reindex_ivf(
+            spark,
+            args.index,
+            df,
+            max_drift=args.max_drift,
+            force=args.force,
+            vec_col=args.vec_col,
+            seed=args.seed,
+        )
+    else:
+        report = reindex_pq(
+            spark,
+            args.index,
+            df,
+            max_drift=args.max_drift,
+            force=args.force,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            seed=args.seed,
+            allow_missing=args.allow_missing,
+        )
+    print(f"kind\t{kind}")
     for k, v in report.items():
         print(f"{k}\t{v}")
 
@@ -951,8 +988,11 @@ def build_parser() -> argparse.ArgumentParser:
     bi = sub.add_parser("build-ann-index")
     bi.add_argument("--input", required=True, help="embeddings parquet")
     bi.add_argument("--index", required=True, help="index output dir")
+    bi.add_argument("--kind", choices=["pq", "ivf"], default="pq")
     bi.add_argument("--subspaces", type=int, default=16)
     bi.add_argument("--codes", type=int, default=32)
+    bi.add_argument("--cells", type=int, default=8,
+                    help="coarse cells (--kind ivf)")
     bi.add_argument("--id-col", default="vec_id")
     bi.add_argument("--vec-col", default="embedding")
     bi.add_argument("--seed", type=int, default=42)
@@ -964,6 +1004,9 @@ def build_parser() -> argparse.ArgumentParser:
     ri.add_argument("--max-drift", type=float, default=1.2,
                     help="rebuild when current/built error exceeds this")
     ri.add_argument("--force", action="store_true")
+    ri.add_argument("--allow-missing", action="store_true",
+                    help="permit a rebuild input that drops served ids "
+                    "(deliberate retention shrink; reported, never silent)")
     ri.add_argument("--id-col", default="vec_id")
     ri.add_argument("--vec-col", default="embedding")
     ri.add_argument("--seed", type=int, default=42)

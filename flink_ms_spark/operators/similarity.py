@@ -721,6 +721,71 @@ def pq_topk_codes(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+INDEX_MANIFEST = "index_manifest.json"
+
+
+def read_index_manifest(spark, path: str) -> dict:
+    """Manifest of a persisted ANN index: ``{"kind": "pq"|"ivf",
+    "generation": N}``. The GENERATION is the coherence token the
+    whole lifecycle hangs on — every rebuild bumps it, every streaming
+    increment partition is stamped with it, and both the serving
+    reader (``ann_ingest.load_codes``) and live ingest workers
+    (``StreamingAnnIngest``) compare against it, so codes encoded
+    under one codebook generation can never be served as distances
+    against another generation's centroids (the silent-wrong-neighbor
+    failure mode). Indexes built before manifests existed read as
+    generation 0 with the kind inferred from the layout."""
+    import json as _json
+
+    from flink_ms_spark import fsutil
+
+    mpath = fsutil.join(path, INDEX_MANIFEST)
+    if fsutil.exists(spark, mpath):
+        return _json.loads(fsutil.read_text(spark, mpath))
+    kind = "ivf" if fsutil.is_dir(spark, fsutil.join(path, "centroids")) else "pq"
+    return {"kind": kind, "generation": 0}
+
+
+def _write_index_manifest(spark, path: str, kind: str, generation: int) -> None:
+    import json as _json
+
+    from flink_ms_spark import fsutil
+
+    fsutil.replace_text(
+        spark,
+        fsutil.join(path, INDEX_MANIFEST),
+        _json.dumps({"kind": kind, "generation": int(generation)}),
+    )
+
+
+def _swap_index(spark, path: str, tmp: str) -> None:
+    """Install the fully-written replacement index ``tmp`` at ``path``
+    by rename-aside: the live index is never deleted before the
+    replacement is in place, so a crash at any step leaves a complete
+    index on disk (possibly at ``<path>.old``) and a loud error.
+
+    MAINTENANCE-WINDOW CONTRACT (same as the registry compactors,
+    streaming/chunk_dedup.py): the two renames leave a brief window
+    with no index at ``path``, so a concurrent reader may fail loudly
+    mid-swap — run reindex in a maintenance window, not under live
+    queries. What CANNOT happen is a silent wrong answer: readers see
+    the old complete index, the new complete index, or an error —
+    never a mix (the generation stamp rejects stale increments, see
+    read_index_manifest)."""
+    from flink_ms_spark import fsutil
+
+    old = path.rstrip("/") + ".old"
+    fsutil.delete(spark, old)
+    if not fsutil.rename(spark, path, old):
+        raise IOError(f"reindex: failed to move live index {path} aside; "
+                      f"rebuild left at {tmp}, serving index intact")
+    if not fsutil.rename(spark, tmp, path):
+        restored = fsutil.rename(spark, old, path)
+        raise IOError(f"reindex: failed to install rebuilt index at {path}; "
+                      f"old index {'restored' if restored else f'left at {old}'}")
+    fsutil.delete(spark, old)
+
+
 def build_pq_index(
     df: DataFrame,
     path: str,
@@ -732,6 +797,7 @@ def build_pq_index(
     sample_fraction: float | None = None,
     codebooks: np.ndarray | None = None,
     record_stats: bool = False,
+    generation: int = 0,
 ) -> np.ndarray:
     """Persist a PQ index: ``<path>/codebooks`` (subspace, code,
     centroid) + ``<path>/codes`` (id, code array) as parquet. Build
@@ -746,7 +812,10 @@ def build_pq_index(
     with the build-time mean quantization error — the baseline
     :func:`reindex_pq` compares against (opt-in: it costs one extra
     corpus pass, and the catalog's benched build path doesn't need
-    it)."""
+    it). ``generation`` stamps the index manifest — leave at 0 for a
+    fresh build; :func:`reindex_pq` bumps it on every swap so
+    streaming workers and the merged-code reader can detect a
+    codebook change (see read_index_manifest)."""
     cb = (
         np.asarray(codebooks, dtype=np.float64)
         if codebooks is not None
@@ -771,6 +840,7 @@ def build_pq_index(
     pq_encode(df, cb, id_col=id_col, vec_col=vec_col).write.mode("overwrite").parquet(
         f"{path}/codes"
     )
+    _write_index_manifest(spark, path, "pq", generation)
     if record_stats:
         import json as _json
 
@@ -832,6 +902,20 @@ def pq_quantization_error(
     return {"n": int(row.n or 0), "mean_sq_err": float(row.s or 0.0) / max(int(row.n or 0), 1)}
 
 
+def _drift_ratio(built: dict | None, cur_err: float) -> float:
+    """current/built error, with the degenerate zero-baseline handled:
+    a corpus with fewer distinct vectors than codes trains to exactly
+    zero error, and cur/0 must not read as infinite drift when the
+    current error is ALSO (numerically) zero — that would rebuild a
+    perfectly healthy index on every monitor pass, forever."""
+    if built is None:
+        return float("inf")
+    base = built["mean_sq_err"]
+    if base > 0:
+        return cur_err / base
+    return 1.0 if cur_err <= 1e-12 else float("inf")
+
+
 def reindex_pq(
     spark,
     path: str,
@@ -841,19 +925,36 @@ def reindex_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    allow_missing: bool = False,
 ) -> dict:
     """Monitor → reindex half of the ANN lifecycle (the Faiss-ops
     policy loop): measure the CURRENT corpus's quantization error
     under the SERVING index's codebooks, compare to the error recorded
-    at build time (``stats.json``), and rebuild + atomically swap the
-    index when the ratio exceeds ``max_drift``.
+    at build time (``stats.json``), and rebuild + swap the index when
+    the ratio exceeds ``max_drift``.
 
     Crash ordering mirrors neardup.compact_registry: the replacement
-    index is fully written to ``<path>.rebuilding``, then the live
-    index is renamed ASIDE (never deleted first) and the replacement
-    renamed in — a failure at any step leaves a serving-complete index
-    on disk, loud, with rollback where possible. Returns a report dict
-    ({action: healthy|rebuilt|stats-missing, drift ratio, errors}).
+    index is fully written to ``<path>.rebuilding``, then swapped in
+    by rename-aside (see _swap_index for the crash argument and the
+    MAINTENANCE-WINDOW contract — no concurrent queries or live
+    ingest workers during the swap; a worker that survives anyway
+    fails loud on the generation stamp, never lands servable stale
+    codes). Returns a report dict ({action:
+    healthy|rebuilt|stats-missing, drift ratio, errors, generation}).
+
+    STREAMING-INCREMENT COHERENCE: the live index may carry
+    ``codes_increments/`` partitions landed by StreamingAnnIngest —
+    ids that exist ONLY there (or whose latest embedding does). The
+    swap discards the increments dir wholesale (its codes were encoded
+    under the outgoing codebooks and are meaningless under the new
+    ones), so before rebuilding, every CURRENTLY SERVED id — base and
+    increments, via the same merged view serving uses — must appear in
+    the rebuild input ``df``: anti-join count must be 0, else refuse.
+    ``allow_missing=True`` is the explicit retention/deletion path
+    (rebuild from a corpus that intentionally dropped ids); the report
+    then records ``dropped_ids`` so the shrink is visible, never
+    silent. The rebuilt index starts with NO increments and a bumped
+    manifest generation.
 
     An index built before stats recording (no ``stats.json``) cannot
     measure drift — it reports ``stats-missing`` and rebuilds only
@@ -873,11 +974,7 @@ def reindex_pq(
     )
     if built is None and not force:
         return {"action": "stats-missing", "current_err": cur["mean_sq_err"]}
-    ratio = (
-        cur["mean_sq_err"] / built["mean_sq_err"]
-        if built and built["mean_sq_err"] > 0
-        else float("inf")
-    )
+    ratio = _drift_ratio(built, cur["mean_sq_err"])
     if not force and ratio <= max_drift:
         return {
             "action": "healthy",
@@ -886,6 +983,22 @@ def reindex_pq(
             "current_err": cur["mean_sq_err"],
         }
 
+    dropped = 0
+    if fsutil.is_dir(spark, fsutil.join(path, "codes_increments")):
+        from flink_ms_spark.streaming.ann_ingest import load_codes
+
+        served = load_codes(spark, path, id_col=id_col).select(id_col)
+        dropped = served.join(df.select(id_col), id_col, "left_anti").count()
+        if dropped and not allow_missing:
+            raise ValueError(
+                f"reindex_pq: {dropped} served id(s) (streaming increments "
+                f"or base) are missing from the rebuild input — the swap "
+                f"would silently drop them from serving. Rebuild from a "
+                f"corpus that covers every served id, or pass "
+                f"allow_missing=True to shrink deliberately."
+            )
+
+    gen = read_index_manifest(spark, path)["generation"]
     tmp = path.rstrip("/") + ".rebuilding"
     fsutil.delete(spark, tmp)  # stale debris from a prior crash
     new_cb = build_pq_index(
@@ -897,18 +1010,10 @@ def reindex_pq(
         vec_col=vec_col,
         seed=seed,
         record_stats=True,
+        generation=gen + 1,
     )
     new_err = _json.loads(fsutil.read_text(spark, fsutil.join(tmp, "stats.json")))
-    old = path.rstrip("/") + ".old"
-    fsutil.delete(spark, old)
-    if not fsutil.rename(spark, path, old):
-        raise IOError(f"reindex_pq: failed to move live index {path} aside; "
-                      f"rebuild left at {tmp}, serving index intact")
-    if not fsutil.rename(spark, tmp, path):
-        restored = fsutil.rename(spark, old, path)
-        raise IOError(f"reindex_pq: failed to install rebuilt index at {path}; "
-                      f"old index {'restored' if restored else f'left at {old}'}")
-    fsutil.delete(spark, old)
+    _swap_index(spark, path, tmp)
     return {
         "action": "rebuilt",
         "drift_ratio": round(ratio, 4) if built else None,
@@ -917,6 +1022,8 @@ def reindex_pq(
         "rebuilt_err": new_err["mean_sq_err"],
         "subspaces": int(new_cb.shape[0]),
         "codes": int(new_cb.shape[1]),
+        "generation": gen + 1,
+        "dropped_ids": dropped,
     }
 
 
@@ -928,6 +1035,206 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     for r in rows:
         cb[r.subspace, r.code] = r.centroid
     return cb
+
+
+# ---------------------------------------------------------------- IVF index
+# Persisted-artifact + health-loop lane for the IVF family. The served
+# artifact is the TRAINED COARSE QUANTIZER (centroid matrix) —
+# ivf_kmeans_topk / ivf_pq_topk take it as their `codebook` argument
+# and scan the corpus at query time (the cell assignment is a
+# broadcast map, postings never materialize). It drifts exactly like
+# PQ codebooks: under distribution shift the assignment error rises
+# and cells go unbalanced (skewed candidate lists), while every query
+# still "works" — so it needs the same build-baseline → monitor →
+# rebuild/swap loop, sharing the generation-stamp machinery above.
+
+
+def ivf_assignment_stats(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> dict:
+    """Health scalars of a coarse quantizer over the corpus: mean
+    squared distance to the NEAREST centroid (assignment error — the
+    drift signal, rises when the corpus moves away from the training
+    snapshot) and the largest cell's population share (cell balance —
+    a skewed quantizer concentrates candidates in one cell and the
+    within-cell scan degrades toward brute force).
+
+    Scale: one vectorized narrow map (centroids ride a broadcast)
+    emitting per-batch per-cell (n, sum_err) partials; the groupBy is
+    map-side-combined to ≤ n_cells rows per partition, so the shuffle
+    is O(cells), not O(corpus). Returns {"n", "mean_sq_err",
+    "max_cell_frac", "n_cells"}."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sum_err", T.DoubleType(), False),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            err = d2[np.arange(len(v)), assign]
+            cells, inv = np.unique(assign, return_inverse=True)
+            yield pd.DataFrame(
+                {
+                    "cell": cells.astype("int32"),
+                    "n": np.bincount(inv),
+                    "sum_err": np.bincount(inv, weights=err),
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(part, schema=schema)
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"), F.sum("sum_err").alias("s"))
+        .collect()
+    )
+    n = sum(int(r.n) for r in rows)
+    return {
+        "n": n,
+        "mean_sq_err": sum(float(r.s) for r in rows) / max(n, 1),
+        "max_cell_frac": (max(int(r.n) for r in rows) / n) if n else 0.0,
+        "n_cells": int(np.asarray(centroids).shape[0]),
+    }
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    centroids: np.ndarray | None = None,
+    record_stats: bool = False,
+    generation: int = 0,
+) -> np.ndarray:
+    """Persist an IVF coarse quantizer: ``<path>/centroids`` (cell,
+    centroid) parquet + generation manifest, optionally
+    ``<path>/stats.json`` with the build-time assignment-error /
+    cell-balance baseline :func:`reindex_ivf` compares against. Serve
+    by loading with :func:`load_ivf_centroids` and passing to
+    ``ivf_kmeans_topk`` / ``ivf_pq_topk`` as the coarse codebook."""
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_codebook(
+            df,
+            n_cells=n_cells,
+            vec_col=vec_col,
+            seed=seed,
+            sample_fraction=sample_fraction,
+        )
+    )
+    spark = df.sparkSession
+    rows = [(c, [float(x) for x in cents[c]]) for c in range(cents.shape[0])]
+    spark.createDataFrame(rows, "cell INT, centroid ARRAY<DOUBLE>").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    _write_index_manifest(spark, path, "ivf", generation)
+    if record_stats:
+        import json as _json
+
+        from flink_ms_spark import fsutil
+
+        stats = ivf_assignment_stats(df, cents, vec_col=vec_col)
+        fsutil.replace_text(
+            spark, fsutil.join(path, "stats.json"), _json.dumps(stats)
+        )
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.empty((max(r.cell for r in rows) + 1, len(rows[0].centroid)))
+    for r in rows:
+        cents[r.cell] = r.centroid
+    return cents
+
+
+def reindex_ivf(
+    spark,
+    path: str,
+    df: DataFrame,
+    max_drift: float = 1.2,
+    force: bool = False,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Monitor → reindex for the IVF coarse quantizer — the same
+    policy loop as :func:`reindex_pq` (measure the current corpus's
+    assignment error under the serving centroids, rebuild + swap past
+    ``max_drift`` × the build-time baseline) sharing the same
+    manifest-generation stamp and rename-aside swap (maintenance
+    window contract in _swap_index). Simpler than PQ in one way: the
+    IVF artifact has no streaming increments, so there is no coverage
+    gate — the centroids are a pure function of the rebuild input.
+    The report also carries cell balance (built vs current
+    max_cell_frac): balance decay with a healthy error ratio is the
+    early skew warning worth alerting on before it trips the drift
+    bar."""
+    import json as _json
+
+    from flink_ms_spark import fsutil
+
+    cents = load_ivf_centroids(spark, path)
+    cur = ivf_assignment_stats(df, cents, vec_col=vec_col)
+    stats_path = fsutil.join(path, "stats.json")
+    built = (
+        _json.loads(fsutil.read_text(spark, stats_path))
+        if fsutil.exists(spark, stats_path)
+        else None
+    )
+    if built is None and not force:
+        return {"action": "stats-missing", "current_err": cur["mean_sq_err"]}
+    ratio = _drift_ratio(built, cur["mean_sq_err"])
+    if not force and ratio <= max_drift:
+        return {
+            "action": "healthy",
+            "drift_ratio": round(ratio, 4),
+            "built_err": built["mean_sq_err"],
+            "current_err": cur["mean_sq_err"],
+            "built_max_cell_frac": built.get("max_cell_frac"),
+            "current_max_cell_frac": cur["max_cell_frac"],
+        }
+
+    gen = read_index_manifest(spark, path)["generation"]
+    tmp = path.rstrip("/") + ".rebuilding"
+    fsutil.delete(spark, tmp)  # stale debris from a prior crash
+    new_cents = build_ivf_index(
+        df,
+        tmp,
+        n_cells=cents.shape[0],
+        vec_col=vec_col,
+        seed=seed,
+        record_stats=True,
+        generation=gen + 1,
+    )
+    new_stats = _json.loads(fsutil.read_text(spark, fsutil.join(tmp, "stats.json")))
+    _swap_index(spark, path, tmp)
+    return {
+        "action": "rebuilt",
+        "drift_ratio": round(ratio, 4) if built else None,
+        "built_err": built["mean_sq_err"] if built else None,
+        "current_err": cur["mean_sq_err"],
+        "rebuilt_err": new_stats["mean_sq_err"],
+        "current_max_cell_frac": cur["max_cell_frac"],
+        "rebuilt_max_cell_frac": new_stats["max_cell_frac"],
+        "cells": int(new_cents.shape[0]),
+        "generation": gen + 1,
+    }
 
 
 def pq_codebooks_from_parquet(

@@ -18,6 +18,25 @@ Id collisions resolve by recency: an id re-sent in a later batch
 supersedes its earlier code row (and any base row) at load time via a
 vec_id-keyed window — fully parallel, never a global sort. The base
 table has batch_id −1, so any increment wins over base.
+
+GENERATION COHERENCE (the reindex interaction): ``reindex_pq`` swaps
+in NEW codebooks and bumps the index manifest's generation. A code is
+only meaningful against the codebooks that produced it — ADC distances
+of old-generation codes against new-generation centroids are
+plausible-looking garbage. Three guards make that class impossible:
+
+- every increment partition is stamped ``gen=G/batch_id=N`` with the
+  generation the worker's codebooks were loaded under;
+- ``load_codes`` serves only increments whose gen matches the CURRENT
+  manifest generation (partition-pruned, stale dirs never read);
+- ``process_batch`` re-reads the manifest each batch and raises if the
+  index was reindexed underneath it — a stale worker fails LOUD at its
+  next batch instead of quietly encoding into the new index.
+
+After a reindex, restart ingest workers (the constructor reloads the
+new codebooks + generation). The swap itself discards the increments
+dir only after proving the rebuild input covers every served id
+(reindex_pq's anti-join gate), so no streamed vector is lost.
 """
 
 from __future__ import annotations
@@ -28,14 +47,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_ms_spark import fsutil
-from flink_ms_spark.operators.similarity import load_pq_codebooks, pq_encode
+from flink_ms_spark.operators.similarity import (
+    load_pq_codebooks,
+    pq_encode,
+    read_index_manifest,
+)
 
 _INC = "codes_increments"
 
 
+class StaleIndexGenerationError(RuntimeError):
+    """The persisted index was reindexed (new codebooks, bumped
+    generation) underneath a live worker that loaded the old ones."""
+
+
 class StreamingAnnIngest:
     """foreachBatch worker: encode + land one increment partition per
-    micro-batch."""
+    micro-batch, stamped with the codebook generation it encoded
+    under."""
 
     def __init__(self, spark: SparkSession, index_path: str,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -43,9 +72,27 @@ class StreamingAnnIngest:
         self.id_col = id_col
         self.vec_col = vec_col
         self.codebooks: np.ndarray = load_pq_codebooks(spark, index_path)
+        self.generation: int = read_index_manifest(spark, index_path)["generation"]
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        out = fsutil.join(self.index_path, _INC, f"batch_id={batch_id}")
+        # per-batch generation check: self.codebooks were loaded ONCE
+        # at construction; if reindex_pq swapped the index since, these
+        # codebooks no longer match what load_codes will serve against.
+        # Fail loud — landing the batch would be silently wrong (and
+        # the gen= stamp below keeps even a mid-swap race unservable).
+        live = read_index_manifest(batch_df.sparkSession, self.index_path)["generation"]
+        if live != self.generation:
+            raise StaleIndexGenerationError(
+                f"index {self.index_path} is at codebook generation {live} "
+                f"but this worker encoded with generation {self.generation} "
+                f"— the index was reindexed underneath a live worker. "
+                f"Restart the ingest (the constructor reloads the new "
+                f"codebooks); landing these codes would serve "
+                f"mixed-generation distances."
+            )
+        out = fsutil.join(
+            self.index_path, _INC, f"gen={self.generation}", f"batch_id={batch_id}"
+        )
         codes = pq_encode(batch_df, self.codebooks,
                           id_col=self.id_col, vec_col=self.vec_col)
         # a micro-batch may carry the same id twice; "latest" within
@@ -69,8 +116,14 @@ class StreamingAnnIngest:
 def load_codes(spark: SparkSession, index_path: str,
                id_col: str = "vec_id") -> DataFrame:
     """The serving view of the code table: base codes plus any landed
-    increments, latest batch winning per id. Pass the result to
-    ``pq_topk_codes`` exactly like the base table."""
+    increments OF THE CURRENT CODEBOOK GENERATION, latest batch
+    winning per id. Pass the result to ``pq_topk_codes`` exactly like
+    the base table.
+
+    The gen filter is a partition-prune (increments land under
+    ``gen=G/batch_id=N``), so stale-generation directories — debris a
+    racing worker wrote during a reindex swap — are never even read,
+    let alone served as mixed-generation distances."""
     base = spark.read.parquet(fsutil.join(index_path, "codes")).select(
         F.col(id_col), "code", F.lit(-1).cast("long").alias("_b")
     )
@@ -79,8 +132,11 @@ def load_codes(spark: SparkSession, index_path: str,
     # serve STALE codes because the driver's local disk lacks inc_path
     if not fsutil.is_dir(spark, inc_path):
         return base.drop("_b")
-    inc = spark.read.parquet(inc_path).select(
-        F.col(id_col), "code", F.col("batch_id").cast("long").alias("_b")
+    gen = read_index_manifest(spark, index_path)["generation"]
+    inc = (
+        spark.read.parquet(inc_path)
+        .where(F.col("gen") == gen)
+        .select(F.col(id_col), "code", F.col("batch_id").cast("long").alias("_b"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_b").desc())
     return (

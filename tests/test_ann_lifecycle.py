@@ -1,0 +1,232 @@
+"""ANN index lifecycle coherence: reindex vs streaming increments.
+
+The failure class under test: ``reindex_pq`` swaps in NEW codebooks
+while ``StreamingAnnIngest`` increments encoded under the OLD ones
+exist (or keep arriving from a stale worker). Mixed-generation codes
+served through ADC produce plausible-looking wrong neighbors — so the
+contract is: no served id may be lost by a swap (anti-join coverage
+gate), stale workers fail LOUD (generation check per batch), and the
+merged reader never serves a mismatched-generation increment
+(partition-pruned gen filter). Plus the IVF coarse-quantizer health
+loop, which shares the same generation-stamp machinery.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vec_df(spark, ids, vecs):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+
+@pytest.fixture
+def pq_index(spark, tmp_path):
+    """A generation-0 PQ index over 30 base vectors, with a recorded
+    drift baseline, plus one landed streaming increment batch of 10
+    NEW ids (100..109) — the exact state a reindex must not corrupt."""
+    from flink_ms_spark.operators.similarity import build_pq_index
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    rng = np.random.default_rng(7)
+    base_vecs = rng.normal(size=(30, 8))
+    inc_vecs = rng.normal(size=(10, 8))
+    idx = str(tmp_path / "idx")
+    base = _vec_df(spark, range(30), base_vecs)
+    build_pq_index(base, idx, n_subspaces=4, n_codes=8, record_stats=True)
+    ingest = StreamingAnnIngest(spark, idx)
+    ingest.process_batch(_vec_df(spark, range(100, 110), inc_vecs), batch_id=0)
+    return idx, base_vecs, inc_vecs, ingest
+
+
+def test_reindex_folds_covered_increments_without_loss(spark, tmp_path, pq_index):
+    """Rebuild input covering every served id: the swap re-lands the
+    increment-only ids from their fresh vectors — nothing vanishes
+    from serving, the generation bumps, and the new index starts with
+    no increments directory."""
+    from flink_ms_spark.operators.similarity import read_index_manifest, reindex_pq
+    from flink_ms_spark.streaming.ann_ingest import load_codes
+
+    idx, base_vecs, inc_vecs, _ = pq_index
+    before = {r.vec_id for r in load_codes(spark, idx).collect()}
+    assert before == set(range(30)) | set(range(100, 110))
+
+    full = _vec_df(
+        spark,
+        list(range(30)) + list(range(100, 110)),
+        list(base_vecs) + list(inc_vecs),
+    )
+    report = reindex_pq(spark, idx, full, force=True)
+    assert report["action"] == "rebuilt"
+    assert report["dropped_ids"] == 0
+    assert report["generation"] == 1
+    assert read_index_manifest(spark, idx) == {"kind": "pq", "generation": 1}
+
+    after = {r.vec_id for r in load_codes(spark, idx).collect()}
+    assert after == before, "the swap lost served ids"
+    # the increments were FOLDED into the base: no increment partitions
+    import os
+
+    assert not os.path.isdir(os.path.join(idx, "codes_increments"))
+
+
+def test_reindex_refuses_rebuild_input_missing_served_ids(spark, tmp_path, pq_index):
+    """Rebuild input that lacks the increment-only ids: refuse loudly
+    and leave the serving index untouched; allow_missing=True is the
+    deliberate-shrink path and reports the drop count."""
+    from flink_ms_spark.operators.similarity import read_index_manifest, reindex_pq
+    from flink_ms_spark.streaming.ann_ingest import load_codes
+
+    idx, base_vecs, _, _ = pq_index
+    base_only = _vec_df(spark, range(30), base_vecs)
+
+    with pytest.raises(ValueError, match="10 served id"):
+        reindex_pq(spark, idx, base_only, force=True)
+    # refused = untouched: generation 0, all 40 ids still served
+    assert read_index_manifest(spark, idx)["generation"] == 0
+    assert load_codes(spark, idx).count() == 40
+
+    report = reindex_pq(spark, idx, base_only, force=True, allow_missing=True)
+    assert report["action"] == "rebuilt"
+    assert report["dropped_ids"] == 10  # visible, never silent
+    assert load_codes(spark, idx).count() == 30
+
+
+def test_stale_worker_fails_loud_after_swap(spark, tmp_path, pq_index):
+    """A StreamingAnnIngest constructed before a reindex holds the OLD
+    codebooks; its next batch must raise (generation mismatch), not
+    encode old-generation codes into the new index's increments."""
+    from flink_ms_spark.operators.similarity import reindex_pq
+    from flink_ms_spark.streaming.ann_ingest import (
+        StaleIndexGenerationError,
+        load_codes,
+    )
+
+    idx, base_vecs, inc_vecs, stale_worker = pq_index
+    full = _vec_df(
+        spark,
+        list(range(30)) + list(range(100, 110)),
+        list(base_vecs) + list(inc_vecs),
+    )
+    reindex_pq(spark, idx, full, force=True)
+
+    rng = np.random.default_rng(13)
+    with pytest.raises(StaleIndexGenerationError, match="generation 1"):
+        stale_worker.process_batch(
+            _vec_df(spark, [200], rng.normal(size=(1, 8))), batch_id=1
+        )
+    # nothing landed: the new index still serves exactly the folded set
+    assert load_codes(spark, idx).count() == 40
+
+
+def test_load_codes_never_serves_mismatched_generation_increments(
+    spark, tmp_path, pq_index
+):
+    """Defense in depth for the one unguarded race (worker passes the
+    generation check, swap happens, worker's write lands anyway): a
+    gen-stamped increment partition whose generation doesn't match the
+    manifest is partition-pruned at read, never served as
+    mixed-generation distances."""
+    from flink_ms_spark.operators.similarity import pq_encode, reindex_pq
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest, load_codes
+
+    idx, base_vecs, inc_vecs, stale_worker = pq_index
+    full = _vec_df(
+        spark,
+        list(range(30)) + list(range(100, 110)),
+        list(base_vecs) + list(inc_vecs),
+    )
+    reindex_pq(spark, idx, full, force=True)
+
+    # simulate the race: old-generation codes written into the NEW
+    # index (what the stale worker would have landed had it won)
+    rng = np.random.default_rng(29)
+    ghost = pq_encode(_vec_df(spark, [300], rng.normal(size=(1, 8))),
+                      stale_worker.codebooks)
+    ghost.write.mode("overwrite").parquet(
+        f"{idx}/codes_increments/gen=0/batch_id=99"
+    )
+    served = load_codes(spark, idx)
+    assert served.where(F.col("vec_id") == 300).count() == 0
+
+    # a CURRENT-generation worker's increments are served as before
+    fresh = StreamingAnnIngest(spark, idx)
+    assert fresh.generation == 1
+    fresh.process_batch(_vec_df(spark, [301], rng.normal(size=(1, 8))), batch_id=0)
+    served = load_codes(spark, idx)
+    assert served.where(F.col("vec_id") == 301).count() == 1
+    assert served.where(F.col("vec_id") == 300).count() == 0
+    assert served.count() == 41
+
+
+def test_zero_error_baseline_reads_healthy_not_infinite_drift(spark, tmp_path):
+    """A corpus with fewer distinct vectors than codes trains to
+    EXACTLY zero quantization error; the monitor must read an
+    unchanged corpus as healthy (cur 0 / built 0), not as infinite
+    drift that rebuilds a perfect index on every pass."""
+    from flink_ms_spark.operators.similarity import build_pq_index, reindex_pq
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(4, 8))  # 4 rows, 8 codes -> every row a centroid
+    idx = str(tmp_path / "idx0")
+    df = _vec_df(spark, range(4), vecs)
+    build_pq_index(df, idx, n_subspaces=4, n_codes=8, record_stats=True)
+    built = json.loads((tmp_path / "idx0" / "stats.json").read_text())
+    assert built["mean_sq_err"] == 0.0, "degenerate baseline precondition"
+
+    report = reindex_pq(spark, idx, df)
+    assert report["action"] == "healthy"
+    assert report["drift_ratio"] == 1.0
+
+
+def test_ivf_reindex_drift_policy(spark, tmp_path):
+    """The IVF coarse quantizer gets the same health loop as PQ:
+    healthy on the training corpus, rebuild + swap + generation bump
+    under distribution shift, stats-missing without a baseline, and
+    the report carries the cell-balance scalars."""
+    from flink_ms_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assignment_stats,
+        load_ivf_centroids,
+        read_index_manifest,
+        reindex_ivf,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(80, 8))
+    idx = str(tmp_path / "ivf")
+    df = _vec_df(spark, range(80), vecs)
+    cents = build_ivf_index(df, idx, n_cells=4, record_stats=True)
+    assert read_index_manifest(spark, idx) == {"kind": "ivf", "generation": 0}
+    built = json.loads((tmp_path / "ivf" / "stats.json").read_text())
+    assert built["n"] == 80 and built["n_cells"] == 4
+    assert 0.25 <= built["max_cell_frac"] <= 1.0
+    # the stats pass agrees with a direct recompute of the persisted artifact
+    loaded = load_ivf_centroids(spark, idx)
+    assert np.allclose(loaded, cents)
+    again = ivf_assignment_stats(df, loaded)
+    assert abs(again["mean_sq_err"] - built["mean_sq_err"]) < 1e-9
+
+    report = reindex_ivf(spark, idx, df)
+    assert report["action"] == "healthy"
+    assert abs(report["drift_ratio"] - 1.0) < 1e-9
+
+    shifted = _vec_df(spark, range(80), 3.0 * vecs)
+    report = reindex_ivf(spark, idx, shifted)
+    assert report["action"] == "rebuilt"
+    assert report["drift_ratio"] > 1.2
+    assert report["rebuilt_err"] < report["current_err"]
+    assert report["generation"] == 1
+    assert 0.0 < report["rebuilt_max_cell_frac"] <= 1.0
+    assert read_index_manifest(spark, idx)["generation"] == 1
+    assert reindex_ivf(spark, idx, shifted)["action"] == "healthy"
+
+    (tmp_path / "ivf" / "stats.json").unlink()
+    assert reindex_ivf(spark, idx, shifted)["action"] == "stats-missing"

@@ -567,3 +567,42 @@ def test_cli_reindex_ann_drift_policy(spark, tmp_path, capsys):
     assert "action\tstats-missing" in capsys.readouterr().out
     cli.main(["reindex-ann", "--index", idx, "--input", str(drift), "--force"])
     assert "action\trebuilt" in capsys.readouterr().out
+
+
+def test_cli_ann_lanes_cover_ivf_kind(spark, tmp_path, capsys):
+    """build-ann-index --kind ivf persists the coarse quantizer with a
+    baseline, and reindex-ann dispatches on the manifest kind — one
+    ops lane monitors both ANN families."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    src = tmp_path / "emb"
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(src))
+    idx = str(tmp_path / "ivf_idx")
+    cli.main(["build-ann-index", "--kind", "ivf", "--input", str(src),
+              "--index", idx, "--cells", "4"])
+    out = capsys.readouterr().out
+    assert "ivf, 4 cells" in out
+    assert (tmp_path / "ivf_idx" / "stats.json").exists()
+
+    # kind read from the manifest: no --kind flag on the monitor lane
+    cli.main(["reindex-ann", "--index", idx, "--input", str(src)])
+    out = capsys.readouterr().out
+    assert "kind\tivf" in out and "action\thealthy" in out
+
+    drift = tmp_path / "emb_drift"
+    spark.createDataFrame(
+        [(i, [float(3.0 * x) for x in vecs[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(drift))
+    cli.main(["reindex-ann", "--index", idx, "--input", str(drift)])
+    report = dict(
+        l.split("\t") for l in capsys.readouterr().out.splitlines() if "\t" in l
+    )
+    assert report["kind"] == "ivf" and report["action"] == "rebuilt"
+    assert float(report["rebuilt_err"]) < float(report["current_err"])
+    assert report["generation"] == "1"
