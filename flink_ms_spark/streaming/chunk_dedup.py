@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,6 +81,15 @@ def _read_manifest(spark: SparkSession, base_dir: str) -> dict | None:
     if not fsutil.exists(spark, path):
         return None
     return json.loads(fsutil.read_text(spark, path))
+
+
+def base_manifest(spark: SparkSession, registry_dir: str) -> dict | None:
+    """The base tier's commit manifest, or None before the first
+    compaction. Public so maintenance paths (ingest.compact_registries)
+    can tell 'never compacted' apart from 'compacted, live tier
+    currently empty' — the latter may still hold crash-orphaned
+    generation dirs worth a GC refold."""
+    return _read_manifest(spark, _base_dir(registry_dir))
 
 
 def base_table(spark: SparkSession, registry_dir: str) -> DataFrame | None:
@@ -234,6 +244,7 @@ class StreamingChunkDedup:
         max_len: int = 128,
         divisor: int = 16,
         out_dir: str | None = None,
+        tail_warn_batches: int = 64,
     ):
         self.registry_dir = registry_dir
         self.max_dup_ratio = max_dup_ratio
@@ -241,6 +252,7 @@ class StreamingChunkDedup:
             window=window, min_len=min_len, max_len=max_len, divisor=divisor
         )
         self.out_dir = out_dir
+        self.tail_warn_batches = tail_warn_batches
 
     def _live(self, spark: SparkSession) -> DataFrame | None:
         # fsutil, not os.path: a shared-storage registry URI must not
@@ -278,6 +290,29 @@ class StreamingChunkDedup:
 
         live = self._live(spark)
         if live is not None:
+            # growth guard: the cost model assumes the live tail stays
+            # broadcast-small because compaction folds it away. An
+            # operator who never compacts regrows the pre-two-tier
+            # straggler SILENTLY — the probe still returns correct
+            # verdicts, just slower every batch — so past the
+            # threshold, say so loudly. Counting partition DIRS is one
+            # listing call, no data read.
+            n_tail = sum(
+                1
+                for n in fsutil.list_names(spark, self.registry_dir, dirs_only=True)
+                if n.startswith("batch_id=")
+            )
+            if n_tail > self.tail_warn_batches:
+                logging.getLogger(__name__).warning(
+                    "chunk registry live tail at %s holds %d batch "
+                    "partitions (threshold %d) — the probe join side "
+                    "grows every batch until compaction folds it into "
+                    "the bucketed base; run compact_chunk_registry in "
+                    "the next maintenance window",
+                    self.registry_dir,
+                    n_tail,
+                    self.tail_warn_batches,
+                )
             # distinct BEFORE the join: an admitted doc holding the
             # same chunk k times registered k identical rows, and
             # between compactions that duplication would fan the probe

@@ -154,20 +154,34 @@ class StreamingIngest:
         documented contract). An EMPTY registry (every batch
         quarantined, or nothing ingested yet) is skipped, not an
         error — and never aborts the other registry's compaction.
-        Returns per-registry stats."""
-        from flink_ms_spark import fsutil
+        Returns per-registry stats.
 
-        def _maybe(tag, registry_dir, compact):
-            if fsutil.count_files(spark, registry_dir, ".parquet") == 0:
+        The chunk kind compacts whenever the live tier has rows OR a
+        base manifest exists: compact_chunk_registry refolds the base
+        and sweeps crash-orphaned generation dirs (flip-window debris
+        from an earlier compaction) even with nothing live, so gating
+        on live files alone would leave that debris unreclaimed until
+        new batches happened to arrive."""
+        from flink_ms_spark import fsutil
+        from flink_ms_spark.streaming.chunk_dedup import base_manifest
+
+        def _maybe(registry_dir, compact, has_base=False):
+            if (
+                fsutil.count_files(spark, registry_dir, ".parquet") == 0
+                and not has_base
+            ):
                 return {"skipped": "empty registry"}
             return compact(spark)
 
         out = {
-            "band": _maybe("band", self.neardup.registry_dir, self.neardup.compact)
+            "band": _maybe(self.neardup.registry_dir, self.neardup.compact)
         }
         if self.chunkdedup is not None:
             out["chunk"] = _maybe(
-                "chunk", self.chunkdedup.registry_dir, self.chunkdedup.compact
+                self.chunkdedup.registry_dir,
+                self.chunkdedup.compact,
+                has_base=base_manifest(spark, self.chunkdedup.registry_dir)
+                is not None,
             )
         return out
 

@@ -290,6 +290,36 @@ def test_compaction_gc_reclaims_crash_orphaned_generations(spark, tmp_path):
             sd.registry_dir.encode()).hexdigest()[:10]) for t in tables)
 
 
+def test_live_tail_growth_guard_warns_past_threshold(spark, tmp_path, caplog):
+    """The probe's cost model assumes compaction keeps the live tail
+    broadcast-small; an operator who never compacts regrows the
+    pre-two-tier straggler SILENTLY (verdicts stay correct, every
+    batch just gets slower). Past tail_warn_batches live partitions
+    the probe must say so loudly — and compaction clears the state
+    that triggered it."""
+    import logging
+
+    from flink_ms_spark.streaming.chunk_dedup import StreamingChunkDedup
+
+    sd = StreamingChunkDedup(
+        str(tmp_path / "reg"), max_dup_ratio=0.5, tail_warn_batches=2
+    )
+    logger = "flink_ms_spark.streaming.chunk_dedup"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        for i in range(3):  # tail seen by probe: 0, 1, 2 dirs — under/at bar
+            sd.process_batch(_docs(spark, [(i, _text(600, f"T{i}"))]), i)
+        assert not [r for r in caplog.records if "live tail" in r.message]
+        sd.process_batch(_docs(spark, [(9, _text(600, "T9"))]), 3)  # sees 3 > 2
+        warned = [r for r in caplog.records if "live tail" in r.message]
+        assert len(warned) == 1 and "3 batch partitions" in warned[0].message
+
+    sd.compact(spark)  # folds the tail away
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=logger):
+        sd.process_batch(_docs(spark, [(10, _text(600, "T10"))]), 4)
+        assert not [r for r in caplog.records if "live tail" in r.message]
+
+
 def test_run_requires_sink_before_stream_starts(spark, tmp_path):
     """run() without out_dir must refuse BEFORE the stream starts —
     raising from inside the first batch would mutate the registry and

@@ -649,3 +649,54 @@ def test_compact_registries_skips_empty_registries(spark, tmp_path):
         "band": {"skipped": "empty registry"},
         "chunk": {"skipped": "empty registry"},
     }
+
+
+def test_compact_registries_refolds_chunk_base_with_empty_live(spark, tmp_path):
+    """ADVICE r11: once a chunk base manifest exists, compact_registries
+    must run the chunk compactor even when the live tier has zero
+    parquet files — the refold is what GCs crash-orphaned generation
+    dirs, and gating on live files alone left that debris unreclaimed
+    until new batches happened to arrive."""
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.sources.tables import load_table
+    from flink_ms_spark.streaming.drift import bucket_profile
+    from flink_ms_spark.streaming.ingest import StreamingIngest
+
+    baseline = bucket_profile(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    import hashlib as _h
+
+    text = "".join(
+        chr(ord("a") + int(c, 16) % 26)
+        for i in range(20)
+        for c in _h.md5(f"A:{i}".encode()).hexdigest()
+    )[:600]
+    out = tmp_path / "corpus"
+    ing = StreamingIngest(
+        str(out), baseline, drift_threshold_bits=1e9, chunk_max_dup_ratio=0.5
+    )
+    ing.process_batch(
+        spark.createDataFrame(
+            [(1, text, "ok")], "doc_id LONG, text STRING, source STRING"
+        ),
+        0,
+    )
+    first = ing.compact_registries(spark)
+    assert first["chunk"]["generation"] == 0
+
+    # live tier is now empty; plant flip-window debris in the base
+    chunk_reg = ing.chunkdedup.registry_dir
+    assert fsutil.count_files(spark, chunk_reg, ".parquet") == 0
+    base = chunk_reg.rstrip("/") + "_base"
+    spark.read.parquet(fsutil.join(base, "gen=0")).write.parquet(
+        fsutil.join(base, "gen=77")
+    )
+
+    second = ing.compact_registries(spark)
+    assert second["chunk"].get("skipped") is None, (
+        "chunk compaction must run off the base manifest alone"
+    )
+    assert second["chunk"]["generation"] == 1
+    names = set(fsutil.list_names(spark, base, dirs_only=True))
+    assert names == {"gen=1"}, f"orphaned generations not reclaimed: {names}"
