@@ -282,9 +282,16 @@ def cmd_curate(args: argparse.Namespace) -> None:
     small-files guard a streaming ingest pipeline needs), plus a JSON
     manifest of per-language doc/token counts.
 
-    The write is partitioned by ``lang`` so downstream per-language
-    readers prune partitions at the directory level; maxRecordsPerFile
-    bounds individual files without an extra repartition job."""
+    The default write is partitioned by ``lang`` so downstream
+    per-language readers prune partitions at the directory level;
+    maxRecordsPerFile bounds individual files without an extra
+    repartition job. ``--zorder colx,coly`` switches the layout to a
+    2-D Z-order curve over those columns instead (partitioning.py:
+    zorder_write) — the rewrite the ``zorder_skipping`` report query
+    justifies, now reachable end-to-end: choose it when the dominant
+    scan predicates are two non-lang columns (e.g. source +
+    n_tokens), trading directory-level lang pruning for row-group
+    min/max pruning on BOTH predicate columns."""
     import json
 
     from flink_ms_spark.operators.dedup import exact_dedup_groups
@@ -299,12 +306,27 @@ def cmd_curate(args: argparse.Namespace) -> None:
     curated = quality.select(
         "doc_id", "lang", "source", scrub_pii("text").alias("text")
     ).withColumn("n_tokens", token_count("text"))  # tokens of the SCRUBBED text
-    (
-        curated.write.mode("overwrite")
-        .option("maxRecordsPerFile", args.max_records_per_file)
-        .partitionBy("lang")
-        .parquet(args.output)
-    )
+    if args.zorder:
+        from flink_ms_spark.partitioning import zorder_write
+
+        cols = [c.strip() for c in args.zorder.split(",")]
+        if len(cols) != 2:
+            raise SystemExit("--zorder takes exactly two columns: colx,coly")
+        missing = [c for c in cols if c not in curated.columns]
+        if missing:
+            raise SystemExit(
+                f"--zorder column(s) {missing} not in curated schema "
+                f"{curated.columns}"
+            )
+        zorder_write(curated, args.output, cols[0], cols[1],
+                     n_files=args.zorder_files)
+    else:
+        (
+            curated.write.mode("overwrite")
+            .option("maxRecordsPerFile", args.max_records_per_file)
+            .partitionBy("lang")
+            .parquet(args.output)
+        )
     manifest = {
         r["lang"]: {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]}
         for r in spark.read.parquet(args.output)
@@ -933,6 +955,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output", required=True)
     c.add_argument("--min-tokens", type=int, default=20)
     c.add_argument("--max-records-per-file", type=int, default=100_000)
+    c.add_argument("--zorder", default=None, metavar="COLX,COLY",
+                   help="Z-order the output on two columns instead of "
+                   "partitioning by lang (row-group stats pruning on both)")
+    c.add_argument("--zorder-files", type=int, default=16)
     c.set_defaults(func=cmd_curate)
 
     tk = sub.add_parser("tokenize")

@@ -168,6 +168,74 @@ def test_curate_writes_partitioned_corpus(tmp_path, capsys):
     assert one.count() == manifest[langs[0].split("=")[1]]["n_docs"]
 
 
+def test_curate_zorder_layout_prunes_both_columns(tmp_path, capsys):
+    """curate --zorder doc_id,n_tokens writes the Z-ordered layout the
+    zorder_skipping report justifies: same curated rows/manifest as the
+    default layout, and a tight 2-D box predicate prunes row groups on
+    BOTH columns (footer min/max stats, engine-independent)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flink_ms_spark.cli import main
+
+    out = str(tmp_path / "curated_z")
+    main(
+        [
+            "curate",
+            "--input-dir", "/root/testdata/sf0.001",
+            "--output", out,
+            "--min-tokens", "20",
+            "--zorder", "doc_id,n_tokens",
+        ]
+    )
+    assert "curated " in capsys.readouterr().out
+    assert not [d for d in os.listdir(out) if d.startswith("lang=")], (
+        "zorder layout replaces the lang partitioning"
+    )
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert sum(m["n_docs"] for m in manifest.values()) > 0
+
+    # footer-stats pruning on a tight 2-D box: with 16 range-disjoint
+    # curve files, a box covering ~1/4 of each dimension must leave
+    # some files entirely outside its rectangle on one column or the
+    # other — impossible for a single-column sort's files, which each
+    # span the full range of the non-sorted column.
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) > 4
+    stats = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo_d = hi_d = lo_t = hi_t = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "doc_id":
+                    s = col.statistics
+                    lo_d = s.min if lo_d is None else min(lo_d, s.min)
+                    hi_d = s.max if hi_d is None else max(hi_d, s.max)
+                elif col.path_in_schema == "n_tokens":
+                    s = col.statistics
+                    lo_t = s.min if lo_t is None else min(lo_t, s.min)
+                    hi_t = s.max if hi_t is None else max(hi_t, s.max)
+        stats.append((lo_d, hi_d, lo_t, hi_t))
+    all_d = (min(s[0] for s in stats), max(s[1] for s in stats))
+    all_t = (min(s[2] for s in stats), max(s[3] for s in stats))
+    box_d = (all_d[0], all_d[0] + (all_d[1] - all_d[0]) // 4)
+    box_t = (all_t[0], all_t[0] + (all_t[1] - all_t[0]) // 4)
+    hit = sum(
+        1
+        for lo_d, hi_d, lo_t, hi_t in stats
+        if lo_d <= box_d[1] and hi_d >= box_d[0]
+        and lo_t <= box_t[1] and hi_t >= box_t[0]
+    )
+    assert hit < len(files), (
+        f"no pruning: all {len(files)} files intersect a 1/16-area box"
+    )
+
+
 def test_source_sink_format_roundtrips(tmp_path):
     """Format breadth beyond parquet: the curated-table schema survives
     ORC, CSV (header + explicit schema), and JSON-lines round trips."""
