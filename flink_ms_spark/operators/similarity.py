@@ -1049,6 +1049,128 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
 # rebuild/swap loop, sharing the generation-stamp machinery above.
 
 
+def ivf_cell_stats(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Per-cell health of a coarse quantizer as a DataFrame — (cell,
+    n, mean_sq_err): each cell's population and its mean squared
+    distance to the owning centroid. The per-cell breakdown is what an
+    operator actually reads when the aggregate drifts: ONE hot cell
+    with rising error means localized shift (split that cell / raise
+    n_probe there), uniform rise means retrain.
+
+    ``round_dp`` rounds each vector's assignment distance BEFORE the
+    argmin (ties broken toward the lower cell id) and before the sum —
+    the cross-engine ranking contract the DuckDB oracle replays; leave
+    None for raw float64 in production.
+
+    Scale: same shape as pq_quantization_error — broadcast centroids,
+    one vectorized narrow map emitting per-batch per-cell partials,
+    map-side-combined groupBy of O(cells) rows."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sum_err", T.DoubleType(), False),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            if round_dp is not None:
+                d2 = np.round(d2, round_dp)
+            assign = d2.argmin(axis=1)  # first min = lowest cell id on ties
+            err = d2[np.arange(len(v)), assign]
+            cells, inv = np.unique(assign, return_inverse=True)
+            yield pd.DataFrame(
+                {
+                    "cell": cells.astype("int32"),
+                    "n": np.bincount(inv),
+                    "sum_err": np.bincount(inv, weights=err),
+                }
+            )
+
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(part, schema=schema)
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"), F.sum("sum_err").alias("_s"))
+    )
+    mean = F.col("_s") / F.col("n")
+    if round_dp is not None:
+        mean = F.round(mean, round_dp)
+    return agg.select("cell", "n", mean.alias("mean_sq_err"))
+
+
+def pq_subspace_error(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Per-subspace PQ quantization error as a DataFrame — (subspace,
+    n, mean_sq_err). The aggregate monitor (pq_quantization_error)
+    says THAT the index drifted; this says WHERE: embedding dims live
+    in fixed subspace slices, so a localized feature shift (one
+    upstream encoder change, one modality) lights up specific
+    subspaces while the rest stay at baseline. Same scale shape:
+    broadcast codebooks, vectorized narrow map, O(subspaces) shuffle
+    rows per partition. ``round_dp`` as in ivf_cell_stats."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+    schema = T.StructType(
+        [
+            T.StructField("subspace", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sum_err", T.DoubleType(), False),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        n_sub, _, sub = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            out_n, out_err = [], []
+            for s in range(n_sub):
+                blk = v[:, s * sub : (s + 1) * sub]
+                d2 = ((blk[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                if round_dp is not None:
+                    d2 = np.round(d2, round_dp)
+                out_n.append(len(v))
+                out_err.append(float(d2.min(axis=1).sum()))
+            yield pd.DataFrame(
+                {
+                    "subspace": np.arange(n_sub, dtype="int32"),
+                    "n": out_n,
+                    "sum_err": out_err,
+                }
+            )
+
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(part, schema=schema)
+        .groupBy("subspace")
+        .agg(F.sum("n").alias("n"), F.sum("sum_err").alias("_s"))
+    )
+    mean = F.col("_s") / F.col("n")
+    if round_dp is not None:
+        mean = F.round(mean, round_dp)
+    return agg.select("subspace", "n", mean.alias("mean_sq_err"))
+
+
 def ivf_assignment_stats(
     df: DataFrame,
     centroids: np.ndarray,

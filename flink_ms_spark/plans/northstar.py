@@ -829,6 +829,107 @@ SELECT a, b, cos_sim, rk FROM rk WHERE rk <= 5
 """
 
 
+def _ann_index_health_oracle() -> str:
+    """Deferred oracle for ann_index_health: same fixed-seed coarse
+    codebook as the ivf_kmeans family (shared pyarrow trainer →
+    bit-identical centroids embedded as literals), then assignment =
+    min 6-dp-rounded squared distance with lowest-cell tie-break on
+    both engines, per-cell count + rounded mean error."""
+    import os as _os
+
+    from flink_ms_spark.operators.similarity import codebook_from_parquet
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(centers)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cent AS (SELECT * FROM (VALUES {rows}) t(cell, c)),
+d AS (SELECT e.vec_id, cent.cell,
+        round(list_sum(list_transform(generate_series(1, len(e.v)),
+                i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i]))), 6) AS d2
+      FROM e CROSS JOIN cent),
+a AS (SELECT vec_id, cell, d2,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      FROM d)
+SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(d2) / count(*), 6) AS DOUBLE) AS mean_sq_err
+FROM a WHERE rk = 1 GROUP BY cell
+"""
+
+
+@register("ann_index_health", oracle=_ann_index_health_oracle)
+def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell IVF index health (round-12 ANN lifecycle monitor): the
+    breakdown an operator reads when reindex_ivf's aggregate drifts —
+    one hot cell with rising error = localized shift, uniform rise =
+    retrain. Broadcast centroids, one vectorized narrow map, O(cells)
+    shuffle rows (operators/similarity.py:ivf_cell_stats)."""
+    from flink_ms_spark.operators.similarity import (
+        codebook_from_parquet,
+        ivf_cell_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    return ivf_cell_stats(emb, cb, round_dp=6)
+
+
+def _pq_subspace_error_oracle() -> str:
+    """Deferred oracle for pq_subspace_error: the shared PQ trainer's
+    codebooks (16×32, bit-identical to the query side) as literals;
+    per (vector, subspace) the min 6-dp-rounded squared distance over
+    the 32 codes on the subspace's fixed embedding slice, then
+    per-subspace count + rounded mean."""
+    import os as _os
+
+    from flink_ms_spark.operators.similarity import pq_codebooks_from_parquet
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
+    n_sub, n_codes, sub = cb.shape
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(s, ", ".join(repr(float(x)) for x in cb[s, c]))
+        for s in range(n_sub)
+        for c in range(n_codes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cb AS (SELECT * FROM (VALUES {rows}) t(subspace, c)),
+d AS (SELECT e.vec_id, cb.subspace,
+        min(round(list_sum(list_transform(generate_series(1, {sub}),
+                i -> (e.v[cb.subspace * {sub} + i] - cb.c[i])
+                   * (e.v[cb.subspace * {sub} + i] - cb.c[i]))), 6)) AS min_d2
+      FROM e CROSS JOIN cb GROUP BY e.vec_id, cb.subspace)
+SELECT CAST(subspace AS INT) AS subspace, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(min_d2) / count(*), 6) AS DOUBLE) AS mean_sq_err
+FROM d GROUP BY subspace
+"""
+
+
+@register("pq_subspace_error", oracle=_pq_subspace_error_oracle)
+def q_pq_subspace_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization error (round-12 ANN lifecycle
+    monitor): localizes drift to embedding-dimension slices — a single
+    upstream encoder/modality change lights up its subspaces while the
+    rest hold baseline, separating 'retrain everything' from 'one
+    feature family moved'. Same scale shape as pq_quantization_error
+    (operators/similarity.py:pq_subspace_error)."""
+    from flink_ms_spark.operators.similarity import (
+        pq_codebooks_from_parquet,
+        pq_subspace_error,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
+    return pq_subspace_error(emb, cb, round_dp=6)
+
+
 @register("ivf_kmeans_topk", oracle=_ivf_kmeans_oracle)
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path with a TRAINED coarse quantizer (vs ivf_topk's
