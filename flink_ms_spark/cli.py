@@ -319,7 +319,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
                 f"{curated.columns}"
             )
         zorder_write(curated, args.output, cols[0], cols[1],
-                     n_files=args.zorder_files)
+                     n_files=args.zorder_files, rank=args.zorder_rank)
     else:
         (
             curated.write.mode("overwrite")
@@ -959,6 +959,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Z-order the output on two columns instead of "
                    "partitioning by lang (row-group stats pruning on both)")
     c.add_argument("--zorder-files", type=int, default=16)
+    c.add_argument("--zorder-rank", choices=["exact", "approx"], default="exact",
+                   help="rank normalization: exact percent_rank windows, or "
+                   "approx-quantile cutpoints (no global sort — the "
+                   "corpus-scale path; numeric columns only)")
     c.set_defaults(func=cmd_curate)
 
     tk = sub.add_parser("tokenize")

@@ -100,6 +100,38 @@ def zvalue(x, y, bits: int = 16):
     return z
 
 
+def _approx_rank_col(df: DataFrame, col: str, out_col: str, bits: int) -> DataFrame:
+    """Rank-normalize a NUMERIC column to ``bits``-bit integers from
+    approx-quantile cutpoints instead of a percent_rank window: one
+    Greenwald-Khanna sketch pass (partial-aggregated, nothing sorted
+    globally), cutpoints broadcast inside a Bucketizer (JVM binary
+    search per row, whole-stage friendly). Duplicate cutpoints — a
+    value heavier than one bucket — collapse, coarsening the curve
+    exactly where the data has no resolution to give (graceful
+    degradation, never an error). Nulls land in the top bucket."""
+    from pyspark.ml.feature import Bucketizer
+
+    top = (1 << bits) - 1
+    probs = [(i + 1) / (top + 1) for i in range(top)]
+    cuts = df.stat.approxQuantile(col, probs, 0.5 / (top + 1))
+    splits = [float("-inf")]
+    for c in cuts:
+        if float(c) > splits[-1]:
+            splits.append(float(c))
+    splits.append(float("inf"))
+    tmp = f"_{out_col}_in"
+    with_in = df.withColumn(tmp, F.col(col).cast("double"))
+    if len(splits) < 3:  # constant column: one bucket, rank 0
+        return with_in.withColumn(out_col, F.lit(0).cast("bigint")).drop(tmp)
+    bucketed = Bucketizer(
+        splits=splits, inputCol=tmp, outputCol=out_col + "_d",
+        handleInvalid="keep",
+    ).transform(with_in)
+    return bucketed.withColumn(
+        out_col, F.least(F.col(out_col + "_d").cast("bigint"), F.lit(top))
+    ).drop(tmp, out_col + "_d")
+
+
 def zorder_write(
     df: DataFrame,
     out_path: str,
@@ -107,6 +139,7 @@ def zorder_write(
     col_y: str,
     n_files: int = 16,
     bits: int = 10,
+    rank: str = "exact",
 ) -> None:
     """Write parquet laid out along a 2-D Z-order curve over
     (col_x, col_y), so min/max row-group stats prune on BOTH columns.
@@ -117,23 +150,33 @@ def zorder_write(
     predicates (Delta/Iceberg OPTIMIZE ZORDER does exactly this).
 
     Columns are rank-normalized to ``bits``-bit integers first so
-    skewed value distributions still split the curve evenly. Locally
-    that is two window sorts; at 100 TB swap the percent_rank for
-    approx-quantile cutpoints (sketch + broadcast, no global sort) —
-    curve quality degrades gracefully with cutpoint error.
+    skewed value distributions still split the curve evenly.
+    ``rank='exact'`` (default) does it with two percent_rank windows —
+    two global sorts, fine up to the scale where a sort is fine.
+    ``rank='approx'`` is the 100 TB path: approx-quantile cutpoints
+    (one sketch pass per column, no global sort) broadcast into a
+    binary-search bucketing; curve quality degrades gracefully with
+    cutpoint error, and the whole job becomes sketch + one range
+    shuffle. Numeric columns only in approx mode (the sketch is).
     ``repartitionByRange`` on the curve position gives range-disjoint
     files; the within-partition sort makes row-group stats tight.
     """
     from pyspark.sql.window import Window
 
     top = (1 << bits) - 1
-    ranked = df.withColumn(
-        "_zx",
-        (F.percent_rank().over(Window.orderBy(col_x)) * top).cast("bigint"),
-    ).withColumn(
-        "_zy",
-        (F.percent_rank().over(Window.orderBy(col_y)) * top).cast("bigint"),
-    )
+    if rank == "approx":
+        ranked = _approx_rank_col(df, col_x, "_zx", bits)
+        ranked = _approx_rank_col(ranked, col_y, "_zy", bits)
+    elif rank == "exact":
+        ranked = df.withColumn(
+            "_zx",
+            (F.percent_rank().over(Window.orderBy(col_x)) * top).cast("bigint"),
+        ).withColumn(
+            "_zy",
+            (F.percent_rank().over(Window.orderBy(col_y)) * top).cast("bigint"),
+        )
+    else:
+        raise ValueError(f"zorder_write: rank must be exact|approx, got {rank!r}")
     zed = ranked.withColumn("_z", zvalue("_zx", "_zy", bits))
     (
         zed.repartitionByRange(n_files, "_z")

@@ -139,6 +139,37 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     want = df.agg(F.sum("x"), F.sum("y")).collect()[0]
     assert tuple(got) == tuple(want)
 
+    # the approx (sketch-cutpoint, no-global-sort) rank path — the
+    # 100 TB variant — must preserve the data exactly and keep the
+    # Z-curve's cross-column pruning property: strictly better than
+    # the linear layout on the y-only predicate, same as exact.
+    adir = str(tmp_path / "zorder_approx")
+    zorder_write(df, adir, "x", "y", n_files=16, rank="approx")
+    assert spark.read.parquet(adir).count() == n
+    got_a = spark.read.parquet(adir).agg(F.sum("x"), F.sum("y")).collect()[0]
+    assert tuple(got_a) == tuple(want)
+    assert files_matching(adir, *y_only) < files_matching(ldir, *y_only)
+    assert files_matching(adir, *box) <= 16
+
+
+def test_zorder_approx_handles_skew_and_constant_columns(spark, tmp_path):
+    """Approx cutpoints on pathological inputs: a 90%-one-value column
+    collapses duplicate cutpoints (coarser curve, never an error), and
+    a CONSTANT column degrades to a single bucket — both must still
+    write all rows."""
+    from flink_ms_spark.partitioning import zorder_write
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("x"),
+        F.lit(3).alias("y"),
+    )
+    out = str(tmp_path / "skewz")
+    zorder_write(df, out, "x", "y", n_files=4, rank="approx")
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
+
 
 def test_fixture_drift_guard(spark, sf_smoke, tmp_path):
     """load_table fails fast with a named error when a load-bearing
