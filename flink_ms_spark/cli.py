@@ -640,16 +640,55 @@ def cmd_reindex_ann(args: argparse.Namespace) -> None:
 
 
 def cmd_ann_query(args: argparse.Namespace) -> None:
-    """Serve half: ADC top-k against a persisted PQ index for one
-    query vector (comma-separated floats). Prints ``id<TAB>ad2`` rows,
-    nearest first."""
-    from flink_ms_spark.operators.similarity import load_pq_codebooks, pq_topk_codes
+    """Serve half: top-k against a persisted ANN index for one query
+    vector (comma-separated floats), dispatched on the manifest kind.
+
+    PQ: ADC scan over the MERGED code view (ann_ingest.load_codes —
+    base codes plus current-generation streaming increments, latest
+    batch winning per id). Reading ``codes/`` directly would silently
+    serve a STALE index the moment a streaming worker lands an
+    increment — the exact coherence class the generation machinery
+    exists to kill, so the serve lane goes through the same view the
+    coverage gate audits. Prints ``id<TAB>ad2``, nearest first.
+
+    IVF: the persisted artifact is the coarse quantizer; candidate
+    vectors come from ``--input`` (raw embeddings parquet), ranked
+    within the query's probed cells (ivf_kmeans_topk). Prints
+    ``id<TAB>cos_sim``, nearest first."""
+    from flink_ms_spark.operators.similarity import read_index_manifest
 
     spark = _spark("[ANN] query")
-    cb = load_pq_codebooks(spark, args.index)
-    codes = spark.read.parquet(f"{args.index}/codes")
     vec = [float(x) for x in args.vector.split(",")]
     q = spark.createDataFrame([(-1, vec)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    kind = read_index_manifest(spark, args.index)["kind"]
+    if kind == "ivf":
+        from flink_ms_spark.operators.similarity import (
+            ivf_kmeans_topk,
+            load_ivf_centroids,
+        )
+
+        if not args.input:
+            raise SystemExit(
+                "ann-query on an ivf index needs --input (embeddings parquet): "
+                "the index persists the coarse quantizer, candidates come "
+                "from the corpus"
+            )
+        cents = load_ivf_centroids(spark, args.index)
+        corpus = spark.read.parquet(args.input).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        out = ivf_kmeans_topk(
+            corpus.unionByName(q), cents, k=args.k, n_probe=args.n_probe
+        ).where(F.col("a") == -1)
+        for r in out.orderBy("rk").collect():
+            print(f"{r.b}\t{r.cos_sim:.6f}")
+        return
+    from flink_ms_spark.operators.similarity import load_pq_codebooks, pq_topk_codes
+    from flink_ms_spark.streaming.ann_ingest import load_codes
+
+    cb = load_pq_codebooks(spark, args.index)
+    codes = load_codes(spark, args.index)
     out = pq_topk_codes(codes, cb, q, k=args.k)
     for r in out.orderBy("rk").collect():
         print(f"{r.b}\t{r.ad2:.6f}")
@@ -1046,6 +1085,9 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--index", required=True)
     aq.add_argument("--vector", required=True, help="comma-separated floats")
     aq.add_argument("-k", type=int, default=5)
+    aq.add_argument("--input", default=None,
+                    help="embeddings parquet (required for an ivf index)")
+    aq.add_argument("--n-probe", type=int, default=2)
     aq.set_defaults(func=cmd_ann_query)
 
     sq = sub.add_parser("sql")

@@ -378,6 +378,61 @@ def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
     d = [float(l.split("\t")[1]) for l in out_lines]
     assert d == sorted(d)
 
+    # the serve lane reads the MERGED view: a streamed increment is
+    # immediately queryable (reading codes/ directly would silently
+    # serve a stale index — the round-12 coherence class)
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    new_vec = vecs[probe] + 0.001  # lands on the probe's codes
+    StreamingAnnIngest(spark, str(idx)).process_batch(
+        spark.createDataFrame(
+            [(900, [float(x) for x in new_vec])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        ),
+        batch_id=0,
+    )
+    cli.main(["ann-query", "--index", str(idx), f"--vector={vec_arg}", "-k", "3"])
+    served = [
+        int(l.split("\t")[0])
+        for l in capsys.readouterr().out.splitlines()
+        if l.strip()
+    ]
+    assert 900 in served, "streamed increment must be servable via ann-query"
+
+
+def test_cli_ann_query_dispatches_ivf_kind(spark, tmp_path, capsys):
+    """ann-query on an ivf index ranks corpus candidates from --input
+    within the probed coarse cells; without --input it refuses with a
+    actionable message instead of guessing."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(41)
+    vecs = rng.normal(size=(80, 8)).astype("float64")
+    src = tmp_path / "emb"
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(src))
+    idx = tmp_path / "ivf_idx"
+    cli.main(["build-ann-index", "--kind", "ivf", "--input", str(src),
+              "--index", str(idx), "--cells", "4"])
+    capsys.readouterr()
+
+    probe = 23
+    vec_arg = ",".join(f"{x:.8f}" for x in vecs[probe])
+    with _pytest.raises(SystemExit, match="--input"):
+        cli.main(["ann-query", "--index", str(idx), f"--vector={vec_arg}"])
+    cli.main(["ann-query", "--index", str(idx), f"--vector={vec_arg}",
+              "-k", "3", "--input", str(src)])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 3
+    # exact-cosine ranking within the probed cells: the probe's own
+    # corpus point (cos 1.0) must rank first
+    assert int(lines[0].split("\t")[0]) == probe
+    sims = [float(l.split("\t")[1]) for l in lines]
+    assert sims == sorted(sims, reverse=True) and sims[0] > 0.999
+
 
 def test_cli_sql_runs_over_fixture_views(sf_smoke, capsys):
     cli.main([
