@@ -87,6 +87,7 @@ _EXPORTS = {
     "reindex_ivf": "flink_ms_spark.operators.similarity",
     "ivf_assignment_stats": "flink_ms_spark.operators.similarity",
     "ivf_cell_stats": "flink_ms_spark.operators.similarity",
+    "ivf_query_topk": "flink_ms_spark.operators.similarity",
     "pq_subspace_error": "flink_ms_spark.operators.similarity",
     "read_index_manifest": "flink_ms_spark.operators.similarity",
     "StreamingAnnIngest": "flink_ms_spark.streaming.ann_ingest",

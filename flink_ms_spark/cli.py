@@ -319,7 +319,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
                 f"{curated.columns}"
             )
         zorder_write(curated, args.output, cols[0], cols[1],
-                     n_files=args.zorder_files, rank=args.zorder_rank)
+                     n_files=args.zorder_files, rank=args.zorder_rank,
+                     max_records_per_file=args.max_records_per_file)
     else:
         (
             curated.write.mode("overwrite")
@@ -652,18 +653,21 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
     coverage gate audits. Prints ``id<TAB>ad2``, nearest first.
 
     IVF: the persisted artifact is the coarse quantizer; candidate
-    vectors come from ``--input`` (raw embeddings parquet), ranked
-    within the query's probed cells (ivf_kmeans_topk). Prints
-    ``id<TAB>cos_sim``, nearest first."""
+    vectors come from ``--input`` (raw embeddings parquet), assigned
+    cells in one narrow map and ranked ONLY within the query's probed
+    cells (ivf_query_topk — the point-lookup shape, not the all-pairs
+    report). Prints ``id<TAB>cos_sim``, nearest first."""
     from flink_ms_spark.operators.similarity import read_index_manifest
 
     spark = _spark("[ANN] query")
     vec = [float(x) for x in args.vector.split(",")]
-    q = spark.createDataFrame([(-1, vec)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = spark.createDataFrame(
+        [(-1, vec)], f"{args.id_col} LONG, {args.vec_col} ARRAY<DOUBLE>"
+    )
     kind = read_index_manifest(spark, args.index)["kind"]
     if kind == "ivf":
         from flink_ms_spark.operators.similarity import (
-            ivf_kmeans_topk,
+            ivf_query_topk,
             load_ivf_centroids,
         )
 
@@ -675,12 +679,13 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
             )
         cents = load_ivf_centroids(spark, args.index)
         corpus = spark.read.parquet(args.input).select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col(args.id_col).cast("long").alias(args.id_col),
+            F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
         )
-        out = ivf_kmeans_topk(
-            corpus.unionByName(q), cents, k=args.k, n_probe=args.n_probe
-        ).where(F.col("a") == -1)
+        out = ivf_query_topk(
+            corpus, cents, q, k=args.k, id_col=args.id_col,
+            vec_col=args.vec_col, n_probe=args.n_probe,
+        )
         for r in out.orderBy("rk").collect():
             print(f"{r.b}\t{r.cos_sim:.6f}")
         return
@@ -688,8 +693,9 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
     from flink_ms_spark.streaming.ann_ingest import load_codes
 
     cb = load_pq_codebooks(spark, args.index)
-    codes = load_codes(spark, args.index)
-    out = pq_topk_codes(codes, cb, q, k=args.k)
+    codes = load_codes(spark, args.index, id_col=args.id_col)
+    out = pq_topk_codes(codes, cb, q, k=args.k, id_col=args.id_col,
+                        vec_col=args.vec_col)
     for r in out.orderBy("rk").collect():
         print(f"{r.b}\t{r.ad2:.6f}")
 
@@ -1088,6 +1094,8 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--input", default=None,
                     help="embeddings parquet (required for an ivf index)")
     aq.add_argument("--n-probe", type=int, default=2)
+    aq.add_argument("--id-col", default="vec_id")
+    aq.add_argument("--vec-col", default="embedding")
     aq.set_defaults(func=cmd_ann_query)
 
     sq = sub.add_parser("sql")

@@ -63,6 +63,14 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(jpath, recursive))
 
 
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    """Create a directory (and parents). Hadoop rename does not create
+    the destination's parent — movers into a fresh subtree call this
+    first."""
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.mkdirs(jpath))
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Directory/file move. Unlike os.replace, Hadoop rename does NOT
     overwrite an existing destination — callers that need replace

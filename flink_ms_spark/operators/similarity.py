@@ -396,6 +396,79 @@ def ivf_kmeans_topk(
     return _rank_topk(cands, k)
 
 
+def ivf_query_topk(
+    corpus: DataFrame,
+    codebook,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Point-lookup IVF serve: top-k corpus neighbors for a SMALL
+    query set against a trained coarse quantizer — (a, b, cos_sim, rk).
+
+    ``ivf_kmeans_topk`` is the all-pairs REPORT shape (every corpus
+    vector is a query; per-cell self-matmuls); reaching for it to
+    answer one lookup costs the whole corpus self-join. This is the
+    serve shape: the query's ``n_probe`` nearest cells come from a
+    driver-side numpy argmin over the tiny centroid matrix (rounded
+    6 dp, lowest-cell tie-break — the same probe contract), the corpus
+    is assigned cells in one broadcast narrow map and FILTERED to the
+    probed cells before ranking, so the exact cosine top-k runs over
+    O(n_probe × cell population), never |corpus|. The filter reuses
+    ``cosine_topk``'s broadcast-query kernel."""
+    centers = (
+        np.array([np.asarray(c) for c in codebook.clusterCenters()])
+        if hasattr(codebook, "clusterCenters")
+        else np.asarray(codebook, dtype=np.float64)
+    )
+    q_rows = [(r[0], list(r[1])) for r in queries.select(id_col, vec_col).collect()]
+    qm = np.array([v for _, v in q_rows], dtype=np.float64)
+    d2 = np.round(((qm[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), 6)
+    probed = sorted(
+        {
+            int(c)
+            for row in np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            for c in row
+        }
+    )
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centers)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType()), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dd = np.round(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cell": dd.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    members = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(assign, schema=schema)
+        .where(F.col("cell").isin(probed))
+        .drop("cell")
+    )
+    return cosine_topk(members, k=k, id_col=id_col, vec_col=vec_col,
+                       queries=queries)
+
+
 def embedding_neardup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -983,20 +1056,22 @@ def reindex_pq(
             "current_err": cur["mean_sq_err"],
         }
 
-    dropped = 0
-    if fsutil.is_dir(spark, fsutil.join(path, "codes_increments")):
-        from flink_ms_spark.streaming.ann_ingest import load_codes
+    # the gate runs unconditionally: a rebuild input that lost BASE ids
+    # (bad upstream filter) is the same silent-shrink class as one that
+    # lost increment-only ids — load_codes is the serving truth either
+    # way (it degrades to base-only when no increments exist)
+    from flink_ms_spark.streaming.ann_ingest import load_codes
 
-        served = load_codes(spark, path, id_col=id_col).select(id_col)
-        dropped = served.join(df.select(id_col), id_col, "left_anti").count()
-        if dropped and not allow_missing:
-            raise ValueError(
-                f"reindex_pq: {dropped} served id(s) (streaming increments "
-                f"or base) are missing from the rebuild input — the swap "
-                f"would silently drop them from serving. Rebuild from a "
-                f"corpus that covers every served id, or pass "
-                f"allow_missing=True to shrink deliberately."
-            )
+    served = load_codes(spark, path, id_col=id_col).select(id_col)
+    dropped = served.join(df.select(id_col), id_col, "left_anti").count()
+    if dropped and not allow_missing:
+        raise ValueError(
+            f"reindex_pq: {dropped} served id(s) (streaming increments "
+            f"or base) are missing from the rebuild input — the swap "
+            f"would silently drop them from serving. Rebuild from a "
+            f"corpus that covers every served id, or pass "
+            f"allow_missing=True to shrink deliberately."
+        )
 
     gen = read_index_manifest(spark, path)["generation"]
     tmp = path.rstrip("/") + ".rebuilding"
@@ -1183,50 +1258,18 @@ def ivf_assignment_stats(
     a skewed quantizer concentrates candidates in one cell and the
     within-cell scan degrades toward brute force).
 
-    Scale: one vectorized narrow map (centroids ride a broadcast)
-    emitting per-batch per-cell (n, sum_err) partials; the groupBy is
-    map-side-combined to ≤ n_cells rows per partition, so the shuffle
-    is O(cells), not O(corpus). Returns {"n", "mean_sq_err",
-    "max_cell_frac", "n_cells"}."""
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
-    schema = T.StructType(
-        [
-            T.StructField("cell", T.IntegerType(), False),
-            T.StructField("n", T.LongType(), False),
-            T.StructField("sum_err", T.DoubleType(), False),
-        ]
-    )
-
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(list(pdf[vec_col]), dtype=np.float64)
-            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            err = d2[np.arange(len(v)), assign]
-            cells, inv = np.unique(assign, return_inverse=True)
-            yield pd.DataFrame(
-                {
-                    "cell": cells.astype("int32"),
-                    "n": np.bincount(inv),
-                    "sum_err": np.bincount(inv, weights=err),
-                }
-            )
-
-    rows = (
-        df.select(vec_col)
-        .mapInPandas(part, schema=schema)
-        .groupBy("cell")
-        .agg(F.sum("n").alias("n"), F.sum("sum_err").alias("s"))
-        .collect()
-    )
+    One kernel, two shapes: the scalars are the weighted fold of
+    :func:`ivf_cell_stats`' O(cells) output (same broadcast narrow map
+    and map-side-combined groupBy — a duplicated mapper here is how a
+    tie-break or empty-batch fix would get applied once and missed
+    once). Returns {"n", "mean_sq_err", "max_cell_frac", "n_cells"}."""
+    rows = ivf_cell_stats(df, centroids, vec_col=vec_col).collect()
     n = sum(int(r.n) for r in rows)
     return {
         "n": n,
-        "mean_sq_err": sum(float(r.s) for r in rows) / max(n, 1),
+        "mean_sq_err": (
+            sum(float(r.mean_sq_err) * int(r.n) for r in rows) / n if n else 0.0
+        ),
         "max_cell_frac": (max(int(r.n) for r in rows) / n) if n else 0.0,
         "n_cells": int(np.asarray(centroids).shape[0]),
     }

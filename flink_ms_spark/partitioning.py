@@ -140,6 +140,7 @@ def zorder_write(
     n_files: int = 16,
     bits: int = 10,
     rank: str = "exact",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Write parquet laid out along a 2-D Z-order curve over
     (col_x, col_y), so min/max row-group stats prune on BOTH columns.
@@ -160,6 +161,11 @@ def zorder_write(
     shuffle. Numeric columns only in approx mode (the sketch is).
     ``repartitionByRange`` on the curve position gives range-disjoint
     files; the within-partition sort makes row-group stats tight.
+    ``max_records_per_file`` caps individual files (the writer splits
+    along the curve sort, so the extra files stay range-disjoint and
+    stats-tight) — the same huge-files guard the plain partitioned
+    write honors; pass it when n_files alone would leave files beyond
+    the scan-task size you provision for.
     """
     from pyspark.sql.window import Window
 
@@ -178,13 +184,15 @@ def zorder_write(
     else:
         raise ValueError(f"zorder_write: rank must be exact|approx, got {rank!r}")
     zed = ranked.withColumn("_z", zvalue("_zx", "_zy", bits))
-    (
+    writer = (
         zed.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_zx", "_zy", "_z")
         .write.mode("overwrite")
-        .parquet(out_path)
     )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(out_path)
 
 
 def salted_join(

@@ -61,6 +61,41 @@ class StaleIndexGenerationError(RuntimeError):
     generation) underneath a live worker that loaded the old ones."""
 
 
+def _migrate_legacy_increments(spark: SparkSession, index_path: str) -> None:
+    """Fold pre-generation increment partitions
+    (``codes_increments/batch_id=N``) into ``gen=0/batch_id=N``.
+
+    Generation 0 is provably right for them: a legacy partition can
+    only exist under an index whose codebooks it was encoded with (the
+    pre-stamp reindex deleted the whole increments dir on swap), and a
+    pre-manifest index reads as generation 0. Without the move, Spark
+    refuses the MIXED layout outright ('conflicting directory
+    structures') the moment a new worker lands a gen-stamped partition
+    beside a legacy one — so both the reader and the writer migrate
+    first. Renames are per-directory and idempotent (a re-run sees no
+    legacy names)."""
+    inc = fsutil.join(index_path, _INC)
+    if not fsutil.is_dir(spark, inc):
+        return
+    legacy = [
+        n
+        for n in fsutil.list_names(spark, inc, dirs_only=True)
+        if n.startswith("batch_id=")
+    ]
+    if not legacy:
+        return
+    gen_dir = fsutil.join(inc, "gen=0")
+    fsutil.mkdirs(spark, gen_dir)
+    for name in legacy:
+        if not fsutil.rename(
+            spark, fsutil.join(inc, name), fsutil.join(gen_dir, name)
+        ):
+            raise IOError(
+                f"failed to migrate legacy increment {name} under {inc} "
+                f"into gen=0/ — refusing to read a mixed partition layout"
+            )
+
+
 class StreamingAnnIngest:
     """foreachBatch worker: encode + land one increment partition per
     micro-batch, stamped with the codebook generation it encoded
@@ -90,6 +125,7 @@ class StreamingAnnIngest:
                 f"codebooks); landing these codes would serve "
                 f"mixed-generation distances."
             )
+        _migrate_legacy_increments(batch_df.sparkSession, self.index_path)
         out = fsutil.join(
             self.index_path, _INC, f"gen={self.generation}", f"batch_id={batch_id}"
         )
@@ -132,6 +168,7 @@ def load_codes(spark: SparkSession, index_path: str,
     # serve STALE codes because the driver's local disk lacks inc_path
     if not fsutil.is_dir(spark, inc_path):
         return base.drop("_b")
+    _migrate_legacy_increments(spark, index_path)
     gen = read_index_manifest(spark, index_path)["generation"]
     inc = (
         spark.read.parquet(inc_path)

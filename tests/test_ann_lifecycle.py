@@ -166,6 +166,90 @@ def test_load_codes_never_serves_mismatched_generation_increments(
     assert served.count() == 41
 
 
+def test_reindex_coverage_gate_also_guards_base_only_indexes(spark, tmp_path):
+    """The gate must not depend on an increments dir existing: a fresh
+    index rebuilt from an input that lost base ids (bad upstream
+    filter) is the same silent-shrink class — refuse, and report the
+    drop only under allow_missing."""
+    from flink_ms_spark.operators.similarity import build_pq_index, reindex_pq
+    from flink_ms_spark.streaming.ann_ingest import load_codes
+
+    rng = np.random.default_rng(19)
+    vecs = rng.normal(size=(30, 8))
+    idx = str(tmp_path / "idx")
+    build_pq_index(_vec_df(spark, range(30), vecs), idx,
+                   n_subspaces=4, n_codes=8, record_stats=True)
+
+    truncated = _vec_df(spark, range(24), vecs[:24])  # lost 6 base ids
+    with pytest.raises(ValueError, match="6 served id"):
+        reindex_pq(spark, idx, truncated, force=True)
+    assert load_codes(spark, idx).count() == 30, "refusal must not touch serving"
+
+    report = reindex_pq(spark, idx, truncated, force=True, allow_missing=True)
+    assert report["dropped_ids"] == 6
+    assert load_codes(spark, idx).count() == 24
+
+
+def test_legacy_unstamped_increments_migrate_to_generation_zero(spark, tmp_path):
+    """Increments landed before generation stamping existed (layout
+    codes_increments/batch_id=N, no index manifest) must stay servable:
+    the reader folds them into gen=0/ — provably their generation —
+    instead of crashing on the missing partition column or on a mixed
+    layout once a new worker lands a stamped partition."""
+    import os
+
+    from flink_ms_spark.operators.similarity import build_pq_index, pq_encode
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest, load_codes
+
+    rng = np.random.default_rng(37)
+    vecs = rng.normal(size=(16, 8))
+    idx = str(tmp_path / "idx")
+    cb = build_pq_index(_vec_df(spark, range(16), vecs), idx,
+                        n_subspaces=4, n_codes=8)
+    os.unlink(os.path.join(idx, "index_manifest.json"))  # pre-manifest index
+
+    # legacy-layout increment, written the way the old worker did
+    pq_encode(_vec_df(spark, [500], rng.normal(size=(1, 8))), cb).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/codes_increments/batch_id=0")
+
+    served = load_codes(spark, idx)
+    assert served.where(F.col("vec_id") == 500).count() == 1
+    assert os.path.isdir(f"{idx}/codes_increments/gen=0/batch_id=0")
+    assert not os.path.isdir(f"{idx}/codes_increments/batch_id=0")
+
+    # a new stamped worker now lands beside the migrated partition
+    # without a conflicting-layout read error
+    worker = StreamingAnnIngest(spark, idx)
+    assert worker.generation == 0
+    worker.process_batch(_vec_df(spark, [501], rng.normal(size=(1, 8))), batch_id=1)
+    served = load_codes(spark, idx)
+    assert served.count() == 18  # 16 base + 500 + 501
+
+
+def test_ivf_query_topk_matches_brute_force_when_probing_all_cells(spark, tmp_path):
+    """The point-lookup serve shape is exact within its probed cells:
+    probing EVERY cell must reproduce brute-force cosine_topk row for
+    row — the only approximation is the cell filter."""
+    from flink_ms_spark.operators.similarity import (
+        cosine_topk,
+        ivf_query_topk,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.default_rng(53)
+    vecs = rng.normal(size=(60, 8))
+    corpus = _vec_df(spark, range(60), vecs)
+    cents = train_ivf_codebook(corpus, n_cells=4)
+    q = _vec_df(spark, [-1, -2], rng.normal(size=(2, 8)))
+
+    got = sorted(
+        map(tuple, ivf_query_topk(corpus, cents, q, k=3, n_probe=4).collect())
+    )
+    want = sorted(map(tuple, cosine_topk(corpus, k=3, queries=q).collect()))
+    assert got == want
+
+
 def test_zero_error_baseline_reads_healthy_not_infinite_drift(spark, tmp_path):
     """A corpus with fewer distinct vectors than codes trains to
     EXACTLY zero quantization error; the monitor must read an

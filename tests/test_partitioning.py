@@ -171,6 +171,24 @@ def test_zorder_approx_handles_skew_and_constant_columns(spark, tmp_path):
     assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
 
 
+def test_zorder_write_honors_max_records_per_file(spark, tmp_path):
+    """The huge-files guard the plain partitioned write honors must
+    apply to the Z-ordered layout too: a per-file row cap splits the
+    range partitions into more (still curve-sorted) files."""
+    import glob
+
+    from flink_ms_spark.partitioning import zorder_write
+
+    df = spark.range(4_000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 4000).alias("y")
+    )
+    out = str(tmp_path / "capped")
+    zorder_write(df, out, "x", "y", n_files=2, max_records_per_file=500)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 8  # 4000 rows / 500 cap
+    assert spark.read.parquet(out).count() == 4_000
+
+
 def test_fixture_drift_guard(spark, sf_smoke, tmp_path):
     """load_table fails fast with a named error when a load-bearing
     fixture column changes physical type (the nanos->micros ts drift
