@@ -201,6 +201,11 @@ HEADLINE = [
     "skew_salted_join",
     # round-11: the one r10 query the record missed (VERDICT r10 #4)
     "k_anonymity",
+    # round-12: ANN lifecycle monitor queries (per-cell IVF health,
+    # per-subspace PQ drift) — priced as one vectorized narrow map +
+    # O(cells|subspaces) shuffle rows each
+    "ann_index_health",
+    "pq_subspace_error",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
