@@ -65,22 +65,59 @@ def _rank_topk(cands: DataFrame, k: int) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+# The broadcast-query serve kernels hold the ENTIRE query set on the
+# driver. That is the right shape for point lookups and report-sized
+# query batches (fixture corpora are thousands of rows; 64-dim doubles
+# at the cap below are ~35 MB), but a caller who hands a corpus-scale
+# DataFrame gets a driver OOM, not an error — so every collect goes
+# through this cap. The probe costs one extra row of transfer, never a
+# second job: limit(max+1) short-circuits the scan.
+MAX_BROADCAST_QUERIES = 65536
+
+
+def _collect_queries(
+    q_df: DataFrame, max_queries: int | None, caller: str, report_form: str
+) -> list:
+    """Collect a SMALL query frame driver-side, refusing loudly past
+    ``max_queries`` rows instead of dying on a corpus-scale input."""
+    if max_queries is None:
+        rows = q_df.collect()
+    else:
+        rows = q_df.limit(max_queries + 1).collect()
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"{caller}: the query frame exceeds max_queries="
+                f"{max_queries} rows. Queries are collected to the driver "
+                f"and broadcast (the point-lookup / report-batch shape), so "
+                f"a corpus-scale query set is a driver OOM, not a slow "
+                f"query. For corpus-vs-corpus search use {report_form}; to "
+                f"serve a genuinely larger batch, raise max_queries "
+                f"deliberately (or pass None)."
+            )
+    return [(r[0], list(r[1])) for r in rows]
+
+
 def cosine_topk(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    max_queries: int | None = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Brute-force cosine top-k neighbors: (a, b, cos_sim, rk).
 
     ``queries`` defaults to ``df`` (self-search, self-pairs excluded).
-    The query matrix is collected + broadcast (small by contract — for
-    corpus-scale self-join use ivf_topk); the corpus streams through
-    Arrow batches, never collected.
+    The query matrix is collected + broadcast (small by contract,
+    capped at ``max_queries`` — for corpus-scale self-join use
+    ivf_topk / ivf_kmeans_topk); the corpus streams through Arrow
+    batches, never collected.
     """
     q_df = (queries or df).select(id_col, vec_col)
-    q_rows = [(r[0], list(r[1])) for r in q_df.collect()]
+    q_rows = _collect_queries(
+        q_df, max_queries, "cosine_topk",
+        "ivf_topk / ivf_kmeans_topk (cell-bucketed all-pairs report)",
+    )
     spark = df.sparkSession
     if not q_rows:
         # an empty query frame (e.g. knn_classify sampling selects no
@@ -396,6 +433,18 @@ def ivf_kmeans_topk(
     return _rank_topk(cands, k)
 
 
+def _probe_cells(qm: np.ndarray, centers: np.ndarray, n_probe: int) -> np.ndarray:
+    """Per-query probed-cell mask: (n_queries, n_cells) bool, True on
+    each query's ``n_probe`` nearest centroids (distances rounded 6 dp
+    before the sort, lowest-cell tie-break — the probe contract the
+    DuckDB oracles replay)."""
+    d2 = np.round(((qm[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), 6)
+    order = np.argsort(d2, axis=1, kind="stable")[:, : min(n_probe, centers.shape[0])]
+    allowed = np.zeros((qm.shape[0], centers.shape[0]), dtype=bool)
+    allowed[np.arange(qm.shape[0])[:, None], order] = True
+    return allowed
+
+
 def ivf_query_topk(
     corpus: DataFrame,
     codebook,
@@ -404,6 +453,7 @@ def ivf_query_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 2,
+    max_queries: int | None = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Point-lookup IVF serve: top-k corpus neighbors for a SMALL
     query set against a trained coarse quantizer — (a, b, cos_sim, rk).
@@ -411,62 +461,77 @@ def ivf_query_topk(
     ``ivf_kmeans_topk`` is the all-pairs REPORT shape (every corpus
     vector is a query; per-cell self-matmuls); reaching for it to
     answer one lookup costs the whole corpus self-join. This is the
-    serve shape: the query's ``n_probe`` nearest cells come from a
+    serve shape: each query's ``n_probe`` nearest cells come from a
     driver-side numpy argmin over the tiny centroid matrix (rounded
     6 dp, lowest-cell tie-break — the same probe contract), the corpus
-    is assigned cells in one broadcast narrow map and FILTERED to the
-    probed cells before ranking, so the exact cosine top-k runs over
-    O(n_probe × cell population), never |corpus|. The filter reuses
-    ``cosine_topk``'s broadcast-query kernel."""
+    is assigned cells in one broadcast narrow map and scanned ONCE for
+    the union of probed cells, and inside the kernel each query is
+    ranked strictly against ITS OWN probed cells (a per-query mask on
+    the similarity matrix) — so a query's answer is identical alone or
+    batched with other queries, never inflated by cells a co-batched
+    query probed. Exact cosine runs over O(n_probe × cell population),
+    never |corpus|."""
     centers = (
         np.array([np.asarray(c) for c in codebook.clusterCenters()])
         if hasattr(codebook, "clusterCenters")
         else np.asarray(codebook, dtype=np.float64)
     )
-    q_rows = [(r[0], list(r[1])) for r in queries.select(id_col, vec_col).collect()]
-    qm = np.array([v for _, v in q_rows], dtype=np.float64)
-    d2 = np.round(((qm[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), 6)
-    probed = sorted(
-        {
-            int(c)
-            for row in np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-            for c in row
-        }
+    q_rows = _collect_queries(
+        queries.select(id_col, vec_col), max_queries, "ivf_query_topk",
+        "ivf_kmeans_topk (per-cell self-join report)",
     )
-
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(centers)
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField(vec_col, T.ArrayType(T.DoubleType()), False),
-            T.StructField("cell", T.IntegerType(), False),
-        ]
-    )
+    if not q_rows:
+        # valid empty request — same contract as cosine_topk
+        return spark.createDataFrame([], "a LONG, b LONG, cos_sim DOUBLE, rk INT")
+    q_ids, qnorm = _normalized_matrix(q_rows, len(q_rows[0][1]))
+    qm = np.array([v for _, v in q_rows], dtype=np.float64)
+    allowed = _probe_cells(qm, centers, n_probe)
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
+    bq = spark.sparkContext.broadcast((q_ids, qnorm, allowed, centers))
+    margin = 2 * k + 8
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, q, mask, cents = bq.value
+        probed_any = mask.any(axis=0)
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            dd = np.round(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 6)
+            dd = np.round(((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+            cells = dd.argmin(axis=1)  # first min = lowest cell on ties
+            sel = probed_any[cells]
+            if not sel.any():
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)[sel]
+            cm = m[sel]
+            norms = np.linalg.norm(cm, axis=1)
+            norms[norms == 0.0] = 1.0
+            cm = cm / norms[:, None]
+            sims = q @ cm.T  # (nq, nb_sel)
+            # per-query cell contract: a candidate outside THIS query's
+            # probed cells is invisible to it, even though another
+            # query in the batch pulled its cell into the scan
+            sims[~mask[:, cells[sel]]] = -np.inf
+            n_keep = min(margin, sims.shape[1])
+            idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
+            rows = np.arange(sims.shape[0])[:, None]
+            vals = sims[rows, idx]
+            keep = np.isfinite(vals)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
-                    "cell": dd.argmin(axis=1).astype(np.int32),
+                    "a": np.repeat(ids, n_keep).reshape(len(ids), n_keep)[keep],
+                    "b": c_ids[idx][keep],
+                    "sim": vals[keep],
                 }
             )
 
-    members = (
+    cands = (
         corpus.select(id_col, vec_col)
-        .mapInPandas(assign, schema=schema)
-        .where(F.col("cell").isin(probed))
-        .drop("cell")
+        .mapInPandas(scan, schema=CAND_SCHEMA)
+        .where(F.col("a") != F.col("b"))
     )
-    return cosine_topk(members, k=k, id_col=id_col, vec_col=vec_col,
-                       queries=queries)
+    return _rank_topk(cands, k)
 
 
 def embedding_neardup(
@@ -724,6 +789,7 @@ def pq_topk_codes(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over a PRE-ENCODED code table:
     (a, b, ad2, rk) with ad2 the approximate squared L2 distance,
@@ -738,7 +804,16 @@ def pq_topk_codes(
     lookups — no float math per corpus vector, which is the PQ
     bargain: scan cost ∝ code bytes, not raw-vector bytes."""
     q_df = queries.select(id_col, vec_col)
-    q_rows = [(r[0], list(r[1])) for r in q_df.collect()]
+    q_rows = _collect_queries(
+        q_df, max_queries, "pq_topk_codes",
+        "ivf_pq_topk (cell-bucketed ADC report)",
+    )
+    if not q_rows:
+        # same contract as cosine_topk: an empty query frame is a valid
+        # request with an empty answer, not an (0,)-shape numpy crash
+        return codes.sparkSession.createDataFrame(
+            [], "a LONG, b LONG, ad2 DOUBLE, rk INT"
+        )
     q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)  # (S, K, sub)
@@ -1028,6 +1103,18 @@ def reindex_pq(
     then records ``dropped_ids`` so the shrink is visible, never
     silent. The rebuilt index starts with NO increments and a bumped
     manifest generation.
+
+    THE GATE PROVES ID COVERAGE ONLY — not embedding recency. An id
+    whose LATEST embedding arrived via an increment (a re-sent id
+    superseding its base row, the documented recency contract) passes
+    the gate even when ``df`` carries that id's STALE embedding; the
+    swap would then silently revert the vector to the older value.
+    The gate cannot see this (codes are not invertible to embeddings,
+    and increments carry no timestamps), so the operational contract
+    is: **the rebuild input must be the latest corpus snapshot** — the
+    same upstream table the streaming ingest reads from, snapshotted
+    at or after the last landed batch. No served ID is ever lost; a
+    served id's VALUE is only as fresh as the rebuild input.
 
     An index built before stats recording (no ``stats.json``) cannot
     measure drift — it reports ``stats-missing`` and rebuilds only

@@ -33,10 +33,14 @@ plausible-looking garbage. Three guards make that class impossible:
   index was reindexed underneath it — a stale worker fails LOUD at its
   next batch instead of quietly encoding into the new index.
 
-After a reindex, restart ingest workers (the constructor reloads the
-new codebooks + generation). The swap itself discards the increments
-dir only after proving the rebuild input covers every served id
-(reindex_pq's anti-join gate), so no streamed vector is lost.
+After a reindex, a worker driven through ``run()`` recovers by itself
+(reload + re-encode the failed batch under the new generation); a
+worker whose ``process_batch`` is called directly must be restarted or
+``reload()``-ed. The swap itself discards the increments dir only
+after proving the rebuild input covers every served id (reindex_pq's
+anti-join gate), so no served ID is lost. The gate proves id coverage
+only — an id's latest VALUE survives the swap only if the rebuild
+input is the latest corpus snapshot (see reindex_pq's docstring).
 """
 
 from __future__ import annotations

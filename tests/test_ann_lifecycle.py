@@ -250,6 +250,100 @@ def test_ivf_query_topk_matches_brute_force_when_probing_all_cells(spark, tmp_pa
     assert got == want
 
 
+def test_ivf_query_topk_result_is_independent_of_batch_composition(spark):
+    """Per-query probe contract: a query ranked in a batch sees ONLY
+    its own n_probe cells, so its rows are identical to a single-query
+    run even when a co-batched query probes extra cells that contain
+    closer cosine neighbors."""
+    from flink_ms_spark.operators.similarity import (
+        _probe_cells,
+        ivf_query_topk,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.default_rng(61)
+    vecs = rng.normal(size=(80, 8))
+    corpus = _vec_df(spark, range(80), vecs)
+    cents = train_ivf_codebook(corpus, n_cells=4)
+    # queries at two distinct centroids -> provably different probe sets
+    q1v, q2v = cents[0] + 0.01, cents[-1] + 0.01
+    mask = _probe_cells(np.array([q1v, q2v]), np.asarray(cents), 1)
+    assert not (mask[0] == mask[1]).all(), "probe sets must differ"
+
+    alone = sorted(
+        map(tuple, ivf_query_topk(
+            corpus, cents, _vec_df(spark, [-1], [q1v]), k=3, n_probe=1
+        ).collect())
+    )
+    batched = sorted(
+        map(tuple, ivf_query_topk(
+            corpus, cents, _vec_df(spark, [-1, -2], [q1v, q2v]), k=3, n_probe=1
+        ).where(F.col("a") == -1).collect())
+    )
+    assert alone == batched
+
+
+def test_serve_kernels_handle_empty_query_frames(spark, tmp_path):
+    """An empty query frame is a valid request with an empty typed
+    answer in every broadcast-query serve kernel, never an
+    (0,)-shape numpy crash."""
+    from flink_ms_spark.operators.similarity import (
+        build_pq_index,
+        ivf_query_topk,
+        load_pq_codebooks,
+        pq_topk_codes,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.default_rng(67)
+    vecs = rng.normal(size=(20, 8))
+    corpus = _vec_df(spark, range(20), vecs)
+    empty = corpus.where(F.lit(False))
+    cents = train_ivf_codebook(corpus, n_cells=2)
+    out = ivf_query_topk(corpus, cents, empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["a", "b", "cos_sim", "rk"]
+
+    idx = str(tmp_path / "idx")
+    build_pq_index(corpus, idx, n_subspaces=4, n_codes=8)
+    codes = spark.read.parquet(f"{idx}/codes")
+    out = pq_topk_codes(codes, load_pq_codebooks(spark, idx), empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["a", "b", "ad2", "rk"]
+
+
+def test_serve_kernels_refuse_corpus_scale_query_frames(spark, tmp_path):
+    """The broadcast-query collect is capped: past max_queries the
+    kernels raise a ValueError naming the report-shape alternative
+    instead of pulling a corpus onto the driver."""
+    from flink_ms_spark.operators.similarity import (
+        build_pq_index,
+        cosine_topk,
+        ivf_query_topk,
+        load_pq_codebooks,
+        pq_topk_codes,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.default_rng(71)
+    vecs = rng.normal(size=(30, 8))
+    corpus = _vec_df(spark, range(30), vecs)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        cosine_topk(corpus, k=3, max_queries=10)
+    cents = train_ivf_codebook(corpus, n_cells=2)
+    with pytest.raises(ValueError, match="ivf_kmeans_topk"):
+        ivf_query_topk(corpus, cents, corpus, k=3, max_queries=10)
+    idx = str(tmp_path / "idx")
+    build_pq_index(corpus, idx, n_subspaces=4, n_codes=8)
+    codes = spark.read.parquet(f"{idx}/codes")
+    with pytest.raises(ValueError, match="ivf_pq_topk"):
+        pq_topk_codes(codes, load_pq_codebooks(spark, idx), corpus,
+                      k=3, max_queries=10)
+    # at or under the cap (and with the cap lifted) the kernels serve
+    assert cosine_topk(corpus, k=1, max_queries=30).count() == 30
+    assert cosine_topk(corpus, k=1, max_queries=None).count() == 30
+
+
 def test_zero_error_baseline_reads_healthy_not_infinite_drift(spark, tmp_path):
     """A corpus with fewer distinct vectors than codes trains to
     EXACTLY zero quantization error; the monitor must read an
