@@ -72,12 +72,15 @@ def _migrate_legacy_increments(spark: SparkSession, index_path: str) -> None:
     Generation 0 is provably right for them: a legacy partition can
     only exist under an index whose codebooks it was encoded with (the
     pre-stamp reindex deleted the whole increments dir on swap), and a
-    pre-manifest index reads as generation 0. Without the move, Spark
-    refuses the MIXED layout outright ('conflicting directory
-    structures') the moment a new worker lands a gen-stamped partition
-    beside a legacy one — so both the reader and the writer migrate
-    first. Renames are per-directory and idempotent (a re-run sees no
-    legacy names)."""
+    pre-manifest index reads as generation 0. Only the WRITER migrates
+    (it is about to land a gen-stamped partition, and a future
+    partition-discovery read of the mixed layout would fail with
+    'conflicting directory structures'); the read path handles legacy
+    partitions in place — see load_codes — so serving a legacy-layout
+    index never mutates it (read-only storage, concurrent readers).
+    Renames are per-directory and idempotent; a lost race against a
+    concurrent migrator (rename fails AND the source is gone) is a
+    success, not an error."""
     inc = fsutil.join(index_path, _INC)
     if not fsutil.is_dir(spark, inc):
         return
@@ -91,12 +94,13 @@ def _migrate_legacy_increments(spark: SparkSession, index_path: str) -> None:
     gen_dir = fsutil.join(inc, "gen=0")
     fsutil.mkdirs(spark, gen_dir)
     for name in legacy:
-        if not fsutil.rename(
-            spark, fsutil.join(inc, name), fsutil.join(gen_dir, name)
-        ):
+        src = fsutil.join(inc, name)
+        if not fsutil.rename(spark, src, fsutil.join(gen_dir, name)):
+            if not fsutil.is_dir(spark, src):
+                continue  # a concurrent migrator moved it first
             raise IOError(
                 f"failed to migrate legacy increment {name} under {inc} "
-                f"into gen=0/ — refusing to read a mixed partition layout"
+                f"into gen=0/ — refusing to land a mixed partition layout"
             )
 
 
@@ -107,11 +111,23 @@ class StreamingAnnIngest:
 
     def __init__(self, spark: SparkSession, index_path: str,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.spark = spark
         self.index_path = index_path
         self.id_col = id_col
         self.vec_col = vec_col
         self.codebooks: np.ndarray = load_pq_codebooks(spark, index_path)
         self.generation: int = read_index_manifest(spark, index_path)["generation"]
+
+    def reload(self, spark: SparkSession | None = None) -> None:
+        """Re-read codebooks + generation from the live index — the
+        recovery step after a reindex swap (what constructing a fresh
+        worker would do, without losing the object)."""
+        s = spark or self.spark
+        self.codebooks = load_pq_codebooks(s, self.index_path)
+        self.generation = read_index_manifest(s, self.index_path)["generation"]
+
+    def _land_increment(self, codes: DataFrame, out: str) -> None:
+        codes.write.mode("overwrite").parquet(out)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # per-batch generation check: self.codebooks were loaded ONCE
@@ -125,8 +141,9 @@ class StreamingAnnIngest:
                 f"index {self.index_path} is at codebook generation {live} "
                 f"but this worker encoded with generation {self.generation} "
                 f"— the index was reindexed underneath a live worker. "
-                f"Restart the ingest (the constructor reloads the new "
-                f"codebooks); landing these codes would serve "
+                f"Re-encode under the new codebooks (run()'s wrapper and "
+                f"reload() do this; a restarted worker reloads in its "
+                f"constructor); landing these codes would serve "
                 f"mixed-generation distances."
             )
         _migrate_legacy_increments(batch_df.sparkSession, self.index_path)
@@ -141,11 +158,46 @@ class StreamingAnnIngest:
         # breaks ties differently run-to-run (replays stop being
         # idempotent). Collapse to max(code) — arbitrary but stable.
         codes = codes.groupBy(self.id_col).agg(F.max("code").alias("code"))
-        codes.write.mode("overwrite").parquet(out)
+        self._land_increment(codes, out)
+        # post-write re-check: a reindex completing BETWEEN the check
+        # above and the write landing leaves this batch under a stale
+        # gen= dir — unservable (the gen prune keeps it from ever being
+        # WRONG), but the streaming checkpoint would still commit the
+        # batch and its vectors would silently vanish from serving.
+        # Raise instead: the sink stays uncommitted, the batch replays
+        # (on run()'s in-place reload or a worker restart) and re-lands
+        # under the new generation. Costs one manifest read per batch.
+        live = read_index_manifest(batch_df.sparkSession, self.index_path)["generation"]
+        if live != self.generation:
+            raise StaleIndexGenerationError(
+                f"index {self.index_path} was reindexed to generation {live} "
+                f"while batch {batch_id} was landing under generation "
+                f"{self.generation} — the landed partition is unservable "
+                f"(generation-pruned), so the batch must replay under the "
+                f"new codebooks rather than commit and silently drop its "
+                f"vectors from serving."
+            )
 
     def run(self, stream_df: DataFrame, checkpoint: str,
-            available_now: bool = True):
-        writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
+            available_now: bool = True, reload_on_reindex: bool = True):
+        """Start the ingest stream. With ``reload_on_reindex`` (the
+        default) a reindex swap under the live stream is survived
+        in-place: the batch that trips the generation check is
+        re-encoded once under the freshly reloaded codebooks instead of
+        killing the query. A second swap racing the retry still fails
+        loud — then the stream restart replays the batch (the landed
+        stale partition is overwrite-idempotent and generation-pruned,
+        so nothing is lost or double-served either way)."""
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            try:
+                self.process_batch(batch_df, batch_id)
+            except StaleIndexGenerationError:
+                if not reload_on_reindex:
+                    raise
+                self.reload(batch_df.sparkSession)
+                self.process_batch(batch_df, batch_id)
+
+        writer = stream_df.writeStream.foreachBatch(_process).option(
             "checkpointLocation", checkpoint
         )
         if available_now:
@@ -163,7 +215,14 @@ def load_codes(spark: SparkSession, index_path: str,
     The gen filter is a partition-prune (increments land under
     ``gen=G/batch_id=N``), so stale-generation directories — debris a
     racing worker wrote during a reindex swap — are never even read,
-    let alone served as mixed-generation distances."""
+    let alone served as mixed-generation distances.
+
+    This is a PURE read: legacy pre-stamp partitions
+    (``codes_increments/batch_id=N``) are read in place as generation
+    0 via explicit paths instead of being renamed — a rename on the
+    read path broke read-only storage and could race a concurrent
+    reader on the same index. The WRITER migrates them before landing
+    a stamped partition (see _migrate_legacy_increments)."""
     base = spark.read.parquet(fsutil.join(index_path, "codes")).select(
         F.col(id_col), "code", F.lit(-1).cast("long").alias("_b")
     )
@@ -172,13 +231,33 @@ def load_codes(spark: SparkSession, index_path: str,
     # serve STALE codes because the driver's local disk lacks inc_path
     if not fsutil.is_dir(spark, inc_path):
         return base.drop("_b")
-    _migrate_legacy_increments(spark, index_path)
+    names = fsutil.list_names(spark, inc_path, dirs_only=True)
+    stamped = [n for n in names if n.startswith("gen=")]
+    legacy = [n for n in names if n.startswith("batch_id=")]
     gen = read_index_manifest(spark, index_path)["generation"]
-    inc = (
-        spark.read.parquet(inc_path)
-        .where(F.col("gen") == gen)
-        .select(F.col(id_col), "code", F.col("batch_id").cast("long").alias("_b"))
-    )
+    parts = []
+    if stamped:
+        # explicit stamped paths + basePath: gen/batch_id stay partition
+        # columns (the gen filter is still a directory prune) and the
+        # listing never trips over a legacy dir's conflicting layout
+        parts.append(
+            spark.read.option("basePath", inc_path)
+            .parquet(*(fsutil.join(inc_path, n) for n in stamped))
+            .where(F.col("gen") == gen)
+            .select(F.col(id_col), "code", F.col("batch_id").cast("long").alias("_b"))
+        )
+    if legacy and gen == 0:
+        # legacy partitions are generation 0 by construction (the
+        # pre-stamp reindex deleted the whole increments dir on swap),
+        # so they are servable exactly when the manifest is at gen 0
+        parts.append(
+            spark.read.option("basePath", inc_path)
+            .parquet(*(fsutil.join(inc_path, n) for n in legacy))
+            .select(F.col(id_col), "code", F.col("batch_id").cast("long").alias("_b"))
+        )
+    if not parts:
+        return base.drop("_b")
+    inc = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     w = Window.partitionBy(id_col).orderBy(F.col("_b").desc())
     return (
         base.unionByName(inc)

@@ -190,12 +190,13 @@ def test_reindex_coverage_gate_also_guards_base_only_indexes(spark, tmp_path):
     assert load_codes(spark, idx).count() == 24
 
 
-def test_legacy_unstamped_increments_migrate_to_generation_zero(spark, tmp_path):
+def test_legacy_unstamped_increments_serve_as_generation_zero(spark, tmp_path):
     """Increments landed before generation stamping existed (layout
-    codes_increments/batch_id=N, no index manifest) must stay servable:
-    the reader folds them into gen=0/ — provably their generation —
-    instead of crashing on the missing partition column or on a mixed
-    layout once a new worker lands a stamped partition."""
+    codes_increments/batch_id=N, no index manifest) must stay servable
+    WITHOUT the reader mutating the index: load_codes reads them in
+    place as generation 0 (read-only storage and concurrent readers
+    stay safe). The WRITER migrates them into gen=0/ before landing a
+    stamped partition, so the layout never mixes on disk."""
     import os
 
     from flink_ms_spark.operators.similarity import build_pq_index, pq_encode
@@ -215,16 +216,117 @@ def test_legacy_unstamped_increments_migrate_to_generation_zero(spark, tmp_path)
 
     served = load_codes(spark, idx)
     assert served.where(F.col("vec_id") == 500).count() == 1
-    assert os.path.isdir(f"{idx}/codes_increments/gen=0/batch_id=0")
-    assert not os.path.isdir(f"{idx}/codes_increments/batch_id=0")
+    # the read is pure: the legacy layout is untouched on disk
+    assert os.path.isdir(f"{idx}/codes_increments/batch_id=0")
+    assert not os.path.isdir(f"{idx}/codes_increments/gen=0")
 
-    # a new stamped worker now lands beside the migrated partition
-    # without a conflicting-layout read error
+    # a new stamped worker migrates-then-lands: no mixed layout, both
+    # increments served, latest batch still winning per id
     worker = StreamingAnnIngest(spark, idx)
     assert worker.generation == 0
     worker.process_batch(_vec_df(spark, [501], rng.normal(size=(1, 8))), batch_id=1)
+    assert os.path.isdir(f"{idx}/codes_increments/gen=0/batch_id=0")
+    assert not os.path.isdir(f"{idx}/codes_increments/batch_id=0")
     served = load_codes(spark, idx)
     assert served.count() == 18  # 16 base + 500 + 501
+
+
+class _RacingIngest:
+    """Factory for a StreamingAnnIngest whose FIRST landed increment is
+    immediately followed by a reindex swap — the write has landed but
+    the batch is not yet committed, the exact post-check window."""
+
+    def __new__(cls, spark, idx, reindex_input):
+        from flink_ms_spark.operators.similarity import reindex_pq
+        from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+        class Racing(StreamingAnnIngest):
+            _raced = False
+
+            def _land_increment(self, codes, out):
+                super()._land_increment(codes, out)
+                if not Racing._raced:
+                    Racing._raced = True
+                    # the realistic race: the reindex snapshot was taken
+                    # before this batch arrived, so its ids are missing
+                    # from the rebuild input (allow_missing documents
+                    # the drop — the post-write check is what recovers
+                    # the batch)
+                    reindex_pq(self.spark, idx, reindex_input,
+                               force=True, allow_missing=True)
+
+        return Racing(spark, idx)
+
+
+def test_post_write_generation_race_raises_not_commits(spark, tmp_path, pq_index):
+    """A reindex completing between the pre-check and the increment
+    write landing must raise AFTER the write too: the landed partition
+    is generation-pruned (unservable), and committing the batch would
+    silently drop its vectors from serving until a resend."""
+    from flink_ms_spark.streaming.ann_ingest import (
+        StaleIndexGenerationError,
+        StreamingAnnIngest,
+        load_codes,
+    )
+
+    idx, base_vecs, inc_vecs, _ = pq_index
+    full = _vec_df(
+        spark,
+        list(range(30)) + list(range(100, 110)),
+        list(base_vecs) + list(inc_vecs),
+    )
+    worker = _RacingIngest(spark, idx, full)
+    rng = np.random.default_rng(41)
+    new_vec = rng.normal(size=(1, 8))
+    with pytest.raises(StaleIndexGenerationError, match="while batch 7 was landing"):
+        worker.process_batch(_vec_df(spark, [700], new_vec), batch_id=7)
+    # the stale-gen debris is never served...
+    assert load_codes(spark, idx).where(F.col("vec_id") == 700).count() == 0
+    # ...and the REPLAY (what the uncommitted sink does on restart,
+    # here a reloaded worker) re-lands the batch under the new
+    # generation: no vector lost
+    worker.reload()
+    assert worker.generation == 1
+    worker.process_batch(_vec_df(spark, [700], new_vec), batch_id=7)
+    assert load_codes(spark, idx).where(F.col("vec_id") == 700).count() == 1
+
+
+def test_run_recovers_ingest_across_reindex_without_reconstruction(
+    spark, tmp_path, pq_index
+):
+    """The streaming lane survives a reindex in place: a batch that
+    trips the generation check (pre- OR post-write) is re-encoded once
+    under freshly reloaded codebooks — the stream completes, the vector
+    serves at the new generation, and nobody reconstructs the worker by
+    hand."""
+    import json
+
+    from flink_ms_spark.streaming.ann_ingest import load_codes
+
+    idx, base_vecs, inc_vecs, _ = pq_index
+    full = _vec_df(
+        spark,
+        list(range(30)) + list(range(100, 110)),
+        list(base_vecs) + list(inc_vecs),
+    )
+    worker = _RacingIngest(spark, idx, full)
+    assert worker.generation == 0
+
+    rng = np.random.default_rng(43)
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "batch.jsonl", "w") as f:
+        f.write(json.dumps(
+            {"vec_id": 800, "embedding": [float(x) for x in rng.normal(size=8)]}
+        ) + "\n")
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).json(str(src))
+    worker.run(stream, str(tmp_path / "ckpt")).awaitTermination()
+
+    assert worker.generation == 1  # reloaded in place, same object
+    served = load_codes(spark, idx)
+    assert served.where(F.col("vec_id") == 800).count() == 1
 
 
 def test_ivf_query_topk_matches_brute_force_when_probing_all_cells(spark, tmp_path):
