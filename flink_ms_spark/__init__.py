@@ -88,6 +88,10 @@ _EXPORTS = {
     "ivf_assignment_stats": "flink_ms_spark.operators.similarity",
     "ivf_cell_stats": "flink_ms_spark.operators.similarity",
     "ivf_query_topk": "flink_ms_spark.operators.similarity",
+    "ivf_members_topk": "flink_ms_spark.operators.similarity",
+    "load_ivf_members": "flink_ms_spark.operators.similarity",
+    "has_ivf_members": "flink_ms_spark.operators.similarity",
+    "assign_members": "flink_ms_spark.operators.similarity",
     "pq_subspace_error": "flink_ms_spark.operators.similarity",
     "read_index_manifest": "flink_ms_spark.operators.similarity",
     "StreamingAnnIngest": "flink_ms_spark.streaming.ann_ingest",

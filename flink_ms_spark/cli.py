@@ -569,9 +569,12 @@ def cmd_build_ann_index(args: argparse.Namespace) -> None:
             vec_col=args.vec_col,
             seed=args.seed,
             record_stats=True,
+            persist_members=args.persist_members,
+            id_col=args.id_col,
         )
+        members = " + members table" if args.persist_members else ""
         print(f"index {args.index}: ivf, {cents.shape[0]} cells, "
-              f"dim {cents.shape[1]}")
+              f"dim {cents.shape[1]}{members}")
         return
     from flink_ms_spark.operators.similarity import build_pq_index
 
@@ -622,6 +625,8 @@ def cmd_reindex_ann(args: argparse.Namespace) -> None:
             force=args.force,
             vec_col=args.vec_col,
             seed=args.seed,
+            id_col=args.id_col,
+            allow_missing=args.allow_missing,
         )
     else:
         report = reindex_pq(
@@ -652,11 +657,15 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
     exists to kill, so the serve lane goes through the same view the
     coverage gate audits. Prints ``id<TAB>ad2``, nearest first.
 
-    IVF: the persisted artifact is the coarse quantizer; candidate
-    vectors come from ``--input`` (raw embeddings parquet), assigned
-    cells in one narrow map and ranked ONLY within the query's probed
-    cells (ivf_query_topk — the point-lookup shape, not the all-pairs
-    report). Prints ``id<TAB>cos_sim``, nearest first."""
+    IVF: with a persisted members table (build --persist-members) the
+    lookup reads ONLY the probed cells' partitions plus the live
+    increment tail (ivf_members_topk — no corpus scan, streamed
+    vectors served). Without one, candidate vectors come from
+    ``--input`` (raw embeddings parquet), assigned cells in one narrow
+    map and ranked ONLY within the query's probed cells
+    (ivf_query_topk) — freshness equals the --input corpus, the
+    documented batch-only contract. Prints ``id<TAB>cos_sim``,
+    nearest first."""
     from flink_ms_spark.operators.similarity import read_index_manifest
 
     spark = _spark("[ANN] query")
@@ -667,25 +676,35 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
     kind = read_index_manifest(spark, args.index)["kind"]
     if kind == "ivf":
         from flink_ms_spark.operators.similarity import (
+            has_ivf_members,
+            ivf_members_topk,
             ivf_query_topk,
             load_ivf_centroids,
         )
 
-        if not args.input:
-            raise SystemExit(
-                "ann-query on an ivf index needs --input (embeddings parquet): "
-                "the index persists the coarse quantizer, candidates come "
-                "from the corpus"
+        if has_ivf_members(spark, args.index):
+            out = ivf_members_topk(
+                spark, args.index, q, k=args.k, n_probe=args.n_probe,
+                id_col=args.id_col, vec_col=args.vec_col,
             )
-        cents = load_ivf_centroids(spark, args.index)
-        corpus = spark.read.parquet(args.input).select(
-            F.col(args.id_col).cast("long").alias(args.id_col),
-            F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
-        )
-        out = ivf_query_topk(
-            corpus, cents, q, k=args.k, id_col=args.id_col,
-            vec_col=args.vec_col, n_probe=args.n_probe,
-        )
+        else:
+            if not args.input:
+                raise SystemExit(
+                    "ann-query on an ivf index without a members table needs "
+                    "--input (embeddings parquet): the index persists only "
+                    "the coarse quantizer, candidates come from the corpus "
+                    "(rebuild with --persist-members for O(n_probe) "
+                    "partition lookups and streaming freshness)"
+                )
+            cents = load_ivf_centroids(spark, args.index)
+            corpus = spark.read.parquet(args.input).select(
+                F.col(args.id_col).cast("long").alias(args.id_col),
+                F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
+            )
+            out = ivf_query_topk(
+                corpus, cents, q, k=args.k, id_col=args.id_col,
+                vec_col=args.vec_col, n_probe=args.n_probe,
+            )
         for r in out.orderBy("rk").collect():
             print(f"{r.b}\t{r.cos_sim:.6f}")
         return
@@ -1068,6 +1087,11 @@ def build_parser() -> argparse.ArgumentParser:
     bi.add_argument("--codes", type=int, default=32)
     bi.add_argument("--cells", type=int, default=8,
                     help="coarse cells (--kind ivf)")
+    bi.add_argument("--persist-members", action="store_true",
+                    help="(--kind ivf) also persist the corpus "
+                    "partitioned by cell: point lookups read O(n_probe) "
+                    "partitions instead of scanning --input, and the "
+                    "index gains a streaming increment lane")
     bi.add_argument("--id-col", default="vec_id")
     bi.add_argument("--vec-col", default="embedding")
     bi.add_argument("--seed", type=int, default=42)

@@ -433,6 +433,40 @@ def ivf_kmeans_topk(
     return _rank_topk(cands, k)
 
 
+def _score_masked(
+    q_ids: np.ndarray,
+    qnorm: np.ndarray,
+    mask: np.ndarray,
+    c_ids: np.ndarray,
+    cm: np.ndarray,
+    cells: np.ndarray,
+    margin: int,
+) -> pd.DataFrame:
+    """One Arrow batch of the per-query-masked cosine scan: normalize
+    the candidates, score against the broadcast query matrix, hide
+    each candidate from every query that did not probe its cell, keep
+    per-query top-``margin`` raw sims. Shared by ivf_query_topk (cells
+    assigned in-kernel) and ivf_members_topk (cells persisted) so the
+    mask/tie/zero-norm contract can't diverge between the two serves."""
+    norms = np.linalg.norm(cm, axis=1)
+    norms[norms == 0.0] = 1.0
+    cm = cm / norms[:, None]
+    sims = qnorm @ cm.T  # (nq, nb)
+    sims[~mask[:, cells]] = -np.inf
+    n_keep = min(margin, sims.shape[1])
+    idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
+    rows = np.arange(sims.shape[0])[:, None]
+    vals = sims[rows, idx]
+    keep = np.isfinite(vals)
+    return pd.DataFrame(
+        {
+            "a": np.repeat(q_ids, n_keep).reshape(len(q_ids), n_keep)[keep],
+            "b": c_ids[idx][keep],
+            "sim": vals[keep],
+        }
+    )
+
+
 def _probe_cells(qm: np.ndarray, centers: np.ndarray, n_probe: int) -> np.ndarray:
     """Per-query probed-cell mask: (n_queries, n_cells) bool, True on
     each query's ``n_probe`` nearest centroids (distances rounded 6 dp
@@ -503,27 +537,14 @@ def ivf_query_topk(
             sel = probed_any[cells]
             if not sel.any():
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)[sel]
-            cm = m[sel]
-            norms = np.linalg.norm(cm, axis=1)
-            norms[norms == 0.0] = 1.0
-            cm = cm / norms[:, None]
-            sims = q @ cm.T  # (nq, nb_sel)
-            # per-query cell contract: a candidate outside THIS query's
-            # probed cells is invisible to it, even though another
-            # query in the batch pulled its cell into the scan
-            sims[~mask[:, cells[sel]]] = -np.inf
-            n_keep = min(margin, sims.shape[1])
-            idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
-            rows = np.arange(sims.shape[0])[:, None]
-            vals = sims[rows, idx]
-            keep = np.isfinite(vals)
-            yield pd.DataFrame(
-                {
-                    "a": np.repeat(ids, n_keep).reshape(len(ids), n_keep)[keep],
-                    "b": c_ids[idx][keep],
-                    "sim": vals[keep],
-                }
+            # per-query cell contract inside _score_masked: a candidate
+            # outside THIS query's probed cells is invisible to it, even
+            # though another query in the batch pulled its cell into
+            # the scan
+            yield _score_masked(
+                ids, q, mask,
+                pdf[id_col].to_numpy(dtype=np.int64)[sel],
+                m[sel], cells[sel], margin,
             )
 
     cands = (
@@ -1362,6 +1383,23 @@ def ivf_assignment_stats(
     }
 
 
+def assign_members(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer cell assignment KEEPING the vector — (id, vec,
+    cell) — the members-table row shape. Delegates to
+    :func:`assign_cells` (the one shared E-step kernel: distances
+    rounded 6 dp before the argmin, lowest-cell tie-break, the same
+    probe contract as _probe_cells) so a vector's home cell and a
+    query's probed cells can never disagree on ties. No shuffle."""
+    return assign_cells(
+        df, centroids, id_col=id_col, vec_col=vec_col, extra_cols=(vec_col,)
+    ).select(id_col, vec_col, "cell")
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -1372,13 +1410,26 @@ def build_ivf_index(
     centroids: np.ndarray | None = None,
     record_stats: bool = False,
     generation: int = 0,
+    persist_members: bool = False,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Persist an IVF coarse quantizer: ``<path>/centroids`` (cell,
     centroid) parquet + generation manifest, optionally
     ``<path>/stats.json`` with the build-time assignment-error /
     cell-balance baseline :func:`reindex_ivf` compares against. Serve
     by loading with :func:`load_ivf_centroids` and passing to
-    ``ivf_kmeans_topk`` / ``ivf_pq_topk`` as the coarse codebook."""
+    ``ivf_kmeans_topk`` / ``ivf_pq_topk`` as the coarse codebook.
+
+    ``persist_members=True`` additionally writes ``<path>/members`` —
+    the corpus partitioned BY CELL (cell=C directories). That turns a
+    point lookup from "re-assign the whole corpus per query"
+    (:func:`ivf_query_topk` over raw embeddings) into an O(n_probe)
+    partition read (:func:`ivf_members_topk`), and it is what gives
+    the index a streaming increment lane (StreamingAnnIngest lands
+    member increments; :func:`load_ivf_members` is the merged serving
+    view). Without members the index serves candidates from the
+    query-time corpus and is exactly as fresh as that corpus —
+    batch-only by contract."""
     cents = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
@@ -1396,6 +1447,10 @@ def build_ivf_index(
         "overwrite"
     ).parquet(f"{path}/centroids")
     _write_index_manifest(spark, path, "ivf", generation)
+    if persist_members:
+        assign_members(df, cents, id_col=id_col, vec_col=vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/members")
     if record_stats:
         import json as _json
 
@@ -1416,6 +1471,139 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
     return cents
 
 
+MEMBERS_INC = "members_increments"
+
+
+def has_ivf_members(spark, path: str) -> bool:
+    from flink_ms_spark import fsutil
+
+    return fsutil.is_dir(spark, fsutil.join(path, "members"))
+
+
+def _stamped_dirs(spark, inc_path: str) -> list[str]:
+    """gen=* partition dirs under an increments root ([] if none) —
+    guards the parquet read against an absent or empty directory."""
+    from flink_ms_spark import fsutil
+
+    if not fsutil.is_dir(spark, inc_path):
+        return []
+    return [
+        n
+        for n in fsutil.list_names(spark, inc_path, dirs_only=True)
+        if n.startswith("gen=")
+    ]
+
+
+def load_ivf_members(
+    spark,
+    path: str,
+    cells: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving view of a persisted IVF members table: (id, vec, cell)
+    = base members plus current-generation streaming increments,
+    latest batch winning per id. ``cells`` restricts the read to the
+    probed cells.
+
+    IO shape at scale: the BASE read is a partition prune (members
+    land under ``cell=C`` dirs), so a point lookup touches O(n_probe)
+    partitions of the big table. Increments are read in FULL (gen-
+    pruned only) even when ``cells`` is given — deliberately: a
+    re-sent id may have MOVED cells, so its latest row can live in an
+    increment for a cell the query didn't probe; reading the whole
+    live tail (small between reindexes by design — reindex folds it)
+    is what makes recency correct across cell moves. The latest row's
+    cell then decides visibility: an id whose newest vector left the
+    probed cells is dropped, never served stale."""
+    from flink_ms_spark import fsutil
+
+    base = spark.read.parquet(fsutil.join(path, "members")).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.lit(-1).cast("long").alias("_b"),
+    )
+    if cells is not None:
+        base = base.where(F.col("cell").isin([int(c) for c in cells]))
+    inc_path = fsutil.join(path, MEMBERS_INC)
+    out = base
+    stamped = _stamped_dirs(spark, inc_path)
+    if stamped:
+        gen = read_index_manifest(spark, path)["generation"]
+        inc = (
+            spark.read.option("basePath", inc_path)
+            .parquet(*(fsutil.join(inc_path, n) for n in stamped))
+            .where(F.col("gen") == gen)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("cell").cast("int").alias("cell"),
+                F.col("batch_id").cast("long").alias("_b"),
+            )
+        )
+        out = base.unionByName(inc)
+    w = Window.partitionBy(id_col).orderBy(F.col("_b").desc())
+    out = (
+        out.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    if cells is not None:
+        out = out.where(F.col("cell").isin([int(c) for c in cells]))
+    return out
+
+
+def ivf_members_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int | None = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Point-lookup IVF serve over a PERSISTED members table —
+    (a, b, cos_sim, rk), same probe/mask/tie contract as
+    :func:`ivf_query_topk` (each query ranked strictly against its own
+    ``n_probe`` cells) but without the query-time corpus scan: the
+    probed cells' partitions are the only base IO, plus the live
+    increment tail. This is the 100 TB point-lookup shape; the
+    corpus-scan variant remains for indexes built without members."""
+    centers = load_ivf_centroids(spark, path)
+    q_rows = _collect_queries(
+        queries.select(id_col, vec_col), max_queries, "ivf_members_topk",
+        "ivf_kmeans_topk (per-cell self-join report)",
+    )
+    if not q_rows:
+        return spark.createDataFrame([], "a LONG, b LONG, cos_sim DOUBLE, rk INT")
+    q_ids, qnorm = _normalized_matrix(q_rows, len(q_rows[0][1]))
+    qm = np.array([v for _, v in q_rows], dtype=np.float64)
+    allowed = _probe_cells(qm, centers, n_probe)
+    probed = [int(c) for c in np.flatnonzero(allowed.any(axis=0))]
+    members = load_ivf_members(spark, path, cells=probed,
+                               id_col=id_col, vec_col=vec_col)
+    bq = spark.sparkContext.broadcast((q_ids, qnorm, allowed))
+    margin = 2 * k + 8
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, q, mask = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield _score_masked(
+                ids, q, mask,
+                pdf[id_col].to_numpy(dtype=np.int64),
+                np.array(list(pdf[vec_col]), dtype=np.float64),
+                pdf["cell"].to_numpy(dtype=np.int64),
+                margin,
+            )
+
+    cands = members.mapInPandas(scan, CAND_SCHEMA).where(F.col("a") != F.col("b"))
+    return _rank_topk(cands, k)
+
+
 def reindex_ivf(
     spark,
     path: str,
@@ -1424,19 +1612,28 @@ def reindex_ivf(
     force: bool = False,
     vec_col: str = "embedding",
     seed: int = 42,
+    id_col: str = "vec_id",
+    allow_missing: bool = False,
 ) -> dict:
     """Monitor → reindex for the IVF coarse quantizer — the same
     policy loop as :func:`reindex_pq` (measure the current corpus's
     assignment error under the serving centroids, rebuild + swap past
     ``max_drift`` × the build-time baseline) sharing the same
     manifest-generation stamp and rename-aside swap (maintenance
-    window contract in _swap_index). Simpler than PQ in one way: the
-    IVF artifact has no streaming increments, so there is no coverage
-    gate — the centroids are a pure function of the rebuild input.
-    The report also carries cell balance (built vs current
-    max_cell_frac): balance decay with a healthy error ratio is the
-    early skew warning worth alerting on before it trips the drift
-    bar."""
+    window contract in _swap_index). An index WITHOUT a members table
+    has no increments and therefore no coverage gate — the centroids
+    are a pure function of the rebuild input and serving reads the
+    query-time corpus. An index WITH members gets the same id-coverage
+    gate as PQ: the swap discards ``members_increments`` and rewrites
+    ``members`` from ``df``, so every currently-served id (via the
+    same merged view serving uses) must appear in the rebuild input —
+    refuse otherwise; ``allow_missing=True`` is the reported,
+    deliberate shrink. Like PQ's gate, this proves id coverage only —
+    the rebuild input must be the latest corpus snapshot or a re-sent
+    id's value silently reverts. The report also carries cell balance
+    (built vs current max_cell_frac): balance decay with a healthy
+    error ratio is the early skew warning worth alerting on before it
+    trips the drift bar."""
     import json as _json
 
     from flink_ms_spark import fsutil
@@ -1462,6 +1659,21 @@ def reindex_ivf(
             "current_max_cell_frac": cur["max_cell_frac"],
         }
 
+    had_members = has_ivf_members(spark, path)
+    dropped = 0
+    if had_members:
+        served = load_ivf_members(spark, path, id_col=id_col,
+                                  vec_col=vec_col).select(id_col)
+        dropped = served.join(df.select(id_col), id_col, "left_anti").count()
+        if dropped and not allow_missing:
+            raise ValueError(
+                f"reindex_ivf: {dropped} served id(s) (streaming member "
+                f"increments or base members) are missing from the rebuild "
+                f"input — the swap would silently drop them from serving. "
+                f"Rebuild from a corpus that covers every served id, or "
+                f"pass allow_missing=True to shrink deliberately."
+            )
+
     gen = read_index_manifest(spark, path)["generation"]
     tmp = path.rstrip("/") + ".rebuilding"
     fsutil.delete(spark, tmp)  # stale debris from a prior crash
@@ -1473,6 +1685,8 @@ def reindex_ivf(
         seed=seed,
         record_stats=True,
         generation=gen + 1,
+        persist_members=had_members,
+        id_col=id_col,
     )
     new_stats = _json.loads(fsutil.read_text(spark, fsutil.join(tmp, "stats.json")))
     _swap_index(spark, path, tmp)
@@ -1486,6 +1700,7 @@ def reindex_ivf(
         "rebuilt_max_cell_frac": new_stats["max_cell_frac"],
         "cells": int(new_cents.shape[0]),
         "generation": gen + 1,
+        "dropped_ids": dropped,
     }
 
 
@@ -1561,7 +1776,11 @@ def assign_cells(
             out["d2"] = d2[np.arange(len(m)), cell]
             yield pd.DataFrame(out)
 
-    cols = [id_col, *extra_cols, vec_col]
+    # dedupe: vec_col may itself ride along as an extra output column
+    # (assign_members keeps the vector for the members-table row shape)
+    cols = [id_col, *extra_cols]
+    if vec_col not in cols:
+        cols.append(vec_col)
     return fan_out(df.select(*cols)).mapInPandas(run, schema=T.StructType(fields))
 
 

@@ -944,6 +944,100 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(emb, codebook, k=5, n_probe=2)
 
 
+def _ivf_members_lookup_oracle() -> str:
+    """Deferred oracle for ivf_members_lookup: same fixed-seed coarse
+    centroids as the ivf_kmeans family (shared pyarrow trainer,
+    embedded as literals), then an independent DuckDB replay of the
+    members serve — every corpus vector assigned its home cell
+    (probe_rk = 1 under 6-dp-rounded d2, lowest-cell tie-break), each
+    QUERY (vec_id % 100 = 0) joined only to members of ITS OWN two
+    probed cells (the per-query mask contract), rounded cosine rank."""
+    import os as _os
+
+    from flink_ms_spark.operators.similarity import codebook_from_parquet
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(centers)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cent AS (SELECT * FROM (VALUES {rows}) t(cell, c)),
+d AS (SELECT e.vec_id, e.v, cent.cell,
+        round(list_sum(list_transform(generate_series(1, len(e.v)),
+                i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i]))), 6) AS d2
+      FROM e CROSS JOIN cent),
+prb AS (SELECT vec_id, v, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS probe_rk
+        FROM d),
+nrm AS (SELECT vec_id, cell, probe_rk, v,
+          CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+               THEN CAST(1 AS DOUBLE)
+               ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm
+        FROM prb WHERE probe_rk <= 2),
+pairs AS (SELECT q.vec_id AS a, m.vec_id AS b,
+            CAST(round(list_dot_product(q.v, m.v) / (q.nrm * m.nrm), 6) AS DOUBLE)
+              AS cos_sim
+          FROM nrm q JOIN nrm m USING (cell)
+          WHERE q.vec_id % 100 = 0 AND m.probe_rk = 1
+            AND q.vec_id <> m.vec_id),
+rk AS (SELECT a, b, cos_sim,
+         CAST(row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS INT)
+           AS rk
+       FROM pairs)
+SELECT a, b, cos_sim, rk FROM rk WHERE rk <= 5
+"""
+
+
+def _ivf_members_index_dir(sf_dir: str) -> str:
+    """Cache location for the persisted IVF members index, keyed on
+    the fixture file's identity so a driver-regenerated fixture
+    transparently triggers a rebuild (same pattern as pipeline.py's
+    _pq_index_dir)."""
+    import hashlib
+    import os
+    import tempfile
+
+    f = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(f)
+    key = hashlib.md5(
+        f"v1:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"flink_ms_ivfm_{key}")
+
+
+@register("ivf_members_lookup", oracle=_ivf_members_lookup_oracle)
+def q_ivf_members_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup serve over the PERSISTED IVF members index
+    (operators/similarity.py:ivf_members_topk): the corpus lands
+    partitioned by cell at build time, so each lookup reads only its
+    probed cells' partitions — O(n_probe) partition IO, the 100 TB
+    point-lookup shape — and each query in the batch is ranked
+    strictly against its OWN n_probe cells (reproducible vs a
+    single-query run). Queries are the deterministic vec_id % 100
+    slice of the corpus; centroids come from the shared pyarrow
+    trainer so the DuckDB oracle replays assignment, per-query probe,
+    and rounded-cosine rank bit-identically."""
+    import os
+
+    from flink_ms_spark.operators.similarity import (
+        build_ivf_index,
+        codebook_from_parquet,
+        ivf_members_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _ivf_members_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "members", "_SUCCESS")):
+        centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
+        build_ivf_index(emb, idx, centroids=centers, persist_members=True)
+    queries = emb.where((F.col("vec_id") % 100) == 0)
+    return ivf_members_topk(spark, idx, queries, k=5, n_probe=2)
+
+
 _MEDIA_FEATURES_ORACLE = """
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,

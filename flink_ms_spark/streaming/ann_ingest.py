@@ -1,8 +1,10 @@
-"""Streaming ANN index maintenance: PQ-encode arriving embedding
-batches against the FROZEN codebooks of a persisted index
-(``build_pq_index``) and land them as idempotent per-batch increment
-partitions beside the base code table. Serving unions base + live
-increments through ``load_codes`` — the index stays fresh without
+"""Streaming ANN index maintenance: encode arriving embedding batches
+against the FROZEN artifact of a persisted index — PQ codebooks
+(``build_pq_index``) or the IVF coarse quantizer + members table
+(``build_ivf_index(persist_members=True)``) — and land them as
+idempotent per-batch increment partitions beside the base table.
+Serving unions base + live increments through ``load_codes`` (pq) /
+``similarity.load_ivf_members`` (ivf) — the index stays fresh without
 retraining, and a replayed micro-batch overwrites its own partition
 (exactly-once, same ``batch_id=N`` dynamic-overwrite pattern as
 ``streaming/ingest.py``).
@@ -106,8 +108,22 @@ def _migrate_legacy_increments(spark: SparkSession, index_path: str) -> None:
 
 class StreamingAnnIngest:
     """foreachBatch worker: encode + land one increment partition per
-    micro-batch, stamped with the codebook generation it encoded
-    under."""
+    micro-batch, stamped with the generation of the index artifact it
+    encoded under. Dispatches on the index manifest kind:
+
+    - **pq** — PQ-encode against the frozen codebooks, land codes
+      under ``codes_increments/gen=G/batch_id=N`` (served by
+      ``load_codes``);
+    - **ivf** — assign cells against the frozen coarse quantizer, land
+      raw (id, vec) member rows under
+      ``members_increments/gen=G/batch_id=N/cell=C`` (served by
+      ``similarity.load_ivf_members`` / ``ivf_members_topk``).
+      Requires the index to persist a members table
+      (``build_ivf_index(persist_members=True)``) — without one, IVF
+      serving assigns candidates from the query-time corpus and is
+      exactly as fresh as that corpus, so there is nothing to
+      increment (batch-only by contract).
+    """
 
     def __init__(self, spark: SparkSession, index_path: str,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -115,19 +131,46 @@ class StreamingAnnIngest:
         self.index_path = index_path
         self.id_col = id_col
         self.vec_col = vec_col
-        self.codebooks: np.ndarray = load_pq_codebooks(spark, index_path)
-        self.generation: int = read_index_manifest(spark, index_path)["generation"]
+        self._load_artifacts(spark)
+
+    def _load_artifacts(self, spark: SparkSession) -> None:
+        from flink_ms_spark.operators.similarity import (
+            has_ivf_members,
+            load_ivf_centroids,
+        )
+
+        manifest = read_index_manifest(spark, self.index_path)
+        self.kind: str = manifest["kind"]
+        self.generation: int = manifest["generation"]
+        if self.kind == "ivf":
+            if not has_ivf_members(spark, self.index_path):
+                raise ValueError(
+                    f"StreamingAnnIngest: IVF index {self.index_path} has no "
+                    f"members table, so it serves candidates from the "
+                    f"query-time corpus (--input) and is exactly as fresh as "
+                    f"that corpus — batch-only by contract, nothing to "
+                    f"increment. Build with "
+                    f"build_ivf_index(persist_members=True) (CLI: "
+                    f"build-ann-index --kind ivf --persist-members) to give "
+                    f"it a streaming lane."
+                )
+            self.centroids: np.ndarray = load_ivf_centroids(spark, self.index_path)
+        else:
+            self.codebooks: np.ndarray = load_pq_codebooks(spark, self.index_path)
 
     def reload(self, spark: SparkSession | None = None) -> None:
-        """Re-read codebooks + generation from the live index — the
-        recovery step after a reindex swap (what constructing a fresh
-        worker would do, without losing the object)."""
-        s = spark or self.spark
-        self.codebooks = load_pq_codebooks(s, self.index_path)
-        self.generation = read_index_manifest(s, self.index_path)["generation"]
+        """Re-read the index artifacts + generation from the live
+        index — the recovery step after a reindex swap (what
+        constructing a fresh worker would do, without losing the
+        object)."""
+        self._load_artifacts(spark or self.spark)
 
-    def _land_increment(self, codes: DataFrame, out: str) -> None:
-        codes.write.mode("overwrite").parquet(out)
+    def _land_increment(self, codes: DataFrame, out: str,
+                        partition_by: str | None = None) -> None:
+        w = codes.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(out)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # per-batch generation check: self.codebooks were loaded ONCE
@@ -146,19 +189,40 @@ class StreamingAnnIngest:
                 f"constructor); landing these codes would serve "
                 f"mixed-generation distances."
             )
-        _migrate_legacy_increments(batch_df.sparkSession, self.index_path)
-        out = fsutil.join(
-            self.index_path, _INC, f"gen={self.generation}", f"batch_id={batch_id}"
-        )
-        codes = pq_encode(batch_df, self.codebooks,
-                          id_col=self.id_col, vec_col=self.vec_col)
-        # a micro-batch may carry the same id twice; "latest" within
-        # one batch is undefined (no intrinsic order), but the landed
-        # row must be DETERMINISTIC or load_codes' recency window
-        # breaks ties differently run-to-run (replays stop being
-        # idempotent). Collapse to max(code) — arbitrary but stable.
-        codes = codes.groupBy(self.id_col).agg(F.max("code").alias("code"))
-        self._land_increment(codes, out)
+        if self.kind == "ivf":
+            from flink_ms_spark.operators.similarity import (
+                MEMBERS_INC,
+                assign_members,
+            )
+
+            out = fsutil.join(
+                self.index_path, MEMBERS_INC,
+                f"gen={self.generation}", f"batch_id={batch_id}",
+            )
+            # deterministic within-batch duplicate collapse FIRST (max
+            # embedding, lexicographic — arbitrary but replay-stable),
+            # then assign, so the landed cell always matches the landed
+            # vector
+            dedup = batch_df.groupBy(self.id_col).agg(
+                F.max(self.vec_col).alias(self.vec_col)
+            )
+            members = assign_members(dedup, self.centroids,
+                                     id_col=self.id_col, vec_col=self.vec_col)
+            self._land_increment(members, out, partition_by="cell")
+        else:
+            _migrate_legacy_increments(batch_df.sparkSession, self.index_path)
+            out = fsutil.join(
+                self.index_path, _INC, f"gen={self.generation}", f"batch_id={batch_id}"
+            )
+            codes = pq_encode(batch_df, self.codebooks,
+                              id_col=self.id_col, vec_col=self.vec_col)
+            # a micro-batch may carry the same id twice; "latest" within
+            # one batch is undefined (no intrinsic order), but the landed
+            # row must be DETERMINISTIC or load_codes' recency window
+            # breaks ties differently run-to-run (replays stop being
+            # idempotent). Collapse to max(code) — arbitrary but stable.
+            codes = codes.groupBy(self.id_col).agg(F.max("code").alias("code"))
+            self._land_increment(codes, out)
         # post-write re-check: a reindex completing BETWEEN the check
         # above and the write landing leaves this batch under a stale
         # gen= dir — unservable (the gen prune keeps it from ever being
