@@ -645,6 +645,31 @@ def cmd_reindex_ann(args: argparse.Namespace) -> None:
         print(f"{k}\t{v}")
 
 
+def cmd_ann_ingest(args: argparse.Namespace) -> None:
+    """Streaming half of the ANN lifecycle: watch a JSONL directory of
+    (id, embedding) records and land each micro-batch as a
+    generation-stamped increment partition beside the persisted index
+    — PQ codes or IVF member rows, dispatched on the manifest kind
+    (streaming/ann_ingest.py:StreamingAnnIngest). Serving reads the
+    merged view immediately (ann-query); a reindex swap under the
+    stream is survived in place (the worker reloads the new artifact
+    and re-encodes the batch — run()'s recovery lane). Re-running with
+    the same checkpoint is exactly-once: replayed batches overwrite
+    their own partitions."""
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    spark = _spark("[ANN] ingest")
+    worker = StreamingAnnIngest(spark, args.index,
+                                id_col=args.id_col, vec_col=args.vec_col)
+    stream = spark.readStream.schema(
+        f"{args.id_col} LONG, {args.vec_col} ARRAY<DOUBLE>"
+    ).json(args.input_dir)
+    ckpt = args.checkpoint or os.path.join(args.index, "_ingest_checkpoint")
+    worker.run(stream, ckpt).awaitTermination()
+    print(f"ingested into {args.index} (kind {worker.kind}, "
+          f"generation {worker.generation})")
+
+
 def cmd_ann_query(args: argparse.Namespace) -> None:
     """Serve half: top-k against a persisted ANN index for one query
     vector (comma-separated floats), dispatched on the manifest kind.
@@ -1110,6 +1135,16 @@ def build_parser() -> argparse.ArgumentParser:
     ri.add_argument("--vec-col", default="embedding")
     ri.add_argument("--seed", type=int, default=42)
     ri.set_defaults(func=cmd_reindex_ann)
+
+    ai = sub.add_parser("ann-ingest")
+    ai.add_argument("--index", required=True, help="persisted ANN index dir")
+    ai.add_argument("--input-dir", required=True,
+                    help="JSONL directory of (id, embedding) records")
+    ai.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint (default <index>/_ingest_checkpoint)")
+    ai.add_argument("--id-col", default="vec_id")
+    ai.add_argument("--vec-col", default="embedding")
+    ai.set_defaults(func=cmd_ann_ingest)
 
     aq = sub.add_parser("ann-query")
     aq.add_argument("--index", required=True)

@@ -434,6 +434,58 @@ def test_cli_ann_query_dispatches_ivf_kind(spark, tmp_path, capsys):
     assert sims == sorted(sims, reverse=True) and sims[0] > 0.999
 
 
+def test_cli_ann_ingest_lane_both_kinds(spark, tmp_path, capsys):
+    """ann-ingest watches a JSONL dir and lands generation-stamped
+    increments on either index kind; ann-query serves the streamed
+    vector immediately (pq: merged code view; ivf: members view, no
+    --input), and re-running with the same checkpoint is a no-op."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.default_rng(59)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    src = tmp_path / "emb"
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(src))
+
+    new_vec = rng.normal(size=8)
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    (stream_dir / "batch.jsonl").write_text(
+        json.dumps({"vec_id": 900, "embedding": [float(x) for x in new_vec]})
+        + "\n"
+    )
+    vec_arg = ",".join(f"{x:.8f}" for x in new_vec)
+
+    for kind, extra in (("pq", ["--subspaces", "4", "--codes", "16"]),
+                        ("ivf", ["--cells", "4", "--persist-members"])):
+        idx = tmp_path / f"idx_{kind}"
+        cli.main(["build-ann-index", "--kind", kind, "--input", str(src),
+                  "--index", str(idx), *extra])
+        capsys.readouterr()
+        cli.main(["ann-ingest", "--index", str(idx),
+                  "--input-dir", str(stream_dir)])
+        out = capsys.readouterr().out
+        assert f"kind {kind}" in out and "generation 0" in out
+        cli.main(["ann-query", "--index", str(idx),
+                  f"--vector={vec_arg}", "-k", "3"])
+        lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        assert int(lines[0].split("\t")[0]) == 900, f"{kind}: streamed id"
+        # same checkpoint -> committed batch is not reprocessed, and the
+        # serve view still holds exactly one row for the streamed id
+        cli.main(["ann-ingest", "--index", str(idx),
+                  "--input-dir", str(stream_dir)])
+        capsys.readouterr()
+        cli.main(["ann-query", "--index", str(idx),
+                  f"--vector={vec_arg}", "-k", "61"])
+        ids = [int(l.split("\t")[0])
+               for l in capsys.readouterr().out.splitlines() if l.strip()]
+        assert ids.count(900) == 1
+
+
 def test_cli_sql_runs_over_fixture_views(sf_smoke, capsys):
     cli.main([
         "sql",
