@@ -664,7 +664,10 @@ def cmd_ann_ingest(args: argparse.Namespace) -> None:
     stream = spark.readStream.schema(
         f"{args.id_col} LONG, {args.vec_col} ARRAY<DOUBLE>"
     ).json(args.input_dir)
-    ckpt = args.checkpoint or os.path.join(args.index, "_ingest_checkpoint")
+    # checkpoint lives BESIDE the index, never inside it: reindex-ann's
+    # rename-aside swap relocates and then deletes the old index dir,
+    # which would destroy an in-dir checkpoint and with it exactly-once
+    ckpt = args.checkpoint or args.index.rstrip("/") + "_ingest_checkpoint"
     worker.run(stream, ckpt).awaitTermination()
     print(f"ingested into {args.index} (kind {worker.kind}, "
           f"generation {worker.generation})")
@@ -685,12 +688,13 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
     IVF: with a persisted members table (build --persist-members) the
     lookup reads ONLY the probed cells' partitions plus the live
     increment tail (ivf_members_topk — no corpus scan, streamed
-    vectors served). Without one, candidate vectors come from
-    ``--input`` (raw embeddings parquet), assigned cells in one narrow
-    map and ranked ONLY within the query's probed cells
-    (ivf_query_topk) — freshness equals the --input corpus, the
-    documented batch-only contract. Prints ``id<TAB>cos_sim``,
-    nearest first."""
+    vectors served). An explicit ``--input`` OVERRIDES the members
+    view (rank against that ad-hoc corpus instead — never silently
+    ignored); without members, --input is required: candidate vectors
+    are assigned cells in one narrow map and ranked ONLY within the
+    query's probed cells (ivf_query_topk) — freshness equals the
+    --input corpus, the documented batch-only contract. Prints
+    ``id<TAB>cos_sim``, nearest first."""
     from flink_ms_spark.operators.similarity import read_index_manifest
 
     spark = _spark("[ANN] query")
@@ -707,7 +711,7 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
             load_ivf_centroids,
         )
 
-        if has_ivf_members(spark, args.index):
+        if has_ivf_members(spark, args.index) and not args.input:
             out = ivf_members_topk(
                 spark, args.index, q, k=args.k, n_probe=args.n_probe,
                 id_col=args.id_col, vec_col=args.vec_col,
@@ -1141,7 +1145,9 @@ def build_parser() -> argparse.ArgumentParser:
     ai.add_argument("--input-dir", required=True,
                     help="JSONL directory of (id, embedding) records")
     ai.add_argument("--checkpoint", default=None,
-                    help="stream checkpoint (default <index>/_ingest_checkpoint)")
+                    help="stream checkpoint (default <index>_ingest_checkpoint,"
+                    " a SIBLING of the index — the reindex swap replaces the"
+                    " index dir, so the checkpoint must not live inside it)")
     ai.add_argument("--id-col", default="vec_id")
     ai.add_argument("--vec-col", default="embedding")
     ai.set_defaults(func=cmd_ann_ingest)
@@ -1151,7 +1157,9 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--vector", required=True, help="comma-separated floats")
     aq.add_argument("-k", type=int, default=5)
     aq.add_argument("--input", default=None,
-                    help="embeddings parquet (required for an ivf index)")
+                    help="embeddings parquet: required for an ivf index "
+                    "without a members table; on a members index it "
+                    "OVERRIDES the members view (ad-hoc corpus)")
     aq.add_argument("--n-probe", type=int, default=2)
     aq.add_argument("--id-col", default="vec_id")
     aq.add_argument("--vec-col", default="embedding")

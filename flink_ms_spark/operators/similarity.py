@@ -49,12 +49,22 @@ CAND_SCHEMA = T.StructType(
 )
 
 
-def _normalized_matrix(rows: list, dim: int) -> tuple[np.ndarray, np.ndarray]:
+def _query_matrices(
+    rows: list, dim: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, raw, normalized) query matrices from collected rows —
+    raw feeds the L2 cell probe, normalized feeds the cosine kernel;
+    one materialization shared by every serve entry point."""
     ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
     m = np.array([r[1] for r in rows], dtype=np.float64).reshape(len(rows), dim)
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0.0] = 1.0
-    return ids, m / norms[:, None]
+    return ids, m, m / norms[:, None]
+
+
+def _normalized_matrix(rows: list, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    ids, _, qnorm = _query_matrices(rows, dim)
+    return ids, qnorm
 
 
 def _rank_topk(cands: DataFrame, k: int) -> DataFrame:
@@ -518,8 +528,7 @@ def ivf_query_topk(
     if not q_rows:
         # valid empty request — same contract as cosine_topk
         return spark.createDataFrame([], "a LONG, b LONG, cos_sim DOUBLE, rk INT")
-    q_ids, qnorm = _normalized_matrix(q_rows, len(q_rows[0][1]))
-    qm = np.array([v for _, v in q_rows], dtype=np.float64)
+    q_ids, qm, qnorm = _query_matrices(q_rows, len(q_rows[0][1]))
     allowed = _probe_cells(qm, centers, n_probe)
 
     bq = spark.sparkContext.broadcast((q_ids, qnorm, allowed, centers))
@@ -937,10 +946,16 @@ def _swap_index(spark, path: str, tmp: str) -> None:
     streaming/chunk_dedup.py): the two renames leave a brief window
     with no index at ``path``, so a concurrent reader may fail loudly
     mid-swap — run reindex in a maintenance window, not under live
-    queries. What CANNOT happen is a silent wrong answer: readers see
-    the old complete index, the new complete index, or an error —
-    never a mix (the generation stamp rejects stale increments, see
-    read_index_manifest)."""
+    queries. The never-a-mix guarantee (old complete index, new
+    complete index, or an ERROR) holds where a generation stamp binds
+    the artifact pair: streaming increments (gen= partition prune),
+    the IVF members serve (members/gen=G dir pinned to the centroid
+    load, load_ivf_members), and ingest commits (per-batch generation
+    + rebuild-marker checks). One residual relies on the maintenance
+    window alone: a PQ serve that loaded codebooks BEFORE the swap and
+    reads ``codes/`` after it sees new codes under old codebooks —
+    base PQ artifacts carry no generation level (pre-existing layout);
+    pair those two reads inside one maintenance-safe window."""
     from flink_ms_spark import fsutil
 
     old = path.rstrip("/") + ".old"
@@ -1164,38 +1179,53 @@ def reindex_pq(
             "current_err": cur["mean_sq_err"],
         }
 
-    # the gate runs unconditionally: a rebuild input that lost BASE ids
-    # (bad upstream filter) is the same silent-shrink class as one that
-    # lost increment-only ids — load_codes is the serving truth either
-    # way (it degrades to base-only when no increments exist)
-    from flink_ms_spark.streaming.ann_ingest import load_codes
-
-    served = load_codes(spark, path, id_col=id_col).select(id_col)
-    dropped = served.join(df.select(id_col), id_col, "left_anti").count()
-    if dropped and not allow_missing:
-        raise ValueError(
-            f"reindex_pq: {dropped} served id(s) (streaming increments "
-            f"or base) are missing from the rebuild input — the swap "
-            f"would silently drop them from serving. Rebuild from a "
-            f"corpus that covers every served id, or pass "
-            f"allow_missing=True to shrink deliberately."
-        )
-
+    # INTENT MARKER: create the rebuild dir BEFORE the coverage gate.
+    # Ingest workers refuse to COMMIT a batch while it exists (the
+    # post-write check in StreamingAnnIngest), so every batch whose
+    # commit preceded the marker is on disk when the gate's anti-join
+    # reads the served set, and every later batch replays after the
+    # swap — no batch can land-and-commit inside the gate→swap window
+    # and be silently discarded with the increments dir. A crashed
+    # rebuild leaves the marker and ingest fails LOUD until reindex is
+    # re-run (which clears the debris first) — fail-stop, never lossy.
     gen = read_index_manifest(spark, path)["generation"]
     tmp = path.rstrip("/") + ".rebuilding"
     fsutil.delete(spark, tmp)  # stale debris from a prior crash
-    new_cb = build_pq_index(
-        df,
-        tmp,
-        n_subspaces=cb.shape[0],
-        n_codes=cb.shape[1],
-        id_col=id_col,
-        vec_col=vec_col,
-        seed=seed,
-        record_stats=True,
-        generation=gen + 1,
-    )
-    new_err = _json.loads(fsutil.read_text(spark, fsutil.join(tmp, "stats.json")))
+    fsutil.mkdirs(spark, tmp)
+    try:
+        # the gate runs unconditionally: a rebuild input that lost BASE
+        # ids (bad upstream filter) is the same silent-shrink class as
+        # one that lost increment-only ids — load_codes is the serving
+        # truth either way (it degrades to base-only w/o increments)
+        from flink_ms_spark.streaming.ann_ingest import load_codes
+
+        served = load_codes(spark, path, id_col=id_col).select(id_col)
+        dropped = served.join(df.select(id_col), id_col, "left_anti").count()
+        if dropped and not allow_missing:
+            raise ValueError(
+                f"reindex_pq: {dropped} served id(s) (streaming increments "
+                f"or base) are missing from the rebuild input — the swap "
+                f"would silently drop them from serving. Rebuild from a "
+                f"corpus that covers every served id, or pass "
+                f"allow_missing=True to shrink deliberately."
+            )
+        new_cb = build_pq_index(
+            df,
+            tmp,
+            n_subspaces=cb.shape[0],
+            n_codes=cb.shape[1],
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            record_stats=True,
+            generation=gen + 1,
+        )
+        new_err = _json.loads(
+            fsutil.read_text(spark, fsutil.join(tmp, "stats.json"))
+        )
+    except BaseException:
+        fsutil.delete(spark, tmp)  # unblock ingest on a refused rebuild
+        raise
     _swap_index(spark, path, tmp)
     return {
         "action": "rebuilt",
@@ -1420,16 +1450,22 @@ def build_ivf_index(
     by loading with :func:`load_ivf_centroids` and passing to
     ``ivf_kmeans_topk`` / ``ivf_pq_topk`` as the coarse codebook.
 
-    ``persist_members=True`` additionally writes ``<path>/members`` —
-    the corpus partitioned BY CELL (cell=C directories). That turns a
-    point lookup from "re-assign the whole corpus per query"
-    (:func:`ivf_query_topk` over raw embeddings) into an O(n_probe)
-    partition read (:func:`ivf_members_topk`), and it is what gives
-    the index a streaming increment lane (StreamingAnnIngest lands
-    member increments; :func:`load_ivf_members` is the merged serving
-    view). Without members the index serves candidates from the
-    query-time corpus and is exactly as fresh as that corpus —
-    batch-only by contract."""
+    ``persist_members=True`` additionally writes
+    ``<path>/members/gen=G`` — the corpus partitioned BY CELL (cell=C
+    directories) under the index generation that assigned the cells.
+    That turns a point lookup from "re-assign the whole corpus per
+    query" (:func:`ivf_query_topk` over raw embeddings) into an
+    O(n_probe) partition read (:func:`ivf_members_topk`), and it is
+    what gives the index a streaming increment lane
+    (StreamingAnnIngest lands member increments;
+    :func:`load_ivf_members` is the merged serving view). The gen=
+    level makes a reindex swap FAIL LOUD for an in-flight reader
+    instead of silently mixing: a lookup that probed cells under the
+    old centroids finds the old generation's members dir gone and
+    raises, never ranks new-assignment partitions under old probes.
+    Without members the index serves candidates from the query-time
+    corpus and is exactly as fresh as that corpus — batch-only by
+    contract."""
     cents = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
@@ -1450,7 +1486,7 @@ def build_ivf_index(
     if persist_members:
         assign_members(df, cents, id_col=id_col, vec_col=vec_col).write.mode(
             "overwrite"
-        ).partitionBy("cell").parquet(f"{path}/members")
+        ).partitionBy("cell").parquet(f"{path}/members/gen={generation}")
     if record_stats:
         import json as _json
 
@@ -1500,25 +1536,50 @@ def load_ivf_members(
     cells: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    expected_generation: int | None = None,
 ) -> DataFrame:
     """Serving view of a persisted IVF members table: (id, vec, cell)
     = base members plus current-generation streaming increments,
     latest batch winning per id. ``cells`` restricts the read to the
     probed cells.
 
+    ``expected_generation`` is the coherence token for a caller that
+    already probed cells under a loaded centroid matrix
+    (ivf_members_topk): the base read targets ``members/gen=G``
+    explicitly, so a reindex swap completing between the centroid load
+    and this read raises loudly (the old generation's dir is gone)
+    instead of silently ranking NEW-assignment partitions under OLD
+    probes — the never-a-mix contract. ``None`` reads the manifest's
+    current generation.
+
     IO shape at scale: the BASE read is a partition prune (members
-    land under ``cell=C`` dirs), so a point lookup touches O(n_probe)
-    partitions of the big table. Increments are read in FULL (gen-
-    pruned only) even when ``cells`` is given — deliberately: a
-    re-sent id may have MOVED cells, so its latest row can live in an
-    increment for a cell the query didn't probe; reading the whole
-    live tail (small between reindexes by design — reindex folds it)
-    is what makes recency correct across cell moves. The latest row's
-    cell then decides visibility: an id whose newest vector left the
-    probed cells is dropped, never served stale."""
+    land under ``gen=G/cell=C`` dirs), so a point lookup touches
+    O(n_probe) partitions of the big table. Increments are read in
+    FULL (gen-pruned only) even when ``cells`` is given —
+    deliberately: a re-sent id may have MOVED cells, so its latest row
+    can live in an increment for a cell the query didn't probe;
+    reading the whole live tail (small between reindexes by design —
+    reindex folds it) is what makes recency correct across cell moves.
+    The latest row's cell then decides visibility: an id whose newest
+    vector left the probed cells is dropped, never served stale."""
     from flink_ms_spark import fsutil
 
-    base = spark.read.parquet(fsutil.join(path, "members")).select(
+    gen = (
+        expected_generation
+        if expected_generation is not None
+        else read_index_manifest(spark, path)["generation"]
+    )
+    base_dir = fsutil.join(path, "members", f"gen={gen}")
+    if not fsutil.is_dir(spark, base_dir):
+        raise IOError(
+            f"IVF members table for generation {gen} not found under "
+            f"{path}/members — the index was reindexed (or is "
+            f"incomplete) between the centroid load and this read. "
+            f"Retry the lookup against the current index; serving a "
+            f"new generation's cell assignments under old-centroid "
+            f"probes would be silently wrong."
+        )
+    base = spark.read.parquet(base_dir).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell").cast("int").alias("cell"),
@@ -1530,7 +1591,6 @@ def load_ivf_members(
     out = base
     stamped = _stamped_dirs(spark, inc_path)
     if stamped:
-        gen = read_index_manifest(spark, path)["generation"]
         inc = (
             spark.read.option("basePath", inc_path)
             .parquet(*(fsutil.join(inc_path, n) for n in stamped))
@@ -1570,7 +1630,14 @@ def ivf_members_topk(
     ``n_probe`` cells) but without the query-time corpus scan: the
     probed cells' partitions are the only base IO, plus the live
     increment tail. This is the 100 TB point-lookup shape; the
-    corpus-scan variant remains for indexes built without members."""
+    corpus-scan variant remains for indexes built without members.
+
+    Swap coherence: the manifest generation is read ONCE up front and
+    pinned through the members read (load_ivf_members'
+    expected_generation), so a reindex completing mid-lookup raises
+    loudly rather than ranking the new generation's cell assignments
+    under probes computed from the old centroids."""
+    gen = read_index_manifest(spark, path)["generation"]
     centers = load_ivf_centroids(spark, path)
     q_rows = _collect_queries(
         queries.select(id_col, vec_col), max_queries, "ivf_members_topk",
@@ -1578,12 +1645,12 @@ def ivf_members_topk(
     )
     if not q_rows:
         return spark.createDataFrame([], "a LONG, b LONG, cos_sim DOUBLE, rk INT")
-    q_ids, qnorm = _normalized_matrix(q_rows, len(q_rows[0][1]))
-    qm = np.array([v for _, v in q_rows], dtype=np.float64)
+    q_ids, qm, qnorm = _query_matrices(q_rows, len(q_rows[0][1]))
     allowed = _probe_cells(qm, centers, n_probe)
     probed = [int(c) for c in np.flatnonzero(allowed.any(axis=0))]
     members = load_ivf_members(spark, path, cells=probed,
-                               id_col=id_col, vec_col=vec_col)
+                               id_col=id_col, vec_col=vec_col,
+                               expected_generation=gen)
     bq = spark.sparkContext.broadcast((q_ids, qnorm, allowed))
     margin = 2 * k + 8
 
@@ -1659,36 +1726,45 @@ def reindex_ivf(
             "current_max_cell_frac": cur["max_cell_frac"],
         }
 
-    had_members = has_ivf_members(spark, path)
-    dropped = 0
-    if had_members:
-        served = load_ivf_members(spark, path, id_col=id_col,
-                                  vec_col=vec_col).select(id_col)
-        dropped = served.join(df.select(id_col), id_col, "left_anti").count()
-        if dropped and not allow_missing:
-            raise ValueError(
-                f"reindex_ivf: {dropped} served id(s) (streaming member "
-                f"increments or base members) are missing from the rebuild "
-                f"input — the swap would silently drop them from serving. "
-                f"Rebuild from a corpus that covers every served id, or "
-                f"pass allow_missing=True to shrink deliberately."
-            )
-
+    # intent marker before the gate — same no-loss argument as
+    # reindex_pq (ingest post-write check refuses to commit while the
+    # rebuild dir exists, so the gate's served set is complete)
     gen = read_index_manifest(spark, path)["generation"]
     tmp = path.rstrip("/") + ".rebuilding"
     fsutil.delete(spark, tmp)  # stale debris from a prior crash
-    new_cents = build_ivf_index(
-        df,
-        tmp,
-        n_cells=cents.shape[0],
-        vec_col=vec_col,
-        seed=seed,
-        record_stats=True,
-        generation=gen + 1,
-        persist_members=had_members,
-        id_col=id_col,
-    )
-    new_stats = _json.loads(fsutil.read_text(spark, fsutil.join(tmp, "stats.json")))
+    fsutil.mkdirs(spark, tmp)
+    try:
+        had_members = has_ivf_members(spark, path)
+        dropped = 0
+        if had_members:
+            served = load_ivf_members(spark, path, id_col=id_col,
+                                      vec_col=vec_col).select(id_col)
+            dropped = served.join(df.select(id_col), id_col, "left_anti").count()
+            if dropped and not allow_missing:
+                raise ValueError(
+                    f"reindex_ivf: {dropped} served id(s) (streaming member "
+                    f"increments or base members) are missing from the rebuild "
+                    f"input — the swap would silently drop them from serving. "
+                    f"Rebuild from a corpus that covers every served id, or "
+                    f"pass allow_missing=True to shrink deliberately."
+                )
+        new_cents = build_ivf_index(
+            df,
+            tmp,
+            n_cells=cents.shape[0],
+            vec_col=vec_col,
+            seed=seed,
+            record_stats=True,
+            generation=gen + 1,
+            persist_members=had_members,
+            id_col=id_col,
+        )
+        new_stats = _json.loads(
+            fsutil.read_text(spark, fsutil.join(tmp, "stats.json"))
+        )
+    except BaseException:
+        fsutil.delete(spark, tmp)  # unblock ingest on a refused rebuild
+        raise
     _swap_index(spark, path, tmp)
     return {
         "action": "rebuilt",

@@ -1003,8 +1003,9 @@ def _ivf_members_index_dir(sf_dir: str) -> str:
 
     f = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(f)
+    # v2: members stamped under gen=G (swap-coherence layout)
     key = hashlib.md5(
-        f"v1:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v2:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"flink_ms_ivfm_{key}")
 
@@ -1031,7 +1032,7 @@ def q_ivf_members_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _ivf_members_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(idx, "members", "_SUCCESS")):
+    if not os.path.exists(os.path.join(idx, "members", "gen=0", "_SUCCESS")):
         centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
         build_ivf_index(emb, idx, centroids=centers, persist_members=True)
     queries = emb.where((F.col("vec_id") % 100) == 0)

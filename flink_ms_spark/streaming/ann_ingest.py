@@ -230,8 +230,24 @@ class StreamingAnnIngest:
         # batch and its vectors would silently vanish from serving.
         # Raise instead: the sink stays uncommitted, the batch replays
         # (on run()'s in-place reload or a worker restart) and re-lands
-        # under the new generation. Costs one manifest read per batch.
-        live = read_index_manifest(batch_df.sparkSession, self.index_path)["generation"]
+        # under the new generation. The same refusal covers a reindex
+        # IN PROGRESS (the <index>.rebuilding intent marker): its
+        # coverage gate already snapshotted the served set, so a batch
+        # committing now would be discarded with the increments dir at
+        # swap time — uncommitted, it replays after the swap instead.
+        # Costs one manifest read + one dir probe per batch.
+        spark = batch_df.sparkSession
+        if fsutil.is_dir(spark, self.index_path.rstrip("/") + ".rebuilding"):
+            raise StaleIndexGenerationError(
+                f"index {self.index_path} has a rebuild in progress "
+                f"(<index>.rebuilding exists): the reindex coverage gate "
+                f"has already snapshotted the served id set, so committing "
+                f"batch {batch_id} now would silently discard it at the "
+                f"swap. The batch stays uncommitted and replays once the "
+                f"rebuild completes (a crashed rebuild leaves the marker — "
+                f"re-run reindex or remove the directory)."
+            )
+        live = read_index_manifest(spark, self.index_path)["generation"]
         if live != self.generation:
             raise StaleIndexGenerationError(
                 f"index {self.index_path} was reindexed to generation {live} "

@@ -329,6 +329,44 @@ def test_run_recovers_ingest_across_reindex_without_reconstruction(
     assert served.where(F.col("vec_id") == 800).count() == 1
 
 
+def test_rebuild_intent_marker_blocks_ingest_commits(spark, tmp_path, pq_index):
+    """The gate→swap no-loss argument: reindex creates <index>.rebuilding
+    BEFORE its coverage gate, and a batch landing while it exists must
+    NOT commit (raise → replay after the swap) — otherwise the batch
+    would be silently discarded with the increments dir even though
+    the checkpoint committed it. A refused rebuild clears the marker
+    so ingest resumes."""
+    import os
+
+    from flink_ms_spark.operators.similarity import reindex_pq
+    from flink_ms_spark.streaming.ann_ingest import (
+        StaleIndexGenerationError,
+        StreamingAnnIngest,
+        load_codes,
+    )
+
+    idx, base_vecs, _, worker = pq_index
+    os.makedirs(idx + ".rebuilding")  # a rebuild is in flight
+    rng = np.random.default_rng(47)
+    batch = _vec_df(spark, [600], rng.normal(size=(1, 8)))
+    with pytest.raises(StaleIndexGenerationError, match="rebuild in progress"):
+        worker.process_batch(batch, batch_id=3)
+
+    # a REFUSED rebuild (gate failure) removes the marker: ingest resumes
+    base_only = _vec_df(spark, range(30), base_vecs)
+    os.rmdir(idx + ".rebuilding")
+    with pytest.raises(ValueError, match="served id"):
+        reindex_pq(spark, idx, base_only, force=True)
+    assert not os.path.isdir(idx + ".rebuilding"), "refusal must clear marker"
+    worker.process_batch(batch, batch_id=3)
+    assert load_codes(spark, idx).where(F.col("vec_id") == 600).count() == 1
+    # and a fresh worker constructed mid-rebuild also refuses to commit
+    os.makedirs(idx + ".rebuilding")
+    fresh = StreamingAnnIngest(spark, idx)
+    with pytest.raises(StaleIndexGenerationError, match="rebuild in progress"):
+        fresh.process_batch(batch, batch_id=4)
+
+
 def test_ivf_query_topk_matches_brute_force_when_probing_all_cells(spark, tmp_path):
     """The point-lookup serve shape is exact within its probed cells:
     probing EVERY cell must reproduce brute-force cosine_topk row for

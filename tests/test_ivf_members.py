@@ -93,7 +93,7 @@ def test_point_lookup_reads_only_probed_cell_partitions(spark, members_index):
         spark, idx, q, k=3, n_probe=1).collect()))
     assert before, "probed cell must not be empty"
     for c in (0, 2, 3):
-        shutil.rmtree(os.path.join(idx, "members", f"cell={c}"))
+        shutil.rmtree(os.path.join(idx, "members", "gen=0", f"cell={c}"))
     after = sorted(map(tuple, ivf_members_topk(
         spark, idx, q, k=3, n_probe=1).collect()))
     assert after == before
@@ -226,6 +226,28 @@ def test_stale_ivf_worker_fails_loud_and_stale_increments_never_served(
     stale.process_batch(_vec_df(spark, [950], rng.normal(size=(1, 8))),
                         batch_id=1)
     assert load_ivf_members(spark, idx).where(F.col("vec_id") == 950).count() == 1
+
+
+def test_members_read_fails_loud_when_generation_swapped_mid_lookup(
+    spark, members_index
+):
+    """Swap coherence: a lookup that loaded centroids (and probed
+    cells) under generation G must ERROR if the members read happens
+    after a swap to G+1 — new cell assignments under old-centroid
+    probes would be silently wrong, the exact mix _swap_index promises
+    cannot happen."""
+    from flink_ms_spark.operators.similarity import (
+        load_ivf_members,
+        reindex_ivf,
+    )
+
+    idx, vecs, cents = members_index
+    reindex_ivf(spark, idx, _vec_df(spark, range(80), vecs), force=True)
+    # generation 0 probes against a generation-1 index: loud, not a mix
+    with pytest.raises(IOError, match="generation 0"):
+        load_ivf_members(spark, idx, cells=[0], expected_generation=0).collect()
+    # the current generation serves normally
+    assert load_ivf_members(spark, idx).count() == 80
 
 
 def test_memberless_ivf_is_batch_only_by_contract(spark, tmp_path):
