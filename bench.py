@@ -206,6 +206,9 @@ HEADLINE = [
     # O(cells|subspaces) shuffle rows each
     "ann_index_health",
     "pq_subspace_error",
+    # round-13: the IVF persisted-members point lookup — cell-pruned
+    # base read + live increment tail, per-query masked cosine kernel
+    "ivf_members_lookup",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
