@@ -80,6 +80,8 @@ _EXPORTS = {
     # ANN index lifecycle
     "build_pq_index": "flink_ms_spark.operators.similarity",
     "load_pq_codebooks": "flink_ms_spark.operators.similarity",
+    "load_pq_codes": "flink_ms_spark.operators.similarity",
+    "load_pq_serving": "flink_ms_spark.operators.similarity",
     "pq_topk_codes": "flink_ms_spark.operators.similarity",
     "reindex_pq": "flink_ms_spark.operators.similarity",
     "build_ivf_index": "flink_ms_spark.operators.similarity",

@@ -590,7 +590,9 @@ def cmd_build_ann_index(args: argparse.Namespace) -> None:
         # reindex-ann can measure drift against it later
         record_stats=True,
     )
-    n = spark.read.parquet(f"{args.index}/codes").count()
+    from flink_ms_spark.operators.similarity import load_pq_codes
+
+    n = load_pq_codes(spark, args.index, id_col=args.id_col).count()
     print(
         f"index {args.index}: {cb.shape[0]} subspaces x {cb.shape[1]} codes, "
         f"{n} vectors encoded"
@@ -737,11 +739,11 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
         for r in out.orderBy("rk").collect():
             print(f"{r.b}\t{r.cos_sim:.6f}")
         return
-    from flink_ms_spark.operators.similarity import load_pq_codebooks, pq_topk_codes
-    from flink_ms_spark.streaming.ann_ingest import load_codes
+    from flink_ms_spark.operators.similarity import load_pq_serving, pq_topk_codes
 
-    cb = load_pq_codebooks(spark, args.index)
-    codes = load_codes(spark, args.index, id_col=args.id_col)
+    # codebooks + merged codes bound to ONE generation — a reindex
+    # landing mid-serve raises instead of pairing old books w/ new codes
+    cb, codes, _gen = load_pq_serving(spark, args.index, id_col=args.id_col)
     out = pq_topk_codes(codes, cb, q, k=args.k, id_col=args.id_col,
                         vec_col=args.vec_col)
     for r in out.orderBy("rk").collect():

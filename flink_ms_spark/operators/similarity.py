@@ -984,7 +984,11 @@ def build_pq_index(
     generation: int = 0,
 ) -> np.ndarray:
     """Persist a PQ index: ``<path>/codebooks`` (subspace, code,
-    centroid) + ``<path>/codes`` (id, code array) as parquet. Build
+    centroid) + ``<path>/codes/gen=G`` (id, code array) as parquet —
+    the code table is stamped with the generation whose codebooks
+    encoded it, so a serve that paired codebooks with a generation can
+    fail LOUD if a reindex swap lands mid-read (see load_pq_serving)
+    instead of silently scanning new codes under old codebooks. Build
     once, serve many via ``pq_topk_codes`` (the catalog's ``pq_topk``
     query serves this index, rebuilding only when the fixture
     changes). Returns the codebooks. Pass precomputed ``codebooks``
@@ -1022,7 +1026,7 @@ def build_pq_index(
         "overwrite"
     ).parquet(f"{path}/codebooks")
     pq_encode(df, cb, id_col=id_col, vec_col=vec_col).write.mode("overwrite").parquet(
-        f"{path}/codes"
+        f"{path}/codes/gen={generation}"
     )
     _write_index_manifest(spark, path, "pq", generation)
     if record_stats:
@@ -1248,6 +1252,70 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     for r in rows:
         cb[r.subspace, r.code] = r.centroid
     return cb
+
+
+def load_pq_codes(
+    spark, path: str, expected_generation: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The BASE code table of a persisted PQ index — (id, code) —
+    resolved to one generation. ``expected_generation`` pins the read
+    for a caller that already loaded codebooks under that generation
+    (load_pq_serving); ``None`` reads the manifest's current one.
+
+    Layout resolution: ``codes/gen=G`` is the stamped layout
+    (build_pq_index). A stamped table whose pinned generation dir is
+    MISSING raises loudly — the index was reindexed mid-serve, and
+    scanning the new generation's codes under the old codebooks would
+    be silently wrong. A table with no gen= dirs at all is the legacy
+    pre-stamp layout (read in place as-is; its coherence relies on the
+    documented maintenance window — reindex rewrites it stamped)."""
+    from flink_ms_spark import fsutil
+
+    gen = (
+        expected_generation
+        if expected_generation is not None
+        else read_index_manifest(spark, path)["generation"]
+    )
+    codes_dir = fsutil.join(path, "codes")
+    stamped = _stamped_dirs(spark, codes_dir)
+    if f"gen={gen}" in stamped:
+        out = spark.read.parquet(fsutil.join(codes_dir, f"gen={gen}"))
+    elif stamped:
+        raise IOError(
+            f"PQ code table for generation {gen} not found under "
+            f"{codes_dir} (present: {sorted(stamped)}) — the index was "
+            f"reindexed between the codebook load and this read. Retry "
+            f"against the current index; serving another generation's "
+            f"codes under these codebooks would be silently wrong."
+        )
+    elif fsutil.is_dir(spark, codes_dir):
+        out = spark.read.parquet(codes_dir)  # legacy pre-stamp layout
+    else:
+        raise IOError(f"PQ index at {path} has no code table ({codes_dir})")
+    return out.select(F.col(id_col), "code")
+
+
+def load_pq_serving(spark, path: str, id_col: str = "vec_id"):
+    """The coherent PQ serve pair: ``(codebooks, merged_codes,
+    generation)`` with every piece bound to ONE manifest generation —
+    codebooks, the gen-pinned base code table, and the
+    current-generation streaming increments (via
+    streaming.ann_ingest.load_codes). A reindex swap landing anywhere
+    between the reads raises loudly (manifest re-check + the pinned
+    codes read) instead of pairing old codebooks with new codes — the
+    ADC silent-garbage mix. This is the entry point every PQ serve
+    path (ann-query, the pq_topk catalog query) goes through."""
+    from flink_ms_spark.streaming.ann_ingest import load_codes
+
+    gen = read_index_manifest(spark, path)["generation"]
+    cb = load_pq_codebooks(spark, path)
+    if read_index_manifest(spark, path)["generation"] != gen:
+        raise IOError(
+            f"PQ index at {path} was reindexed while its codebooks were "
+            f"loading — retry the serve against the current index."
+        )
+    return cb, load_codes(spark, path, id_col=id_col, expected_generation=gen), gen
 
 
 # ---------------------------------------------------------------- IVF index

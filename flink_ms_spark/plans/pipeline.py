@@ -850,9 +850,9 @@ def _pq_index_dir(sf_dir: str) -> str:
     fixture transparently triggers a rebuild."""
     f = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(f)
-    # v2: codebooks from the shared pyarrow trainer (oracle parity) —
-    # the version tag busts indexes persisted by older trainer code.
-    key = hashlib.md5(f"v2:{f}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    # v3: gen-stamped code layout (codes/gen=G, swap coherence); v2 was
+    # shared-pyarrow-trainer codebooks. The tag busts stale layouts.
+    key = hashlib.md5(f"v3:{f}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"flink_ms_pq_{key}")
 
 
@@ -924,18 +924,17 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance-concentration worst case)."""
     from flink_ms_spark.operators.similarity import (
         build_pq_index,
-        load_pq_codebooks,
+        load_pq_serving,
         pq_codebooks_from_parquet,
         pq_topk_codes,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _pq_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+    if not os.path.exists(os.path.join(idx, "codes", "gen=0", "_SUCCESS")):
         cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
         build_pq_index(emb, idx, n_subspaces=16, n_codes=32, seed=42, codebooks=cb)
-    cb = load_pq_codebooks(spark, idx)
-    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    cb, codes, _gen = load_pq_serving(spark, idx)
     return pq_topk_codes(codes, cb, emb, k=5)
 
 

@@ -286,11 +286,15 @@ class StreamingAnnIngest:
 
 
 def load_codes(spark: SparkSession, index_path: str,
-               id_col: str = "vec_id") -> DataFrame:
+               id_col: str = "vec_id",
+               expected_generation: int | None = None) -> DataFrame:
     """The serving view of the code table: base codes plus any landed
     increments OF THE CURRENT CODEBOOK GENERATION, latest batch
     winning per id. Pass the result to ``pq_topk_codes`` exactly like
-    the base table.
+    the base table. ``expected_generation`` pins both reads for a
+    caller that already loaded codebooks under that generation
+    (similarity.load_pq_serving — a swap mid-serve then raises in the
+    base-codes resolver instead of silently mixing).
 
     The gen filter is a partition-prune (increments land under
     ``gen=G/batch_id=N``), so stale-generation directories — debris a
@@ -303,7 +307,15 @@ def load_codes(spark: SparkSession, index_path: str,
     read path broke read-only storage and could race a concurrent
     reader on the same index. The WRITER migrates them before landing
     a stamped partition (see _migrate_legacy_increments)."""
-    base = spark.read.parquet(fsutil.join(index_path, "codes")).select(
+    from flink_ms_spark.operators.similarity import load_pq_codes
+
+    gen = (
+        expected_generation
+        if expected_generation is not None
+        else read_index_manifest(spark, index_path)["generation"]
+    )
+    base = load_pq_codes(spark, index_path, expected_generation=gen,
+                         id_col=id_col).select(
         F.col(id_col), "code", F.lit(-1).cast("long").alias("_b")
     )
     inc_path = fsutil.join(index_path, _INC)
@@ -314,7 +326,6 @@ def load_codes(spark: SparkSession, index_path: str,
     names = fsutil.list_names(spark, inc_path, dirs_only=True)
     stamped = [n for n in names if n.startswith("gen=")]
     legacy = [n for n in names if n.startswith("batch_id=")]
-    gen = read_index_manifest(spark, index_path)["generation"]
     parts = []
     if stamped:
         # explicit stamped paths + basePath: gen/batch_id stay partition

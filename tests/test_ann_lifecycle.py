@@ -329,6 +329,52 @@ def test_run_recovers_ingest_across_reindex_without_reconstruction(
     assert served.where(F.col("vec_id") == 800).count() == 1
 
 
+def test_pq_serving_pair_fails_loud_when_generation_swapped_mid_serve(
+    spark, tmp_path, pq_index
+):
+    """Swap coherence for the PQ base pair: codes are stamped
+    codes/gen=G, so a serve that paired codebooks with generation G
+    errors if the code read happens after a swap to G+1 — old books
+    over new codes is the silent ADC-garbage mix. Legacy pre-stamp
+    indexes (flat codes/) still serve, and a reindex rewrites them
+    stamped."""
+    import os
+    import shutil
+
+    from flink_ms_spark.operators.similarity import (
+        load_pq_codes,
+        load_pq_serving,
+        reindex_pq,
+    )
+
+    idx, base_vecs, inc_vecs, _ = pq_index
+    cb, codes, gen = load_pq_serving(spark, idx)
+    assert gen == 0 and codes.count() == 40  # merged view: base+increment
+
+    full = _vec_df(
+        spark,
+        list(range(30)) + list(range(100, 110)),
+        list(base_vecs) + list(inc_vecs),
+    )
+    reindex_pq(spark, idx, full, force=True)
+    # generation-0 probe against the generation-1 index: loud, not a mix
+    with pytest.raises(IOError, match="generation 0"):
+        load_pq_codes(spark, idx, expected_generation=0).collect()
+    cb, codes, gen = load_pq_serving(spark, idx)
+    assert gen == 1 and codes.count() == 40
+
+    # legacy pre-stamp layout (flat codes/): served in place...
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    shutil.copytree(f"{idx}/codebooks", f"{legacy}/codebooks")
+    shutil.copytree(f"{idx}/codes/gen=1", f"{legacy}/codes")
+    assert load_pq_codes(spark, legacy).count() == 40
+    # ...and a reindex rewrites it stamped
+    reindex_pq(spark, legacy, full, force=True)
+    assert os.path.isdir(f"{legacy}/codes/gen=1")
+    assert load_pq_serving(spark, legacy)[2] == 1
+
+
 def test_rebuild_intent_marker_blocks_ingest_commits(spark, tmp_path, pq_index):
     """The gate→swap no-loss argument: reindex creates <index>.rebuilding
     BEFORE its coverage gate, and a batch landing while it exists must
@@ -446,7 +492,7 @@ def test_serve_kernels_handle_empty_query_frames(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     build_pq_index(corpus, idx, n_subspaces=4, n_codes=8)
-    codes = spark.read.parquet(f"{idx}/codes")
+    codes = spark.read.parquet(f"{idx}/codes/gen=0")
     out = pq_topk_codes(codes, load_pq_codebooks(spark, idx), empty, k=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["a", "b", "ad2", "rk"]
@@ -475,7 +521,7 @@ def test_serve_kernels_refuse_corpus_scale_query_frames(spark, tmp_path):
         ivf_query_topk(corpus, cents, corpus, k=3, max_queries=10)
     idx = str(tmp_path / "idx")
     build_pq_index(corpus, idx, n_subspaces=4, n_codes=8)
-    codes = spark.read.parquet(f"{idx}/codes")
+    codes = spark.read.parquet(f"{idx}/codes/gen=0")
     with pytest.raises(ValueError, match="ivf_pq_topk"):
         pq_topk_codes(codes, load_pq_codebooks(spark, idx), corpus,
                       k=3, max_queries=10)

@@ -268,7 +268,9 @@ def test_pq_index_roundtrip(spark, sf_smoke, tmp_path):
     want = {(r.a, r.b, r.rk) for r in pq_topk(emb, direct, k=3).collect()}
     got = {(r.a, r.b, r.rk) for r in pq_topk(emb, loaded, k=3).collect()}
     assert got == want
-    codes = spark.read.parquet(f"{idx}/codes")
+    from flink_ms_spark.operators.similarity import load_pq_codes
+
+    codes = load_pq_codes(spark, idx)
     assert codes.count() == emb.count()
 
 
