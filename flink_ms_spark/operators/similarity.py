@@ -947,15 +947,15 @@ def _swap_index(spark, path: str, tmp: str) -> None:
     with no index at ``path``, so a concurrent reader may fail loudly
     mid-swap — run reindex in a maintenance window, not under live
     queries. The never-a-mix guarantee (old complete index, new
-    complete index, or an ERROR) holds where a generation stamp binds
-    the artifact pair: streaming increments (gen= partition prune),
-    the IVF members serve (members/gen=G dir pinned to the centroid
-    load, load_ivf_members), and ingest commits (per-batch generation
-    + rebuild-marker checks). One residual relies on the maintenance
-    window alone: a PQ serve that loaded codebooks BEFORE the swap and
-    reads ``codes/`` after it sees new codes under old codebooks —
-    base PQ artifacts carry no generation level (pre-existing layout);
-    pair those two reads inside one maintenance-safe window."""
+    complete index, or an ERROR) is structural on every artifact pair:
+    streaming increments (gen= partition prune), the IVF members serve
+    (members/gen=G pinned to the centroid load, load_ivf_members), the
+    PQ serve pair (codes/gen=G pinned to the codebook load,
+    load_pq_serving/load_pq_codes), and ingest commits (per-batch
+    generation + rebuild-marker checks). The one layout outside it is
+    a LEGACY pre-stamp flat ``codes/`` table, which serves in place
+    under this maintenance-window contract until its first reindex
+    rewrites it stamped."""
     from flink_ms_spark import fsutil
 
     old = path.rstrip("/") + ".old"
