@@ -647,6 +647,74 @@ def cmd_reindex_ann(args: argparse.Namespace) -> None:
         print(f"{k}\t{v}")
 
 
+def cmd_ann_status(args: argparse.Namespace) -> None:
+    """Ops view of a persisted ANN index: manifest kind + generation,
+    base-table size at the serving generation, live increment tail
+    (servable batches/rows at the current generation vs stale-gen
+    debris awaiting cleanup), drift baseline, and whether a rebuild is
+    in flight (the .rebuilding intent marker — ingest commits are
+    refused while it exists). The pre-flight check before a reindex
+    and the post-mortem after a crashed one."""
+    import json as _json
+
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.operators.similarity import (
+        has_ivf_members,
+        load_ivf_members,
+        load_pq_codes,
+        read_index_manifest,
+    )
+
+    spark = _spark("[ANN] status")
+    m = read_index_manifest(spark, args.index)
+    kind, gen = m["kind"], m["generation"]
+    print(f"kind\t{kind}")
+    print(f"generation\t{gen}")
+    rebuilding = fsutil.is_dir(spark, args.index.rstrip("/") + ".rebuilding")
+    print(f"rebuild_in_progress\t{str(rebuilding).lower()}")
+
+    if kind == "ivf":
+        members = has_ivf_members(spark, args.index)
+        print(f"members_table\t{str(members).lower()}")
+        inc_root = fsutil.join(args.index, "members_increments")
+        if members:
+            print(f"served_rows\t{load_ivf_members(spark, args.index).count()}")
+    else:
+        print(f"base_rows\t{load_pq_codes(spark, args.index).count()}")
+        inc_root = fsutil.join(args.index, "codes_increments")
+
+    live_batches = live_rows = stale_dirs = 0
+    if fsutil.is_dir(spark, inc_root):
+        live_dirs = []
+        for gname in fsutil.list_names(spark, inc_root, dirs_only=True):
+            gdir = fsutil.join(inc_root, gname)
+            if gname == f"gen={gen}":
+                batches = fsutil.list_names(spark, gdir, dirs_only=True)
+                live_batches += len(batches)
+                if batches:
+                    live_dirs.append(gdir)
+            elif gname.startswith("batch_id=") and gen == 0:
+                # legacy pre-stamp partition: servable at generation 0
+                live_batches += 1
+                live_dirs.append(gdir)
+            elif gname.startswith("gen=") or gname.startswith("batch_id="):
+                stale_dirs += 1
+        if live_dirs:
+            live_rows = spark.read.option("basePath", inc_root).parquet(
+                *live_dirs
+            ).count()
+    print(f"live_increment_batches\t{live_batches}")
+    print(f"live_increment_rows\t{live_rows}")
+    print(f"stale_generation_dirs\t{stale_dirs}")
+
+    stats_path = fsutil.join(args.index, "stats.json")
+    if fsutil.exists(spark, stats_path):
+        stats = _json.loads(fsutil.read_text(spark, stats_path))
+        print(f"built_mean_sq_err\t{stats['mean_sq_err']}")
+    else:
+        print("built_mean_sq_err\tmissing (reindex-ann reports stats-missing)")
+
+
 def cmd_ann_ingest(args: argparse.Namespace) -> None:
     """Streaming half of the ANN lifecycle: watch a JSONL directory of
     (id, embedding) records and land each micro-batch as a
@@ -1141,6 +1209,10 @@ def build_parser() -> argparse.ArgumentParser:
     ri.add_argument("--vec-col", default="embedding")
     ri.add_argument("--seed", type=int, default=42)
     ri.set_defaults(func=cmd_reindex_ann)
+
+    st = sub.add_parser("ann-status")
+    st.add_argument("--index", required=True, help="persisted ANN index dir")
+    st.set_defaults(func=cmd_ann_status)
 
     ai = sub.add_parser("ann-ingest")
     ai.add_argument("--index", required=True, help="persisted ANN index dir")

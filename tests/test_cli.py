@@ -486,6 +486,70 @@ def test_cli_ann_ingest_lane_both_kinds(spark, tmp_path, capsys):
         assert ids.count(900) == 1
 
 
+def test_cli_ann_status_reports_lifecycle_state(spark, tmp_path, capsys):
+    """ann-status reads the ops truth at each lifecycle stage: fresh
+    build (gen 0, no increments), landed increment (live tail counted),
+    rebuild marker (in-progress flag), and post-reindex (generation
+    bump, old-gen debris counted as stale, live tail empty)."""
+    import os
+
+    import numpy as np
+
+    from flink_ms_spark.operators.similarity import reindex_pq
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    rng = np.random.default_rng(73)
+    vecs = rng.normal(size=(30, 8))
+    src = tmp_path / "emb"
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    df.write.parquet(str(src))
+    idx = str(tmp_path / "idx")
+    cli.main(["build-ann-index", "--input", str(src), "--index", idx,
+              "--subspaces", "4", "--codes", "8"])
+    capsys.readouterr()
+
+    def status():
+        cli.main(["ann-status", "--index", idx])
+        return dict(
+            l.split("\t") for l in capsys.readouterr().out.splitlines()
+            if "\t" in l
+        )
+
+    s = status()
+    assert s["kind"] == "pq" and s["generation"] == "0"
+    assert s["base_rows"] == "30" and s["live_increment_batches"] == "0"
+    assert s["rebuild_in_progress"] == "false"
+
+    new_vec = rng.normal(size=(2, 8))
+    StreamingAnnIngest(spark, idx).process_batch(
+        spark.createDataFrame(
+            [(100 + i, [float(x) for x in new_vec[i]]) for i in range(2)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        ),
+        batch_id=0,
+    )
+    s = status()
+    assert s["live_increment_batches"] == "1" and s["live_increment_rows"] == "2"
+
+    os.makedirs(idx + ".rebuilding")
+    assert status()["rebuild_in_progress"] == "true"
+    os.rmdir(idx + ".rebuilding")
+
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+        + [(100 + i, [float(x) for x in new_vec[i]]) for i in range(2)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    reindex_pq(spark, idx, full, force=True)
+    s = status()
+    assert s["generation"] == "1" and s["base_rows"] == "32"
+    assert s["live_increment_batches"] == "0" and s["stale_generation_dirs"] == "0"
+    assert "missing" not in s["built_mean_sq_err"]
+
+
 def test_cli_sql_runs_over_fixture_views(sf_smoke, capsys):
     cli.main([
         "sql",
