@@ -250,6 +250,61 @@ def test_members_read_fails_loud_when_generation_swapped_mid_lookup(
     assert load_ivf_members(spark, idx).count() == 80
 
 
+def test_run_recovers_ivf_ingest_across_racing_reindex(
+    spark, tmp_path, members_index
+):
+    """The streaming recovery lane works for the IVF kind too: a
+    reindex swap landing between a batch's increment write and its
+    commit raises post-write, run()'s wrapper reloads the new
+    centroids in place and re-encodes the batch under the new
+    generation — stream completes, vector served, no manual worker
+    reconstruction."""
+    import json
+
+    from flink_ms_spark.operators.similarity import (
+        load_ivf_members,
+        reindex_ivf,
+    )
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    idx, vecs, cents = members_index
+    base = _vec_df(spark, range(80), vecs)
+
+    class Racing(StreamingAnnIngest):
+        _raced = False
+
+        def _land_increment(self, rows, out, partition_by=None):
+            super()._land_increment(rows, out, partition_by=partition_by)
+            if not Racing._raced:
+                Racing._raced = True
+                # reindex snapshot predates this batch: its ids are
+                # missing from the rebuild input (allow_missing
+                # documents the drop; the post-write check + replay
+                # recover the batch)
+                reindex_ivf(self.spark, idx, base, force=True,
+                            allow_missing=True)
+
+    worker = Racing(spark, idx)
+    assert worker.kind == "ivf" and worker.generation == 0
+
+    rng = np.random.default_rng(107)
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "batch.jsonl", "w") as f:
+        f.write(json.dumps(
+            {"vec_id": 860, "embedding": [float(x) for x in rng.normal(size=8)]}
+        ) + "\n")
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).json(str(src))
+    worker.run(stream, str(tmp_path / "ckpt")).awaitTermination()
+
+    assert worker.generation == 1  # reloaded in place, same object
+    served = load_ivf_members(spark, idx)
+    assert served.where(F.col("vec_id") == 860).count() == 1
+    assert served.count() == 81
+
+
 def test_memberless_ivf_is_batch_only_by_contract(spark, tmp_path):
     """Pins the freshness contract for an IVF index WITHOUT members:
     the ingest lane refuses loudly (nothing to increment), and serving
