@@ -90,6 +90,8 @@ _EXPORTS = {
     "ivf_assignment_stats": "flink_ms_spark.operators.similarity",
     "ivf_cell_stats": "flink_ms_spark.operators.similarity",
     "ivf_query_topk": "flink_ms_spark.operators.similarity",
+    "build_ivfpq_index": "flink_ms_spark.operators.similarity",
+    "ivfpq_query_topk": "flink_ms_spark.operators.similarity",
     "ivf_members_topk": "flink_ms_spark.operators.similarity",
     "load_ivf_members": "flink_ms_spark.operators.similarity",
     "has_ivf_members": "flink_ms_spark.operators.similarity",

@@ -559,6 +559,23 @@ def cmd_build_ann_index(args: argparse.Namespace) -> None:
     artifact without retraining."""
     spark = _spark("[ANN] build-index")
     df = spark.read.parquet(args.input)
+    if args.kind == "ivfpq":
+        from flink_ms_spark.operators.similarity import build_ivfpq_index
+
+        cents, cb = build_ivfpq_index(
+            df,
+            args.index,
+            n_cells=args.cells,
+            n_subspaces=args.subspaces,
+            n_codes=args.codes,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            seed=args.seed,
+        )
+        print(f"index {args.index}: ivfpq, {cents.shape[0]} cells, "
+              f"{cb.shape[0]} subspaces x {cb.shape[1]} codes, "
+              f"dim {cents.shape[1]}")
+        return
     if args.kind == "ivf":
         from flink_ms_spark.operators.similarity import build_ivf_index
 
@@ -618,6 +635,13 @@ def cmd_reindex_ann(args: argparse.Namespace) -> None:
     spark = _spark("[ANN] reindex")
     df = spark.read.parquet(args.input)
     kind = read_index_manifest(spark, args.index)["kind"]
+    if kind == "ivfpq":
+        raise SystemExit(
+            "reindex-ann: the ivfpq kind is batch-only by contract — "
+            "no drift-monitored rebuild lane yet; refresh by re-running "
+            "build-ann-index --kind ivfpq against the current corpus "
+            "(the gen= stamp keeps concurrent serves loud, never mixed)"
+        )
     if kind == "ivf":
         report = reindex_ivf(
             spark,
@@ -773,6 +797,16 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
         [(-1, vec)], f"{args.id_col} LONG, {args.vec_col} ARRAY<DOUBLE>"
     )
     kind = read_index_manifest(spark, args.index)["kind"]
+    if kind == "ivfpq":
+        from flink_ms_spark.operators.similarity import ivfpq_query_topk
+
+        out = ivfpq_query_topk(
+            spark, args.index, q, k=args.k, n_probe=args.n_probe,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        for r in out.orderBy("rk").collect():
+            print(f"{r.b}\t{r.ad2:.6f}")
+        return
     if kind == "ivf":
         from flink_ms_spark.operators.similarity import (
             has_ivf_members,
@@ -1181,7 +1215,7 @@ def build_parser() -> argparse.ArgumentParser:
     bi = sub.add_parser("build-ann-index")
     bi.add_argument("--input", required=True, help="embeddings parquet")
     bi.add_argument("--index", required=True, help="index output dir")
-    bi.add_argument("--kind", choices=["pq", "ivf"], default="pq")
+    bi.add_argument("--kind", choices=["pq", "ivf", "ivfpq"], default="pq")
     bi.add_argument("--subspaces", type=int, default=16)
     bi.add_argument("--codes", type=int, default=32)
     bi.add_argument("--cells", type=int, default=8,

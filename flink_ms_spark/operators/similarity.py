@@ -1848,6 +1848,220 @@ def reindex_ivf(
     }
 
 
+# ------------------------------------------------------------ IVF-PQ index
+# The FAISS staple's PERSISTED serving shape: coarse centroids pick the
+# cells, PQ codes price the candidates, and the code table lands
+# partitioned BY CELL under a generation stamp — a point lookup reads
+# O(n_probe) partitions of n_subspaces-byte codes, the cheapest
+# possible IO for corpus-scale ANN. `ivf_pq_topk` remains the
+# all-pairs REPORT shape over raw vectors; this is its build-once
+# serve-many counterpart (what `build_pq_index`+`pq_topk_codes` are to
+# `pq_topk`).
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    n_subspaces: int = 16,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    pq_codebooks: np.ndarray | None = None,
+    generation: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persist an IVF-PQ index: ``<path>/centroids`` (coarse cells) +
+    ``<path>/codebooks`` (PQ) + ``<path>/codes/gen=G/cell=C`` (id,
+    code) — manifest kind ``ivfpq``. One fused narrow map assigns the
+    home cell (6-dp-rounded argmin, lowest-cell ties — the
+    assign_cells contract) and PQ-encodes (per-subspace argmin — the
+    pq_encode contract) in a single corpus pass; the only write
+    partitioning is by cell, so serving prunes directories.
+
+    FRESHNESS CONTRACT (pinned in tests): batch-only this round —
+    no streaming increment lane yet (StreamingAnnIngest refuses the
+    kind loudly); refresh by re-running this build. The gen= stamp
+    still protects serves from a concurrent rebuild's swap."""
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_codebook(df, n_cells=n_cells, vec_col=vec_col, seed=seed)
+    )
+    cb = (
+        np.asarray(pq_codebooks, dtype=np.float64)
+        if pq_codebooks is not None
+        else train_pq_codebooks(
+            df, n_subspaces=n_subspaces, n_codes=n_codes,
+            vec_col=vec_col, seed=seed,
+        )
+    )
+    spark = df.sparkSession
+    crows = [(c, [float(x) for x in cents[c]]) for c in range(cents.shape[0])]
+    spark.createDataFrame(crows, "cell INT, centroid ARRAY<DOUBLE>").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    brows = [
+        (s, c, [float(x) for x in cb[s, c]])
+        for s in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        brows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    bc = spark.sparkContext.broadcast((cents, cb))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("code", T.ArrayType(T.IntegerType()), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents_, cb_ = bc.value
+        n_sub, _, sub = cb_.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = np.round(((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2), 6)
+            cells = d2.argmin(axis=1).astype(np.int32)
+            codes = np.empty((len(m), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                x = m[:, s * sub : (s + 1) * sub]
+                codes[:, s] = (
+                    ((x[:, None, :] - cb_[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "code": list(codes),
+                    "cell": cells,
+                }
+            )
+
+    fan_out(df.select(id_col, vec_col)).mapInPandas(enc, schema=schema).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes/gen={generation}")
+    _write_index_manifest(spark, path, "ivfpq", generation)
+    return cents, cb
+
+
+def ivfpq_query_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int | None = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Point-lookup serve over a persisted IVF-PQ index —
+    (a, b, ad2, rk), ascending rounded ADC distance, ties to the lower
+    id. Each query's n_probe nearest cells come from a driver-side
+    argmin over the tiny centroid matrix; the code read is a
+    partition prune to the union of probed cells; inside the kernel
+    each query prices ONLY its own probed cells' members (per-query
+    mask — reproducible vs a single-query run, same contract as
+    ivf_members_topk). Per Arrow batch the cost is n_subspaces table
+    lookups per member: the scan touches code bytes, never raw
+    vectors. Swap coherence: the generation is read once and pinned
+    through the code read — a rebuild completing mid-serve raises
+    loudly instead of pricing new codes with old codebooks."""
+    from flink_ms_spark import fsutil
+
+    manifest = read_index_manifest(spark, path)
+    gen = manifest["generation"]
+    cents = load_ivf_centroids(spark, path)
+    cb = load_pq_codebooks(spark, path)
+    if read_index_manifest(spark, path)["generation"] != gen:
+        raise IOError(
+            f"IVF-PQ index at {path} was rebuilt while its artifacts were "
+            f"loading — retry the serve against the current index."
+        )
+    q_rows = _collect_queries(
+        queries.select(id_col, vec_col), max_queries, "ivfpq_query_topk",
+        "ivf_pq_topk (per-cell all-pairs report)",
+    )
+    if not q_rows:
+        return spark.createDataFrame([], "a LONG, b LONG, ad2 DOUBLE, rk INT")
+    q_ids, qm, _ = _query_matrices(q_rows, len(q_rows[0][1]))
+    allowed = _probe_cells(qm, cents, n_probe)
+    probed = [int(c) for c in np.flatnonzero(allowed.any(axis=0))]
+
+    codes_dir = fsutil.join(path, "codes", f"gen={gen}")
+    if not fsutil.is_dir(spark, codes_dir):
+        raise IOError(
+            f"IVF-PQ code table for generation {gen} not found under "
+            f"{path}/codes — the index was rebuilt (or is incomplete) "
+            f"between the artifact load and this read; retry."
+        )
+    codes = (
+        spark.read.option("basePath", fsutil.join(path, "codes"))
+        .parquet(codes_dir)
+        .where(F.col("cell").isin(probed))
+    )
+
+    bq = spark.sparkContext.broadcast((q_ids, qm, allowed, cb))
+    margin = 2 * k + 8
+    n_sub, _, sub = cb.shape
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("ad2", T.DoubleType(), False),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, q, mask, books = bq.value
+        # per-query subspace distance tables, built once per task —
+        # the same raw-accumulate-then-round contract as pq_topk_codes
+        tables = np.stack(
+            [
+                ((q[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                for s in range(n_sub)
+            ],
+            axis=1,
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ccodes = np.array(list(pdf["code"]), dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            ad2 = np.zeros((len(ids), len(c_ids)))
+            for s in range(n_sub):
+                ad2 += tables[:, s, ccodes[:, s]]
+            # per-query cell contract: members outside THIS query's
+            # probed cells are invisible to it
+            ad2[~mask[:, cells]] = np.inf
+            n_keep = min(margin, ad2.shape[1])
+            idx = np.argpartition(ad2, n_keep - 1, axis=1)[:, :n_keep]
+            rows = np.arange(ad2.shape[0])[:, None]
+            vals = ad2[rows, idx]
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "a": np.repeat(ids, n_keep).reshape(len(ids), n_keep)[keep],
+                    "b": c_ids[idx][keep],
+                    "ad2": vals[keep],
+                }
+            )
+
+    cands = codes.mapInPandas(scan, schema=adc_schema).where(F.col("a") != F.col("b"))
+    scored = cands.select("a", "b", F.round("ad2", 6).alias("ad2"))
+    w = Window.partitionBy("a").orderBy(F.col("ad2").asc(), F.col("b").asc())
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= k
+    )
+
+
 def pq_codebooks_from_parquet(
     sf_dir: str,
     n_subspaces: int = 16,

@@ -282,7 +282,13 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accumulation), embedded as VALUES like _pq_oracle.
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_expected_sql(every: int | None) -> str:
+    """Shared numpy replay behind the two IVF-PQ oracles: coarse
+    assignment (rounded 6 dp, stable ties), per-query 2-cell probe,
+    PQ encode, subspace-order ADC accumulation, ascending (ad2, b)
+    rank — embedded as VALUES. ``every`` restricts the query side to
+    ids divisible by it (the ivfpq_lookup serve slice); ``None`` is
+    the all-pairs report."""
     import numpy as np
     import pyarrow.parquet as papq
 
@@ -309,6 +315,8 @@ def _ivf_pq_oracle() -> str:
         )
     out = []
     for qi in range(len(ids)):
+        if every is not None and ids[qi] % every:
+            continue
         # candidates: members of the two probed cells, excluding self
         cand = np.where(np.isin(member_cell, probes[qi]) & (ids != ids[qi]))[0]
         if not len(cand):
@@ -330,6 +338,14 @@ def _ivf_pq_oracle() -> str:
     )
 
 
+def _ivf_pq_oracle() -> str:
+    return _ivf_pq_expected_sql(every=None)
+
+
+def _ivfpq_lookup_oracle() -> str:
+    return _ivf_pq_expected_sql(every=100)
+
+
 @register("ivf_pq_topk", oracle=_ivf_pq_oracle)
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: coarse cells (8, n_probe 2) + 16×32 ADC scan."""
@@ -343,6 +359,60 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = codebook_from_parquet(sf_dir, n_cells=8, seed=42)
     cb = pq_codebooks_from_parquet(sf_dir, n_subspaces=16, n_codes=32, seed=42)
     return ivf_pq_topk(emb, centers, cb, k=5, n_probe=2)
+
+
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """Cache location for the persisted IVF-PQ index, keyed on the
+    fixture file's identity (same pattern as pipeline._pq_index_dir /
+    northstar._ivf_members_index_dir)."""
+    import hashlib
+    import tempfile
+
+    f = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(f)
+    key = hashlib.md5(
+        f"v1:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"flink_ms_ivfpq_{key}")
+
+
+@register("ivfpq_lookup", oracle=_ivfpq_lookup_oracle)
+def q_ivfpq_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup serve over the PERSISTED IVF-PQ index
+    (operators/similarity.py:ivfpq_query_topk): coarse centroids + PQ
+    codebooks + the code table partitioned by cell land once
+    (build_ivfpq_index), then each lookup reads only its probed cells'
+    code partitions — O(n_probe) partition IO of n_subspaces-byte
+    codes, the cheapest corpus-scale ANN serve — with each query in
+    the batch priced strictly against ITS OWN probed cells. Queries
+    are the deterministic vec_id % 100 slice; both trainers are the
+    shared pyarrow ones, so the DuckDB oracle's numpy replay
+    (assignment, probe, subspace-order ADC, rank) is bit-identical to
+    ivf_pq_topk's — same contract, persisted serve shape."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.similarity import (
+        build_ivfpq_index,
+        codebook_from_parquet,
+        ivfpq_query_topk,
+        pq_codebooks_from_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _ivfpq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "codes", "gen=0", "_SUCCESS")):
+        build_ivfpq_index(
+            emb,
+            idx,
+            centroids=codebook_from_parquet(sf_dir, n_cells=8, seed=42),
+            pq_codebooks=pq_codebooks_from_parquet(
+                sf_dir, n_subspaces=16, n_codes=32, seed=42
+            ),
+        )
+    queries = emb.where((F.col("vec_id") % 100) == 0)
+    return ivfpq_query_topk(spark, idx, queries, k=5, n_probe=2)
 
 
 # --------------------------------------------------------------------------

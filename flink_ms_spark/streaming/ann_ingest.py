@@ -142,6 +142,14 @@ class StreamingAnnIngest:
         manifest = read_index_manifest(spark, self.index_path)
         self.kind: str = manifest["kind"]
         self.generation: int = manifest["generation"]
+        if self.kind == "ivfpq":
+            raise ValueError(
+                f"StreamingAnnIngest: IVF-PQ index {self.index_path} is "
+                f"batch-only by contract — it has no streaming increment "
+                f"lane yet; refresh by re-running build_ivfpq_index (CLI: "
+                f"build-ann-index --kind ivfpq). The pq and ivf kinds have "
+                f"streaming lanes."
+            )
         if self.kind == "ivf":
             if not has_ivf_members(spark, self.index_path):
                 raise ValueError(
