@@ -209,6 +209,9 @@ HEADLINE = [
     # round-13: the IVF persisted-members point lookup — cell-pruned
     # base read + live increment tail, per-query masked cosine kernel
     "ivf_members_lookup",
+    # round-13 second wave: the persisted IVF-PQ point lookup —
+    # cell-pruned code partitions, per-query masked ADC kernel
+    "ivfpq_lookup",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
