@@ -779,6 +779,10 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
     exists to kill, so the serve lane goes through the same view the
     coverage gate audits. Prints ``id<TAB>ad2``, nearest first.
 
+    IVFPQ: ADC over the probed cells' persisted code partitions
+    (ivfpq_query_topk — prints ``id<TAB>ad2``; batch-only freshness by
+    pinned contract, refresh via build-ann-index).
+
     IVF: with a persisted members table (build --persist-members) the
     lookup reads ONLY the probed cells' partitions plus the live
     increment tail (ivf_members_topk — no corpus scan, streamed
