@@ -555,65 +555,122 @@ def cmd_build_ann_index(args: argparse.Namespace) -> None:
     --kind pq (default) trains PQ codebooks + encodes the code table
     (operators/similarity.py:build_pq_index); --kind ivf trains the
     coarse k-means quantizer ivf_kmeans_topk/ivf_pq_topk serve
-    (build_ivf_index). Serving jobs then run against the persisted
-    artifact without retraining."""
+    (build_ivf_index); --kind ivfpq fuses both (build_ivfpq_index).
+    Serving jobs then run against the persisted artifact without
+    retraining.
+
+    REBUILD OVER AN EXISTING INDEX is swap-safe, never in-place: the
+    replacement builds into the ``.rebuilding`` marker dir (which also
+    blocks ingest commits) at generation+1 and installs via the
+    rename-aside swap — an in-place overwrite at the same generation
+    would let a concurrent serve silently pair new codebooks with old
+    codes, the exact mix the gen= stamp exists to kill. An index with
+    LIVE streaming increments refuses here and points at reindex-ann,
+    whose coverage gate proves the rebuild input keeps every served id
+    (this lane has no gate, so it must not discard a tail silently)."""
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.operators.similarity import (
+        INDEX_MANIFEST,
+        _swap_index,
+        live_increment_census,
+        read_index_manifest,
+    )
+
     spark = _spark("[ANN] build-index")
     df = spark.read.parquet(args.input)
-    if args.kind == "ivfpq":
-        from flink_ms_spark.operators.similarity import build_ivfpq_index
-
-        cents, cb = build_ivfpq_index(
-            df,
-            args.index,
-            n_cells=args.cells,
-            n_subspaces=args.subspaces,
-            n_codes=args.codes,
-            id_col=args.id_col,
-            vec_col=args.vec_col,
-            seed=args.seed,
-        )
-        print(f"index {args.index}: ivfpq, {cents.shape[0]} cells, "
-              f"{cb.shape[0]} subspaces x {cb.shape[1]} codes, "
-              f"dim {cents.shape[1]}")
-        return
-    if args.kind == "ivf":
-        from flink_ms_spark.operators.similarity import build_ivf_index
-
-        cents = build_ivf_index(
-            df,
-            args.index,
-            n_cells=args.cells,
-            vec_col=args.vec_col,
-            seed=args.seed,
-            record_stats=True,
-            persist_members=args.persist_members,
-            id_col=args.id_col,
-        )
-        members = " + members table" if args.persist_members else ""
-        print(f"index {args.index}: ivf, {cents.shape[0]} cells, "
-              f"dim {cents.shape[1]}{members}")
-        return
-    from flink_ms_spark.operators.similarity import build_pq_index
-
-    cb = build_pq_index(
-        df,
-        args.index,
-        n_subspaces=args.subspaces,
-        n_codes=args.codes,
-        id_col=args.id_col,
-        vec_col=args.vec_col,
-        seed=args.seed,
-        # the ops lane records the build-time quantization error so
-        # reindex-ann can measure drift against it later
-        record_stats=True,
+    target = args.index
+    existing = fsutil.exists(
+        spark, fsutil.join(target, INDEX_MANIFEST)
+    ) or any(
+        fsutil.is_dir(spark, fsutil.join(target, d))
+        for d in ("centroids", "codebooks", "codes", "members")
     )
-    from flink_ms_spark.operators.similarity import load_pq_codes
+    build_path, generation = target, 0
+    if existing:
+        m = read_index_manifest(spark, target)
+        stamped, legacy, _stale = live_increment_census(
+            spark, target, m["kind"], m["generation"]
+        )
+        if stamped or legacy:
+            raise SystemExit(
+                f"build-ann-index: {target} has "
+                f"{len(stamped) + len(legacy)} live streaming increment "
+                f"batch(es); rebuilding here would discard them with NO "
+                f"coverage gate. Use reindex-ann (optionally --force), "
+                f"whose gate proves the rebuild input keeps every served "
+                f"id — or reindex-ann --fold first to fold the tail into "
+                f"the base."
+            )
+        generation = m["generation"] + 1
+        build_path = target.rstrip("/") + ".rebuilding"
+        fsutil.delete(spark, build_path)
+        fsutil.mkdirs(spark, build_path)
 
-    n = load_pq_codes(spark, args.index, id_col=args.id_col).count()
-    print(
-        f"index {args.index}: {cb.shape[0]} subspaces x {cb.shape[1]} codes, "
-        f"{n} vectors encoded"
-    )
+    try:
+        if args.kind == "ivfpq":
+            from flink_ms_spark.operators.similarity import build_ivfpq_index
+
+            cents, cb = build_ivfpq_index(
+                df,
+                build_path,
+                n_cells=args.cells,
+                n_subspaces=args.subspaces,
+                n_codes=args.codes,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                seed=args.seed,
+                generation=generation,
+                record_stats=True,
+            )
+            desc = (f"ivfpq, {cents.shape[0]} cells, "
+                    f"{cb.shape[0]} subspaces x {cb.shape[1]} codes, "
+                    f"dim {cents.shape[1]}")
+        elif args.kind == "ivf":
+            from flink_ms_spark.operators.similarity import build_ivf_index
+
+            cents = build_ivf_index(
+                df,
+                build_path,
+                n_cells=args.cells,
+                vec_col=args.vec_col,
+                seed=args.seed,
+                record_stats=True,
+                persist_members=args.persist_members,
+                id_col=args.id_col,
+                generation=generation,
+            )
+            members = " + members table" if args.persist_members else ""
+            desc = f"ivf, {cents.shape[0]} cells, dim {cents.shape[1]}{members}"
+        else:
+            from flink_ms_spark.operators.similarity import build_pq_index
+
+            cb = build_pq_index(
+                df,
+                build_path,
+                n_subspaces=args.subspaces,
+                n_codes=args.codes,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                seed=args.seed,
+                # the ops lane records the build-time quantization error
+                # so reindex-ann can measure drift against it later
+                record_stats=True,
+                generation=generation,
+            )
+            desc = f"{cb.shape[0]} subspaces x {cb.shape[1]} codes"
+    except BaseException:
+        if build_path != target:
+            fsutil.delete(spark, build_path)  # unblock ingest
+        raise
+    if build_path != target:
+        _swap_index(spark, target, build_path)
+        desc += f", swapped in at generation {generation}"
+    if args.kind == "pq":
+        from flink_ms_spark.operators.similarity import load_pq_codes
+
+        n = load_pq_codes(spark, target, id_col=args.id_col).count()
+        desc += f", {n} vectors encoded"
+    print(f"index {target}: {desc}")
 
 
 def cmd_reindex_ann(args: argparse.Namespace) -> None:
@@ -624,25 +681,45 @@ def cmd_reindex_ann(args: argparse.Namespace) -> None:
     (operators/similarity.py:reindex_pq). ANN degrades silently under
     distribution shift — queries still return k results, just worse
     ones — so the pipeline needs this explicit health loop. The index
-    KIND (pq codebooks vs ivf coarse quantizer) is read from the index
-    manifest, so one lane monitors both families."""
+    KIND (pq codebooks / ivf coarse quantizer / ivfpq both) is read
+    from the index manifest, so one lane monitors every family; the
+    ivfpq monitor watches coarse assignment error AND PQ quantization
+    error (either drifting past the bar rebuilds). ``--fold`` is the
+    cheap maintenance sibling: fold the live increment tail into the
+    base at generation+1 without retraining
+    (similarity.fold_ann_increments)."""
     from flink_ms_spark.operators.similarity import (
+        fold_ann_increments,
         read_index_manifest,
         reindex_ivf,
+        reindex_ivfpq,
         reindex_pq,
     )
 
     spark = _spark("[ANN] reindex")
+    if args.fold:
+        report = fold_ann_increments(spark, args.index,
+                                     id_col=args.id_col, vec_col=args.vec_col)
+        for k, v in report.items():
+            print(f"{k}\t{v}")
+        return
+    if not args.input:
+        raise SystemExit("reindex-ann: --input is required unless --fold")
     df = spark.read.parquet(args.input)
     kind = read_index_manifest(spark, args.index)["kind"]
     if kind == "ivfpq":
-        raise SystemExit(
-            "reindex-ann: the ivfpq kind is batch-only by contract — "
-            "no drift-monitored rebuild lane yet; refresh by re-running "
-            "build-ann-index --kind ivfpq against the current corpus "
-            "(the gen= stamp keeps concurrent serves loud, never mixed)"
+        report = reindex_ivfpq(
+            spark,
+            args.index,
+            df,
+            max_drift=args.max_drift,
+            force=args.force,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            seed=args.seed,
+            allow_missing=args.allow_missing,
         )
-    if kind == "ivf":
+    elif kind == "ivf":
         report = reindex_ivf(
             spark,
             args.index,
@@ -675,17 +752,26 @@ def cmd_ann_status(args: argparse.Namespace) -> None:
     """Ops view of a persisted ANN index: manifest kind + generation,
     base-table size at the serving generation, live increment tail
     (servable batches/rows at the current generation vs stale-gen
-    debris awaiting cleanup), drift baseline, and whether a rebuild is
-    in flight (the .rebuilding intent marker — ingest commits are
-    refused while it exists). The pre-flight check before a reindex
-    and the post-mortem after a crashed one."""
+    debris awaiting cleanup), the tail/base ratio (the lookup-cost
+    health signal — every serve reads the full tail until a reindex or
+    fold_ann_increments folds it), drift baseline, and whether a
+    rebuild is in flight (the .rebuilding intent marker — ingest
+    commits are refused while it exists). The pre-flight check before
+    a reindex and the post-mortem after a crashed one.
+
+    SCALE CONTRACT: default counts touch parquet FOOTER metadata only
+    (empty-schema counts over the base/tail dirs — no vector columns
+    read, no shuffle), so a status probe of a 100 TB index is listing
+    + footer IO, never a corpus scan. ``--exact`` opts into the one
+    genuinely corpus-scale number: the deduplicated served-row count
+    through the same merged recency view serving uses (a
+    window-function job over base+tail)."""
     import json as _json
 
     from flink_ms_spark import fsutil
     from flink_ms_spark.operators.similarity import (
         has_ivf_members,
-        load_ivf_members,
-        load_pq_codes,
+        live_increment_census,
         read_index_manifest,
     )
 
@@ -697,44 +783,64 @@ def cmd_ann_status(args: argparse.Namespace) -> None:
     rebuilding = fsutil.is_dir(spark, args.index.rstrip("/") + ".rebuilding")
     print(f"rebuild_in_progress\t{str(rebuilding).lower()}")
 
+    def _rows(*dirs: str) -> int:
+        # empty schema → parquet footer row counts, no column IO
+        return spark.read.parquet(*dirs).count() if dirs else 0
+
     if kind == "ivf":
         members = has_ivf_members(spark, args.index)
         print(f"members_table\t{str(members).lower()}")
-        inc_root = fsutil.join(args.index, "members_increments")
-        if members:
-            print(f"served_rows\t{load_ivf_members(spark, args.index).count()}")
+        base_dir = fsutil.join(args.index, "members", f"gen={gen}")
     else:
-        print(f"base_rows\t{load_pq_codes(spark, args.index).count()}")
-        inc_root = fsutil.join(args.index, "codes_increments")
+        base_dir = fsutil.join(args.index, "codes", f"gen={gen}")
+        if not fsutil.is_dir(spark, base_dir) and fsutil.is_dir(
+            spark, fsutil.join(args.index, "codes")
+        ):
+            base_dir = fsutil.join(args.index, "codes")  # legacy pre-stamp
+    base_rows = _rows(base_dir) if fsutil.is_dir(spark, base_dir) else 0
+    if kind != "ivf" or has_ivf_members(spark, args.index):
+        print(f"base_rows\t{base_rows}")
 
-    live_batches = live_rows = stale_dirs = 0
-    if fsutil.is_dir(spark, inc_root):
-        live_dirs = []
-        for gname in fsutil.list_names(spark, inc_root, dirs_only=True):
-            gdir = fsutil.join(inc_root, gname)
-            if gname == f"gen={gen}":
-                batches = fsutil.list_names(spark, gdir, dirs_only=True)
-                live_batches += len(batches)
-                if batches:
-                    live_dirs.append(gdir)
-            elif gname.startswith("batch_id=") and gen == 0:
-                # legacy pre-stamp partition: servable at generation 0
-                live_batches += 1
-                live_dirs.append(gdir)
-            elif gname.startswith("gen=") or gname.startswith("batch_id="):
-                stale_dirs += 1
-        if live_dirs:
-            live_rows = spark.read.option("basePath", inc_root).parquet(
-                *live_dirs
-            ).count()
-    print(f"live_increment_batches\t{live_batches}")
+    stamped, legacy, stale_dirs = live_increment_census(
+        spark, args.index, kind, gen
+    )
+    # the two live groups have CONFLICTING partition layouts (stamped
+    # gen=/batch_id= vs legacy batch_id=) — one read over both raises,
+    # so count each group separately and sum, as load_codes reads them
+    live_rows = _rows(*stamped) + _rows(*legacy)
+    print(f"live_increment_batches\t{len(stamped) + len(legacy)}")
     print(f"live_increment_rows\t{live_rows}")
     print(f"stale_generation_dirs\t{stale_dirs}")
+    if base_rows:
+        print(f"tail_base_ratio\t{live_rows / base_rows:.4f}")
+
+    if args.exact:
+        from flink_ms_spark.operators.similarity import (
+            load_ivf_members,
+            load_ivfpq_codes,
+        )
+        from flink_ms_spark.streaming.ann_ingest import load_codes
+
+        if kind == "ivf":
+            served = (
+                load_ivf_members(spark, args.index).count()
+                if has_ivf_members(spark, args.index)
+                else 0
+            )
+        elif kind == "ivfpq":
+            served = load_ivfpq_codes(spark, args.index).count()
+        else:
+            served = load_codes(spark, args.index).count()
+        print(f"served_rows\t{served}")
 
     stats_path = fsutil.join(args.index, "stats.json")
     if fsutil.exists(spark, stats_path):
         stats = _json.loads(fsutil.read_text(spark, stats_path))
-        print(f"built_mean_sq_err\t{stats['mean_sq_err']}")
+        if kind == "ivfpq":
+            print(f"built_coarse_err\t{stats['coarse']['mean_sq_err']}")
+            print(f"built_pq_err\t{stats['pq']['mean_sq_err']}")
+        else:
+            print(f"built_mean_sq_err\t{stats['mean_sq_err']}")
     else:
         print("built_mean_sq_err\tmissing (reindex-ann reports stats-missing)")
 
@@ -743,7 +849,8 @@ def cmd_ann_ingest(args: argparse.Namespace) -> None:
     """Streaming half of the ANN lifecycle: watch a JSONL directory of
     (id, embedding) records and land each micro-batch as a
     generation-stamped increment partition beside the persisted index
-    — PQ codes or IVF member rows, dispatched on the manifest kind
+    — PQ codes, IVF member rows, or fused IVF-PQ (cell, code) rows,
+    dispatched on the manifest kind
     (streaming/ann_ingest.py:StreamingAnnIngest). Serving reads the
     merged view immediately (ann-query); a reindex swap under the
     stream is survived in place (the worker reloads the new artifact
@@ -779,9 +886,11 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
     exists to kill, so the serve lane goes through the same view the
     coverage gate audits. Prints ``id<TAB>ad2``, nearest first.
 
-    IVFPQ: ADC over the probed cells' persisted code partitions
-    (ivfpq_query_topk — prints ``id<TAB>ad2``; batch-only freshness by
-    pinned contract, refresh via build-ann-index).
+    IVFPQ: ADC over the MERGED code view (ivfpq_query_topk →
+    load_ivfpq_codes — probed cells' base partitions plus the
+    current-generation streaming increment tail, latest batch winning
+    per id), so ann-ingest freshness serves immediately. Prints
+    ``id<TAB>ad2``.
 
     IVF: with a persisted members table (build --persist-members) the
     lookup reads ONLY the probed cells' partitions plus the live
@@ -1236,7 +1345,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     ri = sub.add_parser("reindex-ann")
     ri.add_argument("--index", required=True)
-    ri.add_argument("--input", required=True, help="current embeddings parquet")
+    ri.add_argument("--input", default=None,
+                    help="current embeddings parquet (required unless --fold)")
+    ri.add_argument("--fold", action="store_true",
+                    help="fold the live increment tail into the base at "
+                    "generation+1 WITHOUT retraining (tail-bounding "
+                    "maintenance between drift rebuilds; --input unused)")
     ri.add_argument("--max-drift", type=float, default=1.2,
                     help="rebuild when current/built error exceeds this")
     ri.add_argument("--force", action="store_true")
@@ -1250,6 +1364,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     st = sub.add_parser("ann-status")
     st.add_argument("--index", required=True, help="persisted ANN index dir")
+    st.add_argument("--exact", action="store_true",
+                    help="also count deduplicated served rows through the "
+                    "merged recency view (a corpus-scale window job; the "
+                    "default prints footer-metadata counts only)")
     st.set_defaults(func=cmd_ann_status)
 
     ai = sub.add_parser("ann-ingest")

@@ -75,6 +75,39 @@ def _rank_topk(cands: DataFrame, k: int) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def _prune_candidates(
+    q_ids: np.ndarray,
+    c_ids: np.ndarray,
+    scores: np.ndarray,
+    margin: int,
+    value_col: str,
+    ascending: bool = False,
+) -> pd.DataFrame:
+    """Per-query candidate prune shared by every scan/report kernel —
+    on the ROUNDED score (6 dp, the exact key the final ranker orders
+    on), keeping every candidate TIED with the margin-th best. Pruning
+    on the raw value could evict a lower-id candidate that rounds to
+    the boundary value while keeping a higher-id one — at corpus scale
+    (>margin boundary ties inside one batch/cell) that flips the final
+    id tie-break against the oracle. Keeping the whole boundary-tie
+    class makes the prune provably rank-preserving, at the cost of the
+    occasional extra tied row. Masked entries (±inf) drop out via the
+    finite filter; ``scores`` is (len(q_ids), len(c_ids))."""
+    r = np.round(scores, 6)
+    key = r if ascending else -r
+    n_keep = min(margin, key.shape[1])
+    if n_keep <= 0 or not len(q_ids):
+        return pd.DataFrame(
+            {"a": [], "b": [], value_col: []}
+        ).astype({"a": np.int64, "b": np.int64, value_col: np.float64})
+    part = np.argpartition(key, n_keep - 1, axis=1)[:, :n_keep]
+    rows = np.arange(key.shape[0])[:, None]
+    boundary = key[rows, part].max(axis=1)
+    keep = (key <= boundary[:, None]) & np.isfinite(key)
+    qi, ci = np.nonzero(keep)
+    return pd.DataFrame({"a": q_ids[qi], "b": c_ids[ci], value_col: r[keep]})
+
+
 # The broadcast-query serve kernels hold the ENTIRE query set on the
 # driver. That is the right shape for point lookups and report-sized
 # query batches (fixture corpora are thousands of rows; 64-dim doubles
@@ -150,19 +183,10 @@ def cosine_topk(
             norms[norms == 0.0] = 1.0
             cm = cm / norms[:, None]
             sims = qm @ cm.T  # (q, b)
-            n_keep = min(margin, sims.shape[1])
-            # per query: candidate pruning by raw sim (margin covers
-            # rounding ties at the cut); fully vectorized — no python
-            # loop over queries (q × batches iterations otherwise)
-            idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
-            rows = np.arange(sims.shape[0])[:, None]
-            yield pd.DataFrame(
-                {
-                    "a": np.repeat(q_ids, n_keep),
-                    "b": c_ids[idx].ravel(),
-                    "sim": sims[rows, idx].ravel(),
-                }
-            )
+            # per-query prune on the ROUNDED sim, boundary ties kept
+            # (_prune_candidates); fully vectorized — no python loop
+            # over queries (q × batches iterations otherwise)
+            yield _prune_candidates(q_ids, c_ids, sims, margin, "sim")
 
     # Cap the fan-out: every corpus partition emits |queries| × margin
     # candidate rows into the global top-k shuffle, so partition count
@@ -215,22 +239,7 @@ def ivf_topk(
         m = m / norms[:, None]
         sims = m @ m.T
         np.fill_diagonal(sims, -np.inf)  # exclude self-pairs
-        n_keep = min(margin, sims.shape[1] - 1)
-        if n_keep <= 0:
-            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
-                {"a": np.int64, "b": np.int64, "sim": np.float64}
-            )
-        idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
-        rows = np.arange(sims.shape[0])[:, None]
-        vals = sims[rows, idx]
-        keep = np.isfinite(vals)  # drops the -inf self-pair slots
-        return pd.DataFrame(
-            {
-                "a": np.repeat(ids, n_keep).reshape(len(ids), n_keep)[keep],
-                "b": ids[idx][keep],
-                "sim": vals[keep],
-            }
-        )
+        return _prune_candidates(ids, ids, sims, margin, "sim")
 
     cands = with_cell.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
     return _rank_topk(cands, k)
@@ -420,22 +429,7 @@ def ivf_kmeans_topk(
         mem_ids = ids[member]
         same = ids[:, None] == mem_ids[None, :]
         sims[same] = -np.inf
-        n_keep = min(margin, sims.shape[1])
-        if n_keep <= 0 or sims.shape[1] == 0:
-            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
-                {"a": np.int64, "b": np.int64, "sim": np.float64}
-            )
-        idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
-        rows = np.arange(sims.shape[0])[:, None]
-        vals = sims[rows, idx]
-        keep = np.isfinite(vals)
-        return pd.DataFrame(
-            {
-                "a": np.repeat(ids, n_keep).reshape(len(ids), n_keep)[keep],
-                "b": mem_ids[idx][keep],
-                "sim": vals[keep],
-            }
-        )
+        return _prune_candidates(ids, mem_ids, sims, margin, "sim")
 
     cands = assigned.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
     # a vector probing multiple cells can see the same neighbor twice
@@ -455,26 +449,16 @@ def _score_masked(
     """One Arrow batch of the per-query-masked cosine scan: normalize
     the candidates, score against the broadcast query matrix, hide
     each candidate from every query that did not probe its cell, keep
-    per-query top-``margin`` raw sims. Shared by ivf_query_topk (cells
-    assigned in-kernel) and ivf_members_topk (cells persisted) so the
+    per-query top-``margin`` rounded sims with boundary ties
+    (_prune_candidates). Shared by ivf_query_topk (cells assigned
+    in-kernel) and ivf_members_topk (cells persisted) so the
     mask/tie/zero-norm contract can't diverge between the two serves."""
     norms = np.linalg.norm(cm, axis=1)
     norms[norms == 0.0] = 1.0
     cm = cm / norms[:, None]
     sims = qnorm @ cm.T  # (nq, nb)
     sims[~mask[:, cells]] = -np.inf
-    n_keep = min(margin, sims.shape[1])
-    idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
-    rows = np.arange(sims.shape[0])[:, None]
-    vals = sims[rows, idx]
-    keep = np.isfinite(vals)
-    return pd.DataFrame(
-        {
-            "a": np.repeat(q_ids, n_keep).reshape(len(q_ids), n_keep)[keep],
-            "b": c_ids[idx][keep],
-            "sim": vals[keep],
-        }
-    )
+    return _prune_candidates(q_ids, c_ids, sims, margin, "sim")
 
 
 def _probe_cells(qm: np.ndarray, centers: np.ndarray, n_probe: int) -> np.ndarray:
@@ -881,16 +865,8 @@ def pq_topk_codes(
             ad2 = np.zeros((len(ids), len(c_ids)))
             for s in range(n_sub):
                 ad2 += tables[:, s, codes[:, s]]
-            n_keep = min(margin, ad2.shape[1])
-            idx = np.argpartition(ad2, n_keep - 1, axis=1)[:, :n_keep]
-            rows = np.arange(ad2.shape[0])[:, None]
-            yield pd.DataFrame(
-                {
-                    "a": np.repeat(ids, n_keep),
-                    "b": c_ids[idx].ravel(),
-                    "ad2": ad2[rows, idx].ravel(),
-                }
-            )
+            yield _prune_candidates(ids, c_ids, ad2, margin, "ad2",
+                                    ascending=True)
 
     enc = codes.withColumnRenamed(id_col, "_cid")
     cands = enc.mapInPandas(scan, schema=adc_schema).where(F.col("a") != F.col("b"))
@@ -920,7 +896,14 @@ def read_index_manifest(spark, path: str) -> dict:
     mpath = fsutil.join(path, INDEX_MANIFEST)
     if fsutil.exists(spark, mpath):
         return _json.loads(fsutil.read_text(spark, mpath))
-    kind = "ivf" if fsutil.is_dir(spark, fsutil.join(path, "centroids")) else "pq"
+    # pre-manifest inference: centroids + PQ codebooks together can
+    # only be an ivfpq layout (a crashed fresh ivfpq build, since
+    # build_ivfpq_index now writes its manifest before the corpus
+    # pass) — classifying it "ivf" would silently mis-dispatch
+    # ann-query to the wrong serve lane instead of failing incomplete
+    has_cents = fsutil.is_dir(spark, fsutil.join(path, "centroids"))
+    has_books = fsutil.is_dir(spark, fsutil.join(path, "codebooks"))
+    kind = "ivfpq" if (has_cents and has_books) else ("ivf" if has_cents else "pq")
     return {"kind": kind, "generation": 0}
 
 
@@ -1598,6 +1581,43 @@ def _stamped_dirs(spark, inc_path: str) -> list[str]:
     ]
 
 
+def live_increment_census(
+    spark, path: str, kind: str, generation: int
+) -> tuple[list[str], list[str], int]:
+    """Directory-listing census of an index's increments root:
+    ``(stamped_live, legacy_live, stale_dirs)`` — absolute paths of
+    the batch partitions servable at ``generation`` (stamped under
+    ``gen=G/``; top-level legacy ``batch_id=N`` dirs count as live
+    only at generation 0, the pq pre-stamp contract), plus the count
+    of stale-generation dirs awaiting cleanup. Listing calls only, no
+    data read — safe against a 100 TB index. The two live groups are
+    returned SEPARATELY because their partition layouts conflict: one
+    ``spark.read`` over both raises AnalysisException, so callers
+    (ann-status) must read/count each group on its own, exactly as
+    load_codes does."""
+    from flink_ms_spark import fsutil
+
+    inc_name = "members_increments" if kind == "ivf" else "codes_increments"
+    inc_root = fsutil.join(path, inc_name)
+    stamped_live: list[str] = []
+    legacy_live: list[str] = []
+    stale = 0
+    if not fsutil.is_dir(spark, inc_root):
+        return stamped_live, legacy_live, stale
+    for gname in fsutil.list_names(spark, inc_root, dirs_only=True):
+        gdir = fsutil.join(inc_root, gname)
+        if gname == f"gen={generation}":
+            stamped_live.extend(
+                fsutil.join(gdir, b)
+                for b in fsutil.list_names(spark, gdir, dirs_only=True)
+            )
+        elif gname.startswith("batch_id=") and generation == 0:
+            legacy_live.append(gdir)
+        elif gname.startswith("gen=") or gname.startswith("batch_id="):
+            stale += 1
+    return stamped_live, legacy_live, stale
+
+
 def load_ivf_members(
     spark,
     path: str,
@@ -1656,24 +1676,26 @@ def load_ivf_members(
     if cells is not None:
         base = base.where(F.col("cell").isin([int(c) for c in cells]))
     inc_path = fsutil.join(path, MEMBERS_INC)
-    out = base
     stamped = _stamped_dirs(spark, inc_path)
-    if stamped:
-        inc = (
-            spark.read.option("basePath", inc_path)
-            .parquet(*(fsutil.join(inc_path, n) for n in stamped))
-            .where(F.col("gen") == gen)
-            .select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.col("cell").cast("int").alias("cell"),
-                F.col("batch_id").cast("long").alias("_b"),
-            )
+    if not stamped:
+        # no live tail: base ids are unique by construction, so the
+        # recency window (a shuffle on every point lookup) is skipped
+        return base.select(id_col, vec_col, "cell")
+    inc = (
+        spark.read.option("basePath", inc_path)
+        .parquet(*(fsutil.join(inc_path, n) for n in stamped))
+        .where(F.col("gen") == gen)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("batch_id").cast("long").alias("_b"),
         )
-        out = base.unionByName(inc)
+    )
     w = Window.partitionBy(id_col).orderBy(F.col("_b").desc())
     out = (
-        out.withColumn("_rk", F.row_number().over(w))
+        base.unionByName(inc)
+        .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .select(id_col, vec_col, "cell")
     )
@@ -1859,58 +1881,23 @@ def reindex_ivf(
 # `pq_topk`).
 
 
-def build_ivfpq_index(
+def ivfpq_encode(
     df: DataFrame,
-    path: str,
-    n_cells: int = 8,
-    n_subspaces: int = 16,
-    n_codes: int = 32,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
-    centroids: np.ndarray | None = None,
-    pq_codebooks: np.ndarray | None = None,
-    generation: int = 0,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Persist an IVF-PQ index: ``<path>/centroids`` (coarse cells) +
-    ``<path>/codebooks`` (PQ) + ``<path>/codes/gen=G/cell=C`` (id,
-    code) — manifest kind ``ivfpq``. One fused narrow map assigns the
-    home cell (6-dp-rounded argmin, lowest-cell ties — the
-    assign_cells contract) and PQ-encodes (per-subspace argmin — the
-    pq_encode contract) in a single corpus pass; the only write
-    partitioning is by cell, so serving prunes directories.
-
-    FRESHNESS CONTRACT (pinned in tests): batch-only this round —
-    no streaming increment lane yet (StreamingAnnIngest refuses the
-    kind loudly); refresh by re-running this build. The gen= stamp
-    still protects serves from a concurrent rebuild's swap."""
-    cents = (
-        np.asarray(centroids, dtype=np.float64)
-        if centroids is not None
-        else train_ivf_codebook(df, n_cells=n_cells, vec_col=vec_col, seed=seed)
-    )
-    cb = (
-        np.asarray(pq_codebooks, dtype=np.float64)
-        if pq_codebooks is not None
-        else train_pq_codebooks(
-            df, n_subspaces=n_subspaces, n_codes=n_codes,
-            vec_col=vec_col, seed=seed,
-        )
-    )
+) -> DataFrame:
+    """Fused IVF-PQ encode — (id, code ARRAY<INT>, cell) in ONE
+    broadcast narrow map: home-cell assignment (6-dp-rounded argmin,
+    lowest-cell ties — the assign_cells contract) + PQ code
+    (per-subspace argmin — the pq_encode contract). The batch build's
+    corpus pass and the streaming increment lane share this kernel, so
+    a streamed row's (cell, code) pair can never diverge from what the
+    build would have produced for the same vector."""
     spark = df.sparkSession
-    crows = [(c, [float(x) for x in cents[c]]) for c in range(cents.shape[0])]
-    spark.createDataFrame(crows, "cell INT, centroid ARRAY<DOUBLE>").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
-    brows = [
-        (s, c, [float(x) for x in cb[s, c]])
-        for s in range(cb.shape[0])
-        for c in range(cb.shape[1])
-    ]
-    spark.createDataFrame(
-        brows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
-
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
     bc = spark.sparkContext.broadcast((cents, cb))
     schema = T.StructType(
         [
@@ -1943,11 +1930,170 @@ def build_ivfpq_index(
                 }
             )
 
-    fan_out(df.select(id_col, vec_col)).mapInPandas(enc, schema=schema).write.mode(
+    return df.select(id_col, vec_col).mapInPandas(enc, schema=schema)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    n_subspaces: int = 16,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    pq_codebooks: np.ndarray | None = None,
+    generation: int = 0,
+    record_stats: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persist an IVF-PQ index: ``<path>/centroids`` (coarse cells) +
+    ``<path>/codebooks`` (PQ) + ``<path>/codes/gen=G/cell=C`` (id,
+    code) — manifest kind ``ivfpq``. One fused narrow map
+    (:func:`ivfpq_encode`) assigns the home cell and PQ-encodes in a
+    single corpus pass; the only write partitioning is by cell, so
+    serving prunes directories.
+
+    FRESHNESS: the kind has the full lifecycle — StreamingAnnIngest
+    lands code increments under ``codes_increments/gen=G/batch_id=N``
+    (served by :func:`load_ivfpq_codes`, the merged view
+    ``ivfpq_query_topk`` reads), and :func:`reindex_ivfpq` is the
+    drift-monitored rebuild + swap. ``record_stats=True`` writes
+    ``stats.json`` with BOTH build-time baselines the reindex monitor
+    compares against — coarse assignment error (``"coarse"``,
+    ivf_assignment_stats) and PQ quantization error (``"pq"``,
+    pq_quantization_error) — at the cost of two extra corpus passes
+    (opt-in, like the other builders)."""
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_codebook(df, n_cells=n_cells, vec_col=vec_col, seed=seed)
+    )
+    cb = (
+        np.asarray(pq_codebooks, dtype=np.float64)
+        if pq_codebooks is not None
+        else train_pq_codebooks(
+            df, n_subspaces=n_subspaces, n_codes=n_codes,
+            vec_col=vec_col, seed=seed,
+        )
+    )
+    spark = df.sparkSession
+    crows = [(c, [float(x) for x in cents[c]]) for c in range(cents.shape[0])]
+    spark.createDataFrame(crows, "cell INT, centroid ARRAY<DOUBLE>").write.mode(
         "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/codes/gen={generation}")
+    ).parquet(f"{path}/centroids")
+    brows = [
+        (s, c, [float(x) for x in cb[s, c]])
+        for s in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        brows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # manifest BEFORE the corpus-scale codes pass: a crash mid-encode
+    # then leaves a layout that reads as kind=ivfpq with a missing
+    # codes/gen=G dir — the serve raises "incomplete", instead of the
+    # pre-manifest inference mis-classifying centroids-without-codes
+    # as a healthy IVF index and dispatching to the wrong lane
     _write_index_manifest(spark, path, "ivfpq", generation)
+
+    ivfpq_encode(
+        fan_out(df.select(id_col, vec_col)), cents, cb,
+        id_col=id_col, vec_col=vec_col,
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes/gen={generation}"
+    )
+    if record_stats:
+        import json as _json
+
+        from flink_ms_spark import fsutil
+
+        stats = {
+            "coarse": ivf_assignment_stats(df, cents, vec_col=vec_col),
+            "pq": pq_quantization_error(df, cb, vec_col=vec_col),
+        }
+        fsutil.replace_text(
+            spark, fsutil.join(path, "stats.json"), _json.dumps(stats)
+        )
     return cents, cb
+
+
+def load_ivfpq_codes(
+    spark,
+    path: str,
+    cells: list[int] | None = None,
+    id_col: str = "vec_id",
+    expected_generation: int | None = None,
+) -> DataFrame:
+    """Merged serving view of an IVF-PQ code table — (id, code, cell)
+    = base codes plus current-generation streaming increments, latest
+    batch winning per id — the exact shape of
+    :func:`load_ivf_members`, but over 16-byte codes instead of raw
+    vectors. ``cells`` restricts the BASE read to the probed cells
+    (partition prune, the O(n_probe) IO contract);
+    ``expected_generation`` pins the read for a caller that already
+    loaded centroids+codebooks under that generation
+    (ivfpq_query_topk) so a reindex swap mid-serve raises loudly.
+
+    Increments are read in FULL (gen-pruned only) even when ``cells``
+    is given, for the same reason as the members view: a re-sent id
+    may have MOVED cells, so its latest row can live in an increment
+    partition the query didn't probe; the latest row's cell then
+    decides visibility. The tail stays small between reindexes by
+    design (reindex_ivfpq folds it)."""
+    from flink_ms_spark import fsutil
+
+    gen = (
+        expected_generation
+        if expected_generation is not None
+        else read_index_manifest(spark, path)["generation"]
+    )
+    codes_dir = fsutil.join(path, "codes", f"gen={gen}")
+    if not fsutil.is_dir(spark, codes_dir):
+        raise IOError(
+            f"IVF-PQ code table for generation {gen} not found under "
+            f"{path}/codes — the index was rebuilt (or is incomplete) "
+            f"between the artifact load and this read; retry."
+        )
+    base = (
+        spark.read.option("basePath", fsutil.join(path, "codes"))
+        .parquet(codes_dir)
+        .select(
+            F.col(id_col),
+            "code",
+            F.col("cell").cast("int").alias("cell"),
+            F.lit(-1).cast("long").alias("_b"),
+        )
+    )
+    if cells is not None:
+        base = base.where(F.col("cell").isin([int(c) for c in cells]))
+    inc_path = fsutil.join(path, "codes_increments")
+    stamped = _stamped_dirs(spark, inc_path)
+    if not stamped:
+        # no live tail: base ids are unique by construction, so the
+        # recency window (a shuffle on every point lookup) is skipped
+        return base.select(id_col, "code", "cell")
+    inc = (
+        spark.read.option("basePath", inc_path)
+        .parquet(*(fsutil.join(inc_path, n) for n in stamped))
+        .where(F.col("gen") == gen)
+        .select(
+            F.col(id_col),
+            "code",
+            F.col("cell").cast("int").alias("cell"),
+            F.col("batch_id").cast("long").alias("_b"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_b").desc())
+    out = (
+        base.unionByName(inc)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(id_col, "code", "cell")
+    )
+    if cells is not None:
+        out = out.where(F.col("cell").isin([int(c) for c in cells]))
+    return out
 
 
 def ivfpq_query_topk(
@@ -1963,17 +2109,17 @@ def ivfpq_query_topk(
     """Point-lookup serve over a persisted IVF-PQ index —
     (a, b, ad2, rk), ascending rounded ADC distance, ties to the lower
     id. Each query's n_probe nearest cells come from a driver-side
-    argmin over the tiny centroid matrix; the code read is a
-    partition prune to the union of probed cells; inside the kernel
-    each query prices ONLY its own probed cells' members (per-query
-    mask — reproducible vs a single-query run, same contract as
-    ivf_members_topk). Per Arrow batch the cost is n_subspaces table
-    lookups per member: the scan touches code bytes, never raw
-    vectors. Swap coherence: the generation is read once and pinned
-    through the code read — a rebuild completing mid-serve raises
-    loudly instead of pricing new codes with old codebooks."""
-    from flink_ms_spark import fsutil
-
+    argmin over the tiny centroid matrix; the code read is the MERGED
+    serving view (:func:`load_ivfpq_codes` — base partitions pruned to
+    the probed cells, plus the current-generation streaming increment
+    tail), so vectors landed by StreamingAnnIngest serve immediately;
+    inside the kernel each query prices ONLY its own probed cells'
+    members (per-query mask — reproducible vs a single-query run, same
+    contract as ivf_members_topk). Per Arrow batch the cost is
+    n_subspaces table lookups per member: the scan touches code bytes,
+    never raw vectors. Swap coherence: the generation is read once and
+    pinned through the code read — a rebuild completing mid-serve
+    raises loudly instead of pricing new codes with old codebooks."""
     manifest = read_index_manifest(spark, path)
     gen = manifest["generation"]
     cents = load_ivf_centroids(spark, path)
@@ -1993,18 +2139,8 @@ def ivfpq_query_topk(
     allowed = _probe_cells(qm, cents, n_probe)
     probed = [int(c) for c in np.flatnonzero(allowed.any(axis=0))]
 
-    codes_dir = fsutil.join(path, "codes", f"gen={gen}")
-    if not fsutil.is_dir(spark, codes_dir):
-        raise IOError(
-            f"IVF-PQ code table for generation {gen} not found under "
-            f"{path}/codes — the index was rebuilt (or is incomplete) "
-            f"between the artifact load and this read; retry."
-        )
-    codes = (
-        spark.read.option("basePath", fsutil.join(path, "codes"))
-        .parquet(codes_dir)
-        .where(F.col("cell").isin(probed))
-    )
+    codes = load_ivfpq_codes(spark, path, cells=probed, id_col=id_col,
+                             expected_generation=gen)
 
     bq = spark.sparkContext.broadcast((q_ids, qm, allowed, cb))
     margin = 2 * k + 8
@@ -2041,18 +2177,8 @@ def ivfpq_query_topk(
             # per-query cell contract: members outside THIS query's
             # probed cells are invisible to it
             ad2[~mask[:, cells]] = np.inf
-            n_keep = min(margin, ad2.shape[1])
-            idx = np.argpartition(ad2, n_keep - 1, axis=1)[:, :n_keep]
-            rows = np.arange(ad2.shape[0])[:, None]
-            vals = ad2[rows, idx]
-            keep = np.isfinite(vals)
-            yield pd.DataFrame(
-                {
-                    "a": np.repeat(ids, n_keep).reshape(len(ids), n_keep)[keep],
-                    "b": c_ids[idx][keep],
-                    "ad2": vals[keep],
-                }
-            )
+            yield _prune_candidates(ids, c_ids, ad2, margin, "ad2",
+                                    ascending=True)
 
     cands = codes.mapInPandas(scan, schema=adc_schema).where(F.col("a") != F.col("b"))
     scored = cands.select("a", "b", F.round("ad2", 6).alias("ad2"))
@@ -2060,6 +2186,206 @@ def ivfpq_query_topk(
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
         F.col("rk") <= k
     )
+
+
+def reindex_ivfpq(
+    spark,
+    path: str,
+    df: DataFrame,
+    max_drift: float = 1.2,
+    force: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    allow_missing: bool = False,
+) -> dict:
+    """Monitor → reindex for the IVF-PQ index — the same policy loop
+    as :func:`reindex_pq` / :func:`reindex_ivf`, watching BOTH
+    quantizers: coarse assignment error (cells drift → wrong probe
+    sets) and PQ quantization error (codebooks drift → wrong ADC
+    order). Either ratio past ``max_drift`` × its build-time baseline
+    triggers the rebuild; both always appear in the report, because
+    they degrade independently (a corpus can keep its cluster
+    structure while its within-cell geometry moves, and vice versa).
+
+    Shares every piece of the generation machinery: the
+    ``.rebuilding`` intent marker lands BEFORE the coverage gate
+    (ingest commits are refused while it exists, so the gate's served
+    set is complete), the gate anti-joins the MERGED serving view
+    (:func:`load_ivfpq_codes` — base + live increments) against the
+    rebuild input and refuses to drop served ids unless
+    ``allow_missing=True``, the rebuild lands in the marker dir at
+    generation+1 with fresh baselines, and :func:`_swap_index`
+    installs it rename-aside (maintenance-window contract). The swap
+    discards the increments dir — its codes are meaningless under the
+    new codebooks — which is also what folds a long live tail back
+    into O(n_probe) base partitions. Same id-coverage-only caveat as
+    the other gates: the rebuild input must be the latest corpus
+    snapshot or a re-sent id's value silently reverts."""
+    import json as _json
+
+    from flink_ms_spark import fsutil
+
+    cents = load_ivf_centroids(spark, path)
+    cb = load_pq_codebooks(spark, path)
+    cur_coarse = ivf_assignment_stats(df, cents, vec_col=vec_col)
+    cur_pq = pq_quantization_error(df, cb, vec_col=vec_col)
+    stats_path = fsutil.join(path, "stats.json")
+    built = (
+        _json.loads(fsutil.read_text(spark, stats_path))
+        if fsutil.exists(spark, stats_path)
+        else None
+    )
+    if built is None and not force:
+        return {
+            "action": "stats-missing",
+            "current_coarse_err": cur_coarse["mean_sq_err"],
+            "current_pq_err": cur_pq["mean_sq_err"],
+        }
+    coarse_ratio = _drift_ratio(
+        built["coarse"] if built else None, cur_coarse["mean_sq_err"]
+    )
+    pq_ratio = _drift_ratio(built["pq"] if built else None, cur_pq["mean_sq_err"])
+    report = {
+        "coarse_drift_ratio": round(coarse_ratio, 4) if built else None,
+        "pq_drift_ratio": round(pq_ratio, 4) if built else None,
+        "built_coarse_err": built["coarse"]["mean_sq_err"] if built else None,
+        "built_pq_err": built["pq"]["mean_sq_err"] if built else None,
+        "current_coarse_err": cur_coarse["mean_sq_err"],
+        "current_pq_err": cur_pq["mean_sq_err"],
+        "current_max_cell_frac": cur_coarse["max_cell_frac"],
+    }
+    if not force and max(coarse_ratio, pq_ratio) <= max_drift:
+        return {"action": "healthy", **report}
+
+    gen = read_index_manifest(spark, path)["generation"]
+    tmp = path.rstrip("/") + ".rebuilding"
+    fsutil.delete(spark, tmp)  # stale debris from a prior crash
+    fsutil.mkdirs(spark, tmp)
+    try:
+        served = load_ivfpq_codes(spark, path, id_col=id_col).select(id_col)
+        dropped = served.join(df.select(id_col), id_col, "left_anti").count()
+        if dropped and not allow_missing:
+            raise ValueError(
+                f"reindex_ivfpq: {dropped} served id(s) (streaming code "
+                f"increments or base) are missing from the rebuild input — "
+                f"the swap would silently drop them from serving. Rebuild "
+                f"from a corpus that covers every served id, or pass "
+                f"allow_missing=True to shrink deliberately."
+            )
+        new_cents, new_cb = build_ivfpq_index(
+            df,
+            tmp,
+            n_cells=cents.shape[0],
+            n_subspaces=cb.shape[0],
+            n_codes=cb.shape[1],
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            generation=gen + 1,
+            record_stats=True,
+        )
+        new_stats = _json.loads(
+            fsutil.read_text(spark, fsutil.join(tmp, "stats.json"))
+        )
+    except BaseException:
+        fsutil.delete(spark, tmp)  # unblock ingest on a refused rebuild
+        raise
+    _swap_index(spark, path, tmp)
+    return {
+        "action": "rebuilt",
+        **report,
+        "rebuilt_coarse_err": new_stats["coarse"]["mean_sq_err"],
+        "rebuilt_pq_err": new_stats["pq"]["mean_sq_err"],
+        "rebuilt_max_cell_frac": new_stats["coarse"]["max_cell_frac"],
+        "cells": int(new_cents.shape[0]),
+        "subspaces": int(new_cb.shape[0]),
+        "codes": int(new_cb.shape[1]),
+        "generation": gen + 1,
+        "dropped_ids": dropped,
+    }
+
+
+def fold_ann_increments(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold a persisted ANN index's live increment tail into its base
+    table WITHOUT retraining — the cheap tail-bounding maintenance
+    between drift-triggered reindexes. Every point lookup reads the
+    full tail (cell-move correctness, see load_ivf_members), so a
+    long-running ingest degrades lookups toward tail scans until
+    something folds it; a reindex does, but costs a corpus re-train —
+    this rewrites only base+tail through the SAME merged view serving
+    reads, re-lands it as the new base at generation+1, copies the
+    trained artifacts (centroids/codebooks/stats baselines) unchanged,
+    and installs via the rename-aside swap.
+
+    Generation bump without retraining is sound: codes/cells stay
+    valid because the artifacts that produced them are byte-identical;
+    the bump exists to invalidate the folded tail dirs and trip live
+    ingest workers into a reload (which fetches the same artifacts —
+    the retried batch lands under the new generation). The
+    ``.rebuilding`` intent marker guards the fold window exactly as in
+    reindex: a batch landing after the view snapshot stays uncommitted
+    (the post-write check refuses) and replays after the swap, so no
+    served id is lost — no coverage gate is needed because the fold
+    input IS the served view. MAINTENANCE-WINDOW contract of
+    _swap_index applies."""
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.streaming.ann_ingest import load_codes
+
+    manifest = read_index_manifest(spark, path)
+    kind, gen = manifest["kind"], manifest["generation"]
+    tmp = path.rstrip("/") + ".rebuilding"
+    fsutil.delete(spark, tmp)  # stale debris from a prior crash
+    fsutil.mkdirs(spark, tmp)
+    try:
+        def _copy(name: str) -> None:
+            src = fsutil.join(path, name)
+            if fsutil.is_dir(spark, src):
+                spark.read.parquet(src).write.parquet(fsutil.join(tmp, name))
+
+        stats_path = fsutil.join(path, "stats.json")
+        if fsutil.exists(spark, stats_path):
+            fsutil.replace_text(
+                spark, fsutil.join(tmp, "stats.json"),
+                fsutil.read_text(spark, stats_path),
+            )
+        if kind == "ivf":
+            if not has_ivf_members(spark, path):
+                return {"action": "no-members", "generation": gen}
+            _copy("centroids")
+            out_dir = fsutil.join(tmp, "members", f"gen={gen + 1}")
+            load_ivf_members(
+                spark, path, id_col=id_col, vec_col=vec_col,
+                expected_generation=gen,
+            ).write.partitionBy("cell").parquet(out_dir)
+        elif kind == "ivfpq":
+            _copy("centroids")
+            _copy("codebooks")
+            out_dir = fsutil.join(tmp, "codes", f"gen={gen + 1}")
+            load_ivfpq_codes(
+                spark, path, id_col=id_col, expected_generation=gen,
+            ).write.partitionBy("cell").parquet(out_dir)
+        else:
+            _copy("codebooks")
+            out_dir = fsutil.join(tmp, "codes", f"gen={gen + 1}")
+            load_codes(
+                spark, path, id_col=id_col, expected_generation=gen,
+            ).write.parquet(out_dir)
+        # count the WRITTEN base (parquet footer metadata, no re-run of
+        # the merged view's window)
+        n = spark.read.parquet(out_dir).count()
+        _write_index_manifest(spark, tmp, kind, gen + 1)
+    except BaseException:
+        fsutil.delete(spark, tmp)  # unblock ingest on a failed fold
+        raise
+    _swap_index(spark, path, tmp)
+    return {"action": "folded", "kind": kind, "generation": gen + 1,
+            "base_rows": int(n)}
 
 
 def pq_codebooks_from_parquet(

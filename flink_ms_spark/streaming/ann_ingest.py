@@ -1,13 +1,14 @@
 """Streaming ANN index maintenance: encode arriving embedding batches
 against the FROZEN artifact of a persisted index — PQ codebooks
-(``build_pq_index``) or the IVF coarse quantizer + members table
-(``build_ivf_index(persist_members=True)``) — and land them as
+(``build_pq_index``), the IVF coarse quantizer + members table
+(``build_ivf_index(persist_members=True)``), or the fused IVF-PQ
+coarse+codebook pair (``build_ivfpq_index``) — and land them as
 idempotent per-batch increment partitions beside the base table.
 Serving unions base + live increments through ``load_codes`` (pq) /
-``similarity.load_ivf_members`` (ivf) — the index stays fresh without
-retraining, and a replayed micro-batch overwrites its own partition
-(exactly-once, same ``batch_id=N`` dynamic-overwrite pattern as
-``streaming/ingest.py``).
+``similarity.load_ivf_members`` (ivf) / ``similarity.load_ivfpq_codes``
+(ivfpq) — the index stays fresh without retraining, and a replayed
+micro-batch overwrites its own partition (exactly-once, same
+``batch_id=N`` dynamic-overwrite pattern as ``streaming/ingest.py``).
 
 Why frozen codebooks are the right trade: PQ cell boundaries only
 need retraining when the embedding DISTRIBUTION moves (monitored by
@@ -122,34 +123,46 @@ class StreamingAnnIngest:
       (``build_ivf_index(persist_members=True)``) — without one, IVF
       serving assigns candidates from the query-time corpus and is
       exactly as fresh as that corpus, so there is nothing to
-      increment (batch-only by contract).
-    """
+      increment (batch-only by contract);
+    - **ivfpq** — fused cell-assign + PQ-encode against the frozen
+      coarse quantizer AND codebooks (``similarity.ivfpq_encode`` —
+      the build's own kernel), land (id, code, cell) under
+      ``codes_increments/gen=G/batch_id=N/cell=C`` (served by
+      ``similarity.load_ivfpq_codes`` / ``ivfpq_query_topk``).
+
+    TAIL GROWTH: serving reads the FULL live increment tail on every
+    lookup (deliberate — a re-sent id may have moved cells, see
+    load_ivf_members), and only a reindex folds it away. A
+    long-running ingest that never reindexes therefore degrades point
+    lookups toward tail scans SILENTLY — so past
+    ``tail_warn_batches`` live batch partitions the worker says so
+    loudly (one directory listing per batch, no data read — the chunk
+    registry's pattern)."""
 
     def __init__(self, spark: SparkSession, index_path: str,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 tail_warn_batches: int = 64):
         self.spark = spark
         self.index_path = index_path
         self.id_col = id_col
         self.vec_col = vec_col
+        self.tail_warn_batches = tail_warn_batches
         self._load_artifacts(spark)
 
     def _load_artifacts(self, spark: SparkSession) -> None:
         from flink_ms_spark.operators.similarity import (
             has_ivf_members,
             load_ivf_centroids,
+            load_pq_codebooks,
         )
 
         manifest = read_index_manifest(spark, self.index_path)
         self.kind: str = manifest["kind"]
         self.generation: int = manifest["generation"]
         if self.kind == "ivfpq":
-            raise ValueError(
-                f"StreamingAnnIngest: IVF-PQ index {self.index_path} is "
-                f"batch-only by contract — it has no streaming increment "
-                f"lane yet; refresh by re-running build_ivfpq_index (CLI: "
-                f"build-ann-index --kind ivfpq). The pq and ivf kinds have "
-                f"streaming lanes."
-            )
+            self.centroids = load_ivf_centroids(spark, self.index_path)
+            self.codebooks = load_pq_codebooks(spark, self.index_path)
+            return
         if self.kind == "ivf":
             if not has_ivf_members(spark, self.index_path):
                 raise ValueError(
@@ -217,6 +230,22 @@ class StreamingAnnIngest:
             members = assign_members(dedup, self.centroids,
                                      id_col=self.id_col, vec_col=self.vec_col)
             self._land_increment(members, out, partition_by="cell")
+        elif self.kind == "ivfpq":
+            from flink_ms_spark.operators.similarity import ivfpq_encode
+
+            out = fsutil.join(
+                self.index_path, _INC,
+                f"gen={self.generation}", f"batch_id={batch_id}",
+            )
+            # same deterministic within-batch collapse as the ivf lane,
+            # BEFORE the fused encode, so the landed (cell, code) pair
+            # always comes from the landed vector
+            dedup = batch_df.groupBy(self.id_col).agg(
+                F.max(self.vec_col).alias(self.vec_col)
+            )
+            codes = ivfpq_encode(dedup, self.centroids, self.codebooks,
+                                 id_col=self.id_col, vec_col=self.vec_col)
+            self._land_increment(codes, out, partition_by="cell")
         else:
             _migrate_legacy_increments(batch_df.sparkSession, self.index_path)
             out = fsutil.join(
@@ -264,6 +293,36 @@ class StreamingAnnIngest:
                 f"(generation-pruned), so the batch must replay under the "
                 f"new codebooks rather than commit and silently drop its "
                 f"vectors from serving."
+            )
+        self._warn_on_tail_growth(spark)
+
+    def _warn_on_tail_growth(self, spark: SparkSession) -> None:
+        """One directory listing: count this generation's live batch
+        partitions and warn past the threshold — every serve reads the
+        full tail (cell-move correctness), so unbounded growth turns
+        O(n_probe) point lookups into tail scans silently; the fold is
+        a reindex (or fold_ann_increments without retraining)."""
+        import logging
+
+        inc_name = "members_increments" if self.kind == "ivf" else _INC
+        gen_dir = fsutil.join(self.index_path, inc_name, f"gen={self.generation}")
+        if not fsutil.is_dir(spark, gen_dir):
+            return
+        n_tail = sum(
+            1
+            for n in fsutil.list_names(spark, gen_dir, dirs_only=True)
+            if n.startswith("batch_id=")
+        )
+        if n_tail > self.tail_warn_batches:
+            logging.getLogger(__name__).warning(
+                "ANN index %s live increment tail holds %d batch "
+                "partitions (threshold %d) — every point lookup reads the "
+                "full tail until a reindex (reindex-ann) or "
+                "fold_ann_increments folds it into the cell-partitioned "
+                "base; schedule one in the next maintenance window",
+                self.index_path,
+                n_tail,
+                self.tail_warn_batches,
             )
 
     def run(self, stream_df: DataFrame, checkpoint: str,

@@ -461,7 +461,9 @@ def test_cli_ann_ingest_lane_both_kinds(spark, tmp_path, capsys):
     vec_arg = ",".join(f"{x:.8f}" for x in new_vec)
 
     for kind, extra in (("pq", ["--subspaces", "4", "--codes", "16"]),
-                        ("ivf", ["--cells", "4", "--persist-members"])):
+                        ("ivf", ["--cells", "4", "--persist-members"]),
+                        ("ivfpq", ["--cells", "4", "--subspaces", "4",
+                                   "--codes", "16"])):
         idx = tmp_path / f"idx_{kind}"
         cli.main(["build-ann-index", "--kind", kind, "--input", str(src),
                   "--index", str(idx), *extra])
@@ -548,6 +550,105 @@ def test_cli_ann_status_reports_lifecycle_state(spark, tmp_path, capsys):
     assert s["generation"] == "1" and s["base_rows"] == "32"
     assert s["live_increment_batches"] == "0" and s["stale_generation_dirs"] == "0"
     assert "missing" not in s["built_mean_sq_err"]
+
+
+def test_cli_build_over_existing_index_swaps_at_next_generation(
+    spark, tmp_path, capsys
+):
+    """ADVICE r13 regression: re-running build-ann-index over an
+    existing index must NOT rebuild in place at the same generation
+    (a concurrent serve could pair new codebooks with half-overwritten
+    codes) — it builds into the .rebuilding marker dir at generation+1
+    and installs via the rename-aside swap. With live streaming
+    increments it refuses and points at reindex-ann's coverage gate."""
+    import numpy as np
+
+    from flink_ms_spark.operators.similarity import read_index_manifest
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    rng = np.random.default_rng(241)
+    vecs = rng.normal(size=(40, 8))
+    src = tmp_path / "emb"
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(src))
+
+    idx = str(tmp_path / "idx")
+    build = ["build-ann-index", "--kind", "ivfpq", "--input", str(src),
+             "--index", idx, "--cells", "4", "--subspaces", "4",
+             "--codes", "8"]
+    cli.main(build)
+    capsys.readouterr()
+    assert read_index_manifest(spark, idx)["generation"] == 0
+
+    cli.main(build)  # rebuild over the live index
+    out = capsys.readouterr().out
+    assert "swapped in at generation 1" in out
+    m = read_index_manifest(spark, idx)
+    assert m["kind"] == "ivfpq" and m["generation"] == 1
+    import os
+
+    assert os.path.isdir(os.path.join(idx, "codes", "gen=1"))
+    assert not os.path.isdir(os.path.join(idx, "codes", "gen=0"))
+    assert not os.path.isdir(idx + ".rebuilding")
+
+    # with a live increment tail: refuse (no coverage gate here)
+    StreamingAnnIngest(spark, idx).process_batch(
+        spark.createDataFrame(
+            [(900, [float(x) for x in rng.normal(size=8)])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        ),
+        batch_id=0,
+    )
+    with pytest.raises(SystemExit, match="reindex-ann"):
+        cli.main(build)
+    assert read_index_manifest(spark, idx)["generation"] == 1
+
+
+def test_cli_ann_status_counts_mixed_increment_layouts(spark, tmp_path, capsys):
+    """ADVICE r13 regression: legacy batch_id=N dirs and stamped gen=0
+    dirs coexisting under codes_increments have conflicting partition
+    layouts — one read over both raises AnalysisException, so
+    ann-status (the diagnostic meant for exactly such odd states) must
+    count the groups separately and sum."""
+    import numpy as np
+
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    rng = np.random.default_rng(251)
+    vecs = rng.normal(size=(30, 8))
+    src = tmp_path / "emb"
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(src))
+    idx = str(tmp_path / "idx")
+    cli.main(["build-ann-index", "--input", str(src), "--index", idx,
+              "--subspaces", "4", "--codes", "8"])
+    capsys.readouterr()
+
+    w = StreamingAnnIngest(spark, idx)
+    w.process_batch(
+        spark.createDataFrame(
+            [(900, [float(x) for x in rng.normal(size=8)])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        ),
+        batch_id=0,
+    )
+    # manufacture the odd state: a legacy pre-stamp partition BESIDE
+    # the stamped one (normally the writer migrates legacy first)
+    import shutil
+
+    inc = tmp_path / "idx" / "codes_increments"
+    shutil.copytree(str(inc / "gen=0" / "batch_id=0"),
+                    str(inc / "batch_id=1"))
+
+    cli.main(["ann-status", "--index", idx])
+    s = dict(l.split("\t") for l in capsys.readouterr().out.splitlines()
+             if "\t" in l)
+    assert s["live_increment_batches"] == "2"
+    assert s["live_increment_rows"] == "2"
 
 
 def test_cli_sql_runs_over_fixture_views(sf_smoke, capsys):

@@ -102,22 +102,235 @@ def test_empty_and_corpus_scale_query_frames(spark, ivfpq):
         ivfpq_query_topk(spark, idx, corpus, k=3, max_queries=10)
 
 
-def test_ivfpq_is_batch_only_by_contract(spark, ivfpq):
-    """Pins the freshness contract: no streaming increment lane — the
-    ingest worker refuses the kind loudly and names the refresh path."""
+def test_streaming_code_increments_serve_fresh_and_moved_vectors(spark, ivfpq):
+    """The ivfpq ingest lane (round 14 — the kind's batch-only refusal
+    is GONE): a landed batch's new vectors serve through the merged
+    code view without a rebuild, a re-sent id that moved cells serves
+    from its new cell only, and replay is idempotent. Mirrors the
+    members-lane contract over 16-byte codes."""
+    from flink_ms_spark.operators.similarity import (
+        ivfpq_query_topk,
+        load_ivfpq_codes,
+    )
     from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
 
-    idx, *_ = ivfpq
-    with pytest.raises(ValueError, match="batch-only"):
-        StreamingAnnIngest(spark, idx)
+    idx, vecs, cents, cb = ivfpq
+    worker = StreamingAnnIngest(spark, idx)
+    assert worker.kind == "ivfpq" and worker.generation == 0
+
+    # id 7 re-sent AT another centroid, plus a brand-new id 900
+    base7 = load_ivfpq_codes(spark, idx).where(F.col("vec_id") == 7).collect()[0]
+    target = (base7.cell + 2) % 4
+    moved = cents[target] + 0.002
+    new_vec = cents[target] + 0.003
+    worker.process_batch(_vec_df(spark, [7, 900], [moved, new_vec]), batch_id=0)
+    assert os.path.isdir(os.path.join(
+        idx, "codes_increments", "gen=0", "batch_id=0", f"cell={target}"))
+
+    served = load_ivfpq_codes(spark, idx)
+    assert served.count() == 81  # 80 base + 900; id 7 superseded not duped
+    srow = served.where(F.col("vec_id") == 7).collect()[0]
+    assert srow.cell == target
+
+    # a lookup probing the NEW cell serves both streamed rows (ADC
+    # code ties make exact rank-1/2 fragile at 4×8 codes, so assert
+    # membership in the probed cell's full serve set, not rank)
+    q = _vec_df(spark, [-1], [cents[target] + 0.001])
+    got = {r.b for r in ivfpq_query_topk(
+        spark, idx, q, k=81, n_probe=1).collect()}
+    assert {7, 900} <= got
+    # ...and a lookup probing the OLD cell no longer serves id 7
+    q_old = _vec_df(spark, [-1], [cents[base7.cell] + 0.001])
+    old_cell = ivfpq_query_topk(spark, idx, q_old, k=80, n_probe=1)
+    assert old_cell.where(F.col("b") == 7).count() == 0
+
+    # replay idempotence: same batch_id overwrites its own partition
+    worker.process_batch(_vec_df(spark, [7, 900], [moved, new_vec]), batch_id=0)
+    assert load_ivfpq_codes(spark, idx).count() == 81
+
+
+def test_ivfpq_reindex_monitors_both_quantizers_and_gates_coverage(
+    spark, tmp_path
+):
+    """reindex_ivfpq: healthy corpus → no rebuild, both drift ratios
+    reported; a rebuild input missing a served (increment-only) id
+    refuses; a forced rebuild with full coverage swaps to gen 1,
+    folds the tail, and the fresh vector survives in the new base."""
+    from flink_ms_spark.operators.similarity import (
+        build_ivfpq_index,
+        load_ivfpq_codes,
+        read_index_manifest,
+        reindex_ivfpq,
+    )
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    rng = np.random.default_rng(211)
+    vecs = rng.normal(size=(60, 8))
+    idx = str(tmp_path / "ivfpq")
+    df = _vec_df(spark, range(60), vecs)
+    build_ivfpq_index(df, idx, n_cells=4, n_subspaces=4, n_codes=8,
+                      record_stats=True)
+
+    healthy = reindex_ivfpq(spark, idx, df)
+    assert healthy["action"] == "healthy"
+    assert healthy["coarse_drift_ratio"] <= 1.05
+    assert healthy["pq_drift_ratio"] <= 1.05
+
+    new_vec = rng.normal(size=8)
+    StreamingAnnIngest(spark, idx).process_batch(
+        _vec_df(spark, [900], [new_vec]), batch_id=0)
+
+    with pytest.raises(ValueError, match="900 .*|1 served id"):
+        reindex_ivfpq(spark, idx, df, force=True)
+    # the refused rebuild cleared its intent marker (ingest unblocked)
+    assert not os.path.isdir(idx + ".rebuilding")
+
+    full = _vec_df(spark, list(range(60)) + [900],
+                   list(vecs) + [new_vec])
+    report = reindex_ivfpq(spark, idx, full, force=True)
+    assert report["action"] == "rebuilt" and report["generation"] == 1
+    assert report["dropped_ids"] == 0
+    assert read_index_manifest(spark, idx)["generation"] == 1
+    served = load_ivfpq_codes(spark, idx)
+    assert served.count() == 61
+    assert not os.path.isdir(os.path.join(idx, "codes_increments"))
+
+
+def test_run_recovers_ivfpq_ingest_across_racing_reindex(spark, tmp_path):
+    """A reindex swap completing under a live ivfpq ingest stream: the
+    tripped batch re-encodes in place under the new generation
+    (run(reload_on_reindex=True)) and serves — same recovery contract
+    as the pq and ivf lanes."""
+    from flink_ms_spark.operators.similarity import (
+        build_ivfpq_index,
+        load_ivfpq_codes,
+        reindex_ivfpq,
+    )
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    rng = np.random.default_rng(223)
+    vecs = rng.normal(size=(40, 8))
+    idx = str(tmp_path / "ivfpq")
+    df = _vec_df(spark, range(40), vecs)
+    build_ivfpq_index(df, idx, n_cells=4, n_subspaces=4, n_codes=8,
+                      record_stats=True)
+
+    worker = StreamingAnnIngest(spark, idx)
+    reindex_ivfpq(spark, idx, df, force=True)  # swap to gen 1 behind its back
+
+    from flink_ms_spark.streaming.ann_ingest import StaleIndexGenerationError
+
+    batch = _vec_df(spark, [700], [rng.normal(size=8)])
+    with pytest.raises(StaleIndexGenerationError):
+        worker.process_batch(batch, batch_id=0)
+    worker.reload(spark)
+    worker.process_batch(batch, batch_id=0)
+    assert worker.generation == 1
+    served = load_ivfpq_codes(spark, idx)
+    assert served.where(F.col("vec_id") == 700).count() == 1
+
+
+def test_partial_fresh_build_reads_as_incomplete_ivfpq(spark, tmp_path):
+    """A fresh ivfpq build that crashed mid-encode (manifest written
+    before the corpus pass — round 14) reads as kind=ivfpq and the
+    serve fails 'incomplete', never mis-dispatching to the IVF lane;
+    the pre-manifest inference also classifies a centroids+codebooks
+    layout as ivfpq."""
+    from flink_ms_spark import fsutil
+    from flink_ms_spark.operators.similarity import (
+        INDEX_MANIFEST,
+        ivfpq_query_topk,
+        read_index_manifest,
+    )
+
+    rng = np.random.default_rng(227)
+    vecs = rng.normal(size=(30, 8))
+    idx = str(tmp_path / "partial")
+    df = _vec_df(spark, range(30), vecs)
+    from flink_ms_spark.operators.similarity import build_ivfpq_index
+
+    build_ivfpq_index(df, idx, n_cells=4, n_subspaces=4, n_codes=8)
+    shutil.rmtree(os.path.join(idx, "codes"))  # simulate the crash
+
+    m = read_index_manifest(spark, idx)
+    assert m["kind"] == "ivfpq"
+    q = _vec_df(spark, [-1], [vecs[0]])
+    with pytest.raises(IOError, match="incomplete"):
+        ivfpq_query_topk(spark, idx, q, k=3).collect()
+
+    # pre-manifest layout (no manifest file at all): inference must
+    # still say ivfpq, not ivf, because both artifact dirs exist
+    fsutil.delete(spark, fsutil.join(idx, INDEX_MANIFEST))
+    assert read_index_manifest(spark, idx)["kind"] == "ivfpq"
+
+
+def test_fold_bounds_the_live_tail_without_retraining(spark, ivfpq):
+    """fold_ann_increments: the merged serve answer is IDENTICAL
+    before and after the fold, the tail dirs are gone, the generation
+    bumped, and the trained artifacts are byte-identical (no
+    retraining)."""
+    from flink_ms_spark.operators.similarity import (
+        fold_ann_increments,
+        ivfpq_query_topk,
+        load_ivf_centroids,
+        load_ivfpq_codes,
+        read_index_manifest,
+    )
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    idx, vecs, cents, cb = ivfpq
+    worker = StreamingAnnIngest(spark, idx)
+    rng = np.random.default_rng(229)
+    worker.process_batch(_vec_df(spark, [900], [rng.normal(size=8)]),
+                         batch_id=0)
+    worker.process_batch(_vec_df(spark, [7], [cents[1] + 0.002]), batch_id=1)
+
+    q = _vec_df(spark, [-1, -2], rng.normal(size=(2, 8)))
+    before = sorted(map(tuple, ivfpq_query_topk(
+        spark, idx, q, k=3, n_probe=2).collect()))
+    report = fold_ann_increments(spark, idx)
+    assert report["action"] == "folded" and report["generation"] == 1
+    assert report["base_rows"] == 81
+    after = sorted(map(tuple, ivfpq_query_topk(
+        spark, idx, q, k=3, n_probe=2).collect()))
+    assert after == before
+    assert not os.path.isdir(os.path.join(idx, "codes_increments"))
+    assert read_index_manifest(spark, idx)["generation"] == 1
+    assert np.allclose(load_ivf_centroids(spark, idx), cents)
+    # the folded rows serve as base now
+    assert load_ivfpq_codes(spark, idx).where(
+        F.col("vec_id") == 900).count() == 1
+
+
+def test_ingest_warns_on_unbounded_tail(spark, ivfpq, caplog):
+    """Task-5 guard: past tail_warn_batches live batch partitions the
+    worker says so loudly (one listing, no data read) naming the fold."""
+    import logging
+
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    idx, vecs, cents, cb = ivfpq
+    worker = StreamingAnnIngest(spark, idx, tail_warn_batches=1)
+    rng = np.random.default_rng(233)
+    with caplog.at_level(logging.WARNING, logger="flink_ms_spark.streaming.ann_ingest"):
+        worker.process_batch(_vec_df(spark, [901], [rng.normal(size=8)]),
+                             batch_id=0)
+        assert not [r for r in caplog.records if "live increment tail" in r.message]
+        worker.process_batch(_vec_df(spark, [902], [rng.normal(size=8)]),
+                             batch_id=1)
+    warns = [r for r in caplog.records if "live increment tail" in r.message]
+    assert warns and "fold" in warns[0].message
 
 
 def test_cli_ivfpq_build_query_status_reindex(spark, tmp_path, capsys):
-    """The CLI lifecycle for the ivfpq kind: build persists all three
-    artifacts, ann-query serves the nearest code partition (self point
-    first), ann-status reads the stamped layout, reindex-ann refuses
-    with the documented batch-rebuild path."""
+    """The CLI lifecycle for the ivfpq kind, end to end: build persists
+    all three artifacts + drift baselines, ann-query serves the nearest
+    code partition (self point first), ann-ingest-landed increments show
+    in ann-status (tail ratio), reindex-ann monitors both quantizers,
+    --fold bounds the tail, and a forced reindex swaps to the next
+    generation."""
     from flink_ms_spark import cli
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
 
     rng = np.random.default_rng(113)
     vecs = rng.normal(size=(60, 8)).astype("float64")
@@ -142,11 +355,53 @@ def test_cli_ivfpq_build_query_status_reindex(spark, tmp_path, capsys):
     d = [float(l.split("\t")[1]) for l in lines]
     assert d == sorted(d)
 
-    cli.main(["ann-status", "--index", idx])
-    s = dict(l.split("\t") for l in capsys.readouterr().out.splitlines()
-             if "\t" in l)
+    def status(*extra):
+        cli.main(["ann-status", "--index", idx, *extra])
+        return dict(l.split("\t") for l in capsys.readouterr().out.splitlines()
+                    if "\t" in l)
+
+    s = status()
     assert s["kind"] == "ivfpq" and s["generation"] == "0"
     assert s["base_rows"] == "60"
+    assert "built_coarse_err" in s and "built_pq_err" in s
+    assert "served_rows" not in s  # corpus-scale count is opt-in
 
-    with pytest.raises(SystemExit, match="batch-only"):
-        cli.main(["reindex-ann", "--index", idx, "--input", str(src)])
+    # a streamed increment shows up in the census + tail ratio + --exact
+    StreamingAnnIngest(spark, idx).process_batch(
+        _vec_df(spark, [900], [rng.normal(size=8)]), batch_id=0)
+    s = status("--exact")
+    assert s["live_increment_batches"] == "1" and s["live_increment_rows"] == "1"
+    assert s["tail_base_ratio"] == f"{1 / 60:.4f}"
+    assert s["served_rows"] == "61"
+
+    # the streamed vector serves through ann-query immediately
+    cli.main(["ann-query", "--index", idx, f"--vector={vec_arg}", "-k", "61"])
+    served_ids = {int(l.split("\t")[0]) for l in
+                  capsys.readouterr().out.splitlines() if "\t" in l}
+    assert 900 in served_ids
+
+    # monitor: same corpus + tail id → healthy, both ratios reported
+    full = tmp_path / "full"
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+        + [(900, [float(x) for x in rng.normal(size=8)])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(str(full))
+    cli.main(["reindex-ann", "--index", idx, "--input", str(full)])
+    out = capsys.readouterr().out
+    assert "action\thealthy" in out
+    assert "coarse_drift_ratio" in out and "pq_drift_ratio" in out
+
+    # --fold bounds the tail without retraining
+    cli.main(["reindex-ann", "--index", idx, "--fold"])
+    out = capsys.readouterr().out
+    assert "action\tfolded" in out and "generation\t1" in out
+    s = status()
+    assert s["generation"] == "1" and s["live_increment_batches"] == "0"
+    assert s["base_rows"] == "61"
+
+    # forced rebuild swaps to the next generation with fresh baselines
+    cli.main(["reindex-ann", "--index", idx, "--input", str(full), "--force"])
+    out = capsys.readouterr().out
+    assert "action\trebuilt" in out and "generation\t2" in out
+    assert status()["generation"] == "2"
