@@ -621,10 +621,12 @@ def cmd_build_ann_index(args: argparse.Namespace) -> None:
                 seed=args.seed,
                 generation=generation,
                 record_stats=True,
+                persist_members=args.persist_members,
             )
+            members = " + members table" if args.persist_members else ""
             desc = (f"ivfpq, {cents.shape[0]} cells, "
                     f"{cb.shape[0]} subspaces x {cb.shape[1]} codes, "
-                    f"dim {cents.shape[1]}")
+                    f"dim {cents.shape[1]}{members}")
         elif args.kind == "ivf":
             from flink_ms_spark.operators.similarity import build_ivf_index
 
@@ -890,7 +892,10 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
     load_ivfpq_codes — probed cells' base partitions plus the
     current-generation streaming increment tail, latest batch winning
     per id), so ann-ingest freshness serves immediately. Prints
-    ``id<TAB>ad2``.
+    ``id<TAB>ad2``. With ``--rerank N`` (requires a members table,
+    build --persist-members) the top-N ADC candidates re-rank on
+    EXACT squared L2 from the probed cells' member partitions — the
+    FAISS refine stage; prints ``id<TAB>d2`` exact.
 
     IVF: with a persisted members table (build --persist-members) the
     lookup reads ONLY the probed cells' partitions plus the live
@@ -915,10 +920,14 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
 
         out = ivfpq_query_topk(
             spark, args.index, q, k=args.k, n_probe=args.n_probe,
-            id_col=args.id_col, vec_col=args.vec_col,
+            id_col=args.id_col, vec_col=args.vec_col, rerank=args.rerank,
         )
-        for r in out.orderBy("rk").collect():
-            print(f"{r.b}\t{r.ad2:.6f}")
+        if args.rerank is not None:
+            for r in out.orderBy("rk").collect():
+                print(f"{r.b}\t{r.d2:.6f}")
+        else:
+            for r in out.orderBy("rk").collect():
+                print(f"{r.b}\t{r.ad2:.6f}")
         return
     if kind == "ivf":
         from flink_ms_spark.operators.similarity import (
@@ -1334,10 +1343,11 @@ def build_parser() -> argparse.ArgumentParser:
     bi.add_argument("--cells", type=int, default=8,
                     help="coarse cells (--kind ivf)")
     bi.add_argument("--persist-members", action="store_true",
-                    help="(--kind ivf) also persist the corpus "
-                    "partitioned by cell: point lookups read O(n_probe) "
-                    "partitions instead of scanning --input, and the "
-                    "index gains a streaming increment lane")
+                    help="also persist the corpus partitioned by cell: "
+                    "for --kind ivf, point lookups read O(n_probe) "
+                    "partitions instead of scanning --input and the index "
+                    "gains a streaming increment lane; for --kind ivfpq, "
+                    "enables the exact re-rank stage (ann-query --rerank)")
     bi.add_argument("--id-col", default="vec_id")
     bi.add_argument("--vec-col", default="embedding")
     bi.add_argument("--seed", type=int, default=42)
@@ -1391,6 +1401,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "without a members table; on a members index it "
                     "OVERRIDES the members view (ad-hoc corpus)")
     aq.add_argument("--n-probe", type=int, default=2)
+    aq.add_argument("--rerank", type=int, default=None,
+                    help="(ivfpq with a members table) exact re-rank of "
+                    "the top-N ADC candidates — prints exact squared L2 "
+                    "distances instead of approximate ones")
     aq.add_argument("--id-col", default="vec_id")
     aq.add_argument("--vec-col", default="embedding")
     aq.set_defaults(func=cmd_ann_query)

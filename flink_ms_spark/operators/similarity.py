@@ -1946,6 +1946,7 @@ def build_ivfpq_index(
     pq_codebooks: np.ndarray | None = None,
     generation: int = 0,
     record_stats: bool = False,
+    persist_members: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Persist an IVF-PQ index: ``<path>/centroids`` (coarse cells) +
     ``<path>/codebooks`` (PQ) + ``<path>/codes/gen=G/cell=C`` (id,
@@ -1963,7 +1964,14 @@ def build_ivfpq_index(
     compares against — coarse assignment error (``"coarse"``,
     ivf_assignment_stats) and PQ quantization error (``"pq"``,
     pq_quantization_error) — at the cost of two extra corpus passes
-    (opt-in, like the other builders)."""
+    (opt-in, like the other builders).
+
+    ``persist_members=True`` additionally writes ``members/gen=G``
+    (the raw corpus partitioned by cell, exactly the IVF members
+    layout) — what enables ``ivfpq_query_topk(rerank=N)``, the FAISS
+    refine stage: exact re-ranking of the top-N ADC candidates from
+    O(n_probe) member partitions. Costs one extra corpus pass + the
+    raw-vector storage; the ADC-only serve never reads it."""
     cents = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
@@ -2003,6 +2011,10 @@ def build_ivfpq_index(
     ).write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes/gen={generation}"
     )
+    if persist_members:
+        assign_members(df, cents, id_col=id_col, vec_col=vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/members/gen={generation}")
     if record_stats:
         import json as _json
 
@@ -2105,10 +2117,24 @@ def ivfpq_query_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int | None = MAX_BROADCAST_QUERIES,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Point-lookup serve over a persisted IVF-PQ index —
     (a, b, ad2, rk), ascending rounded ADC distance, ties to the lower
-    id. Each query's n_probe nearest cells come from a driver-side
+    id.
+
+    ``rerank=N`` is the FAISS refine stage: keep each query's top-N
+    ADC candidates (N ≥ k), fetch their EXACT vectors from the
+    members table (``build_ivfpq_index(persist_members=True)`` +
+    member increments, via the same merged view as the IVF lane) from
+    the probed cells' partitions only, and re-rank top-k on exact
+    squared L2 — output (a, b, d2, rk) with ``d2`` the exact rounded
+    distance. ADC error comes from quantization; the refine pass
+    removes it for the short list at the cost of N raw-vector reads
+    per query. An index without members refuses loudly; a candidate
+    id missing from the members view (codes/members increments out of
+    sync mid-crash) raises in the kernel rather than silently serving
+    a shorter list. Each query's n_probe nearest cells come from a driver-side
     argmin over the tiny centroid matrix; the code read is the MERGED
     serving view (:func:`load_ivfpq_codes` — base partitions pruned to
     the probed cells, plus the current-generation streaming increment
@@ -2183,7 +2209,74 @@ def ivfpq_query_topk(
     cands = codes.mapInPandas(scan, schema=adc_schema).where(F.col("a") != F.col("b"))
     scored = cands.select("a", "b", F.round("ad2", 6).alias("ad2"))
     w = Window.partitionBy("a").orderBy(F.col("ad2").asc(), F.col("b").asc())
-    return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
+    if rerank is None:
+        return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
+            F.col("rk") <= k
+        )
+
+    if not has_ivf_members(spark, path):
+        raise ValueError(
+            f"ivfpq_query_topk(rerank={rerank}): index {path} has no "
+            f"members table — the refine stage needs exact vectors. "
+            f"Build with build_ivfpq_index(persist_members=True) (CLI: "
+            f"build-ann-index --kind ivfpq --persist-members), or serve "
+            f"ADC-only (rerank=None)."
+        )
+    n_cand = max(int(rerank), k)
+    short = (
+        scored.withColumn("_ark", F.row_number().over(w))
+        .where(F.col("_ark") <= n_cand)
+        .select("a", "b")
+    )
+    members = load_ivf_members(spark, path, cells=probed, id_col=id_col,
+                               vec_col=vec_col, expected_generation=gen)
+    joined = short.join(
+        members.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_bvec")),
+        "b",
+        "left",
+    )
+    bq2 = spark.sparkContext.broadcast((q_ids, qm))
+
+    exact_schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("d2", T.DoubleType(), False),
+        ]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, q = bq2.value
+        pos = {int(i): j for j, i in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pdf["_bvec"].isna().any():
+                missing = pdf.loc[pdf["_bvec"].isna(), "b"].tolist()[:5]
+                raise ValueError(
+                    f"ivfpq rerank: candidate id(s) {missing} are in the "
+                    f"code view but missing from the members view — the "
+                    f"two increment lanes are out of sync (crash between "
+                    f"the member and code writes of one batch?); replay "
+                    f"the batch or reindex rather than silently serving "
+                    f"a shorter candidate list."
+                )
+            qa = np.fromiter((pos[int(x)] for x in pdf["a"]),
+                             dtype=np.int64, count=len(pdf))
+            bm = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            d2 = ((q[qa] - bm) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"].to_numpy(dtype=np.int64),
+                    "b": pdf["b"].to_numpy(dtype=np.int64),
+                    "d2": d2,
+                }
+            )
+
+    exact = joined.mapInPandas(refine, schema=exact_schema)
+    rescored = exact.select("a", "b", F.round("d2", 6).alias("d2"))
+    w2 = Window.partitionBy("a").orderBy(F.col("d2").asc(), F.col("b").asc())
+    return rescored.withColumn("rk", F.row_number().over(w2).cast("int")).where(
         F.col("rk") <= k
     )
 
@@ -2284,6 +2377,7 @@ def reindex_ivfpq(
             seed=seed,
             generation=gen + 1,
             record_stats=True,
+            persist_members=has_ivf_members(spark, path),
         )
         new_stats = _json.loads(
             fsutil.read_text(spark, fsutil.join(tmp, "stats.json"))
@@ -2370,6 +2464,15 @@ def fold_ann_increments(
             load_ivfpq_codes(
                 spark, path, id_col=id_col, expected_generation=gen,
             ).write.partitionBy("cell").parquet(out_dir)
+            if has_ivf_members(spark, path):
+                # the rerank lane's members table folds in lockstep so
+                # codes and exact vectors stay id-for-id in sync
+                load_ivf_members(
+                    spark, path, id_col=id_col, vec_col=vec_col,
+                    expected_generation=gen,
+                ).write.partitionBy("cell").parquet(
+                    fsutil.join(tmp, "members", f"gen={gen + 1}")
+                )
         else:
             _copy("codebooks")
             out_dir = fsutil.join(tmp, "codes", f"gen={gen + 1}")
@@ -2655,21 +2758,10 @@ def ivf_pq_topk(
                 axis=2
             )  # (q, K)
             ad2 += tbl[:, codes[:, s]]
-        ad2 = np.round(ad2, 6)
         same = ids[:, None] == mem_ids[None, :]
         ad2[same] = np.inf
-        n_keep = min(margin, ad2.shape[1])
-        idx = np.argpartition(ad2, n_keep - 1, axis=1)[:, :n_keep] if ad2.shape[1] > n_keep else np.tile(np.arange(ad2.shape[1]), (len(m), 1))
-        rows = np.arange(len(m))[:, None]
-        vals = ad2[rows, idx]
-        keep = np.isfinite(vals)
-        return pd.DataFrame(
-            {
-                "a": np.repeat(ids, idx.shape[1]).reshape(len(ids), idx.shape[1])[keep],
-                "b": mem_ids[idx][keep],
-                "ad2": vals[keep],
-            }
-        )
+        return _prune_candidates(ids, mem_ids, ad2, margin, "ad2",
+                                 ascending=True)
 
     cands = assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
     cands = cands.groupBy("a", "b").agg(F.min("ad2").alias("ad2"))

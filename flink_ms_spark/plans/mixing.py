@@ -282,13 +282,16 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accumulation), embedded as VALUES like _pq_oracle.
 
 
-def _ivf_pq_expected_sql(every: int | None) -> str:
-    """Shared numpy replay behind the two IVF-PQ oracles: coarse
+def _ivf_pq_expected_sql(every: int | None, rerank: int | None = None) -> str:
+    """Shared numpy replay behind the IVF-PQ oracles: coarse
     assignment (rounded 6 dp, stable ties), per-query 2-cell probe,
     PQ encode, subspace-order ADC accumulation, ascending (ad2, b)
     rank — embedded as VALUES. ``every`` restricts the query side to
     ids divisible by it (the ivfpq_lookup serve slice); ``None`` is
-    the all-pairs report."""
+    the all-pairs report. ``rerank=N`` replays the refine stage:
+    top-N by (rounded ad2, id), then EXACT squared L2 over those
+    candidates, top-k ascending (rounded d2, id) — the
+    ivfpq_rerank contract (columns a, b, d2, rk)."""
     import numpy as np
     import pyarrow.parquet as papq
 
@@ -326,15 +329,30 @@ def _ivf_pq_expected_sql(every: int | None) -> str:
             tbl = ((m[qi, s * sub : (s + 1) * sub][None, :] - cb[s]) ** 2).sum(axis=1)
             ad2 += tbl[codes[cand, s]]
         ad2 = np.round(ad2, 6)
+        if rerank is not None:
+            short = sorted(
+                range(len(cand)), key=lambda j: (ad2[j], ids[cand[j]])
+            )[:rerank]
+            d2 = {
+                j: round(float(((m[qi] - m[cand[j]]) ** 2).sum()), 6)
+                for j in short
+            }
+            order = sorted(short, key=lambda j: (d2[j], ids[cand[j]]))[:5]
+            out.extend(
+                (int(ids[qi]), int(ids[cand[j]]), float(d2[j]), rk + 1)
+                for rk, j in enumerate(order)
+            )
+            continue
         order = sorted(range(len(cand)), key=lambda j: (ad2[j], ids[cand[j]]))[:5]
         out.extend(
             (int(ids[qi]), int(ids[cand[j]]), float(ad2[j]), rk + 1)
             for rk, j in enumerate(order)
         )
+    col = "d2" if rerank is not None else "ad2"
     rows = ", ".join(f"({a}, {b}, {d!r}, {rk})" for a, b, d, rk in out)
     return (
-        "SELECT a, b, CAST(ad2 AS DOUBLE) AS ad2, CAST(rk AS INT) AS rk "
-        + values_clause(rows, "t(a, b, ad2, rk)")
+        f"SELECT a, b, CAST({col} AS DOUBLE) AS {col}, CAST(rk AS INT) AS rk "
+        + values_clause(rows, f"t(a, b, {col}, rk)")
     )
 
 
@@ -344,6 +362,10 @@ def _ivf_pq_oracle() -> str:
 
 def _ivfpq_lookup_oracle() -> str:
     return _ivf_pq_expected_sql(every=100)
+
+
+def _ivfpq_rerank_oracle() -> str:
+    return _ivf_pq_expected_sql(every=100, rerank=20)
 
 
 @register("ivf_pq_topk", oracle=_ivf_pq_oracle)
@@ -364,16 +386,42 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_index_dir(sf_dir: str) -> str:
     """Cache location for the persisted IVF-PQ index, keyed on the
     fixture file's identity (same pattern as pipeline._pq_index_dir /
-    northstar._ivf_members_index_dir)."""
+    northstar._ivf_members_index_dir). v2: built with a members table
+    (the rerank lane shares this index; the ADC path never reads it)."""
     import hashlib
     import tempfile
 
     f = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(f)
     key = hashlib.md5(
-        f"v1:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v2:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"flink_ms_ivfpq_{key}")
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once guard shared by ivfpq_lookup / ivfpq_rerank: both
+    serve the SAME persisted index (codes + members), trained by the
+    shared pyarrow trainers so the oracles' numpy replay is
+    bit-identical."""
+    from flink_ms_spark.operators.similarity import (
+        build_ivfpq_index,
+        codebook_from_parquet,
+        pq_codebooks_from_parquet,
+    )
+
+    idx = _ivfpq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "codes", "gen=0", "_SUCCESS")):
+        build_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"),
+            idx,
+            centroids=codebook_from_parquet(sf_dir, n_cells=8, seed=42),
+            pq_codebooks=pq_codebooks_from_parquet(
+                sf_dir, n_subspaces=16, n_codes=32, seed=42
+            ),
+            persist_members=True,
+        )
+    return idx
 
 
 @register("ivfpq_lookup", oracle=_ivfpq_lookup_oracle)
@@ -389,30 +437,38 @@ def q_ivfpq_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared pyarrow ones, so the DuckDB oracle's numpy replay
     (assignment, probe, subspace-order ADC, rank) is bit-identical to
     ivf_pq_topk's — same contract, persisted serve shape."""
-    import os
-
     from pyspark.sql import functions as F
 
-    from flink_ms_spark.operators.similarity import (
-        build_ivfpq_index,
-        codebook_from_parquet,
-        ivfpq_query_topk,
-        pq_codebooks_from_parquet,
-    )
+    from flink_ms_spark.operators.similarity import ivfpq_query_topk
 
+    idx = _ensure_ivfpq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = _ivfpq_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(idx, "codes", "gen=0", "_SUCCESS")):
-        build_ivfpq_index(
-            emb,
-            idx,
-            centroids=codebook_from_parquet(sf_dir, n_cells=8, seed=42),
-            pq_codebooks=pq_codebooks_from_parquet(
-                sf_dir, n_subspaces=16, n_codes=32, seed=42
-            ),
-        )
     queries = emb.where((F.col("vec_id") % 100) == 0)
     return ivfpq_query_topk(spark, idx, queries, k=5, n_probe=2)
+
+
+@register("ivfpq_rerank", oracle=_ivfpq_rerank_oracle)
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serve with the FAISS refine stage
+    (operators/similarity.py:ivfpq_query_topk(rerank=20)): each
+    query's top-20 ADC candidates re-rank on EXACT squared L2 fetched
+    from the probed cells' member partitions (the index persists
+    members beside codes — build_ivfpq_index(persist_members=True)).
+    Output (a, b, d2, rk) is exact distance — the quantization error
+    the ADC-only lookup carries is removed for the short list at the
+    cost of 20 raw-vector rows per query, the standard accuracy/IO
+    dial. Same deterministic query slice and shared trainers as
+    ivfpq_lookup, so the DuckDB oracle's numpy replay (ADC shortlist →
+    exact re-rank, both with id tie-breaks on rounded values) is
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from flink_ms_spark.operators.similarity import ivfpq_query_topk
+
+    idx = _ensure_ivfpq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 100) == 0)
+    return ivfpq_query_topk(spark, idx, queries, k=5, n_probe=2, rerank=20)
 
 
 # --------------------------------------------------------------------------

@@ -162,6 +162,10 @@ class StreamingAnnIngest:
         if self.kind == "ivfpq":
             self.centroids = load_ivf_centroids(spark, self.index_path)
             self.codebooks = load_pq_codebooks(spark, self.index_path)
+            # a members table (persist_members=True, the rerank lane)
+            # must stay in sync with the code table: this worker then
+            # lands BOTH increments per batch
+            self.has_members: bool = has_ivf_members(spark, self.index_path)
             return
         if self.kind == "ivf":
             if not has_ivf_members(spark, self.index_path):
@@ -231,7 +235,11 @@ class StreamingAnnIngest:
                                      id_col=self.id_col, vec_col=self.vec_col)
             self._land_increment(members, out, partition_by="cell")
         elif self.kind == "ivfpq":
-            from flink_ms_spark.operators.similarity import ivfpq_encode
+            from flink_ms_spark.operators.similarity import (
+                MEMBERS_INC,
+                assign_members,
+                ivfpq_encode,
+            )
 
             out = fsutil.join(
                 self.index_path, _INC,
@@ -243,6 +251,21 @@ class StreamingAnnIngest:
             dedup = batch_df.groupBy(self.id_col).agg(
                 F.max(self.vec_col).alias(self.vec_col)
             )
+            if self.has_members:
+                # members FIRST: a serve between the two writes then
+                # sees a not-yet-visible candidate (codes absent —
+                # harmless) instead of a code whose exact vector is
+                # missing (the rerank kernel would raise); a crash
+                # between them replays the batch, overwriting both
+                mout = fsutil.join(
+                    self.index_path, MEMBERS_INC,
+                    f"gen={self.generation}", f"batch_id={batch_id}",
+                )
+                self._land_increment(
+                    assign_members(dedup, self.centroids,
+                                   id_col=self.id_col, vec_col=self.vec_col),
+                    mout, partition_by="cell",
+                )
             codes = ivfpq_encode(dedup, self.centroids, self.codebooks,
                                  id_col=self.id_col, vec_col=self.vec_col)
             self._land_increment(codes, out, partition_by="cell")

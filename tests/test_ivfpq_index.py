@@ -302,6 +302,102 @@ def test_fold_bounds_the_live_tail_without_retraining(spark, ivfpq):
         F.col("vec_id") == 900).count() == 1
 
 
+@pytest.fixture
+def ivfpq_members(spark, tmp_path):
+    """An IVF-PQ index WITH a members table (the rerank lane)."""
+    from flink_ms_spark.operators.similarity import build_ivfpq_index
+
+    rng = np.random.default_rng(307)
+    vecs = rng.normal(size=(80, 8))
+    idx = str(tmp_path / "ivfpq_m")
+    df = _vec_df(spark, range(80), vecs)
+    cents, cb = build_ivfpq_index(df, idx, n_cells=4, n_subspaces=4,
+                                  n_codes=8, persist_members=True)
+    return idx, vecs, cents, cb
+
+
+def test_rerank_recovers_exact_order_within_probed_cells(spark, ivfpq_members):
+    """The refine contract: with rerank ≥ the candidate count, the
+    top-k IS the exact squared-L2 ranking over the probed cells'
+    members (quantization error fully removed) — verified against a
+    numpy replay; and rerank recall vs that exact truth is never below
+    ADC-only recall."""
+    from flink_ms_spark.operators.similarity import (
+        _probe_cells,
+        ivfpq_query_topk,
+        load_ivfpq_codes,
+    )
+
+    idx, vecs, cents, cb = ivfpq_members
+    rng = np.random.default_rng(311)
+    qv = rng.normal(size=8)
+    q = _vec_df(spark, [-1], [qv])
+
+    got = ivfpq_query_topk(spark, idx, q, k=5, n_probe=2, rerank=200).collect()
+    got_pairs = [(r.b, r.d2, r.rk) for r in sorted(got, key=lambda r: r.rk)]
+
+    # numpy ground truth: exact d2 over the two probed cells' members
+    cells = load_ivfpq_codes(spark, idx).select("vec_id", "cell").collect()
+    cell_of = {r.vec_id: r.cell for r in cells}
+    probed = set(np.flatnonzero(_probe_cells(qv[None, :], cents, 2)[0]))
+    cand = [i for i in range(80) if cell_of[i] in probed]
+    d2 = {i: round(float(((qv - vecs[i]) ** 2).sum()), 6) for i in cand}
+    want = sorted(cand, key=lambda i: (d2[i], i))[:5]
+    assert [b for b, _, _ in got_pairs] == want
+    assert [d for _, d, _ in got_pairs] == [d2[i] for i in want]
+
+    # recall@5 vs exact-in-probed-cells: rerank ≥ ADC-only
+    adc = {r.b for r in ivfpq_query_topk(spark, idx, q, k=5, n_probe=2).collect()}
+    assert len(set(want) & {b for b, _, _ in got_pairs}) >= len(set(want) & adc)
+
+
+def test_rerank_serves_streamed_vectors_and_requires_members(
+    spark, ivfpq, ivfpq_members
+):
+    """Member increments land in lockstep with code increments, so a
+    streamed vector re-ranks on its exact embedding; an index without
+    members refuses the rerank loudly."""
+    from flink_ms_spark.operators.similarity import ivfpq_query_topk
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    no_members_idx, *_ = ivfpq
+    idx, vecs, cents, cb = ivfpq_members
+
+    rng = np.random.default_rng(313)
+    qv = rng.normal(size=8)
+    worker = StreamingAnnIngest(spark, idx)
+    assert worker.has_members
+    worker.process_batch(_vec_df(spark, [900], [qv]), batch_id=0)
+
+    q = _vec_df(spark, [-1], [qv])
+    got = ivfpq_query_topk(spark, idx, q, k=1, n_probe=4, rerank=200).collect()
+    # the streamed vector IS the query: exact d2 = 0, rank 1
+    assert got[0].b == 900 and got[0].d2 == 0.0
+
+    with pytest.raises(ValueError, match="persist_members"):
+        ivfpq_query_topk(spark, no_members_idx, q, k=3, rerank=10)
+
+
+def test_rerank_raises_on_out_of_sync_member_view(spark, ivfpq_members):
+    """A candidate id present in the code view but missing from the
+    members view (codes/members increments out of sync) raises in the
+    refine kernel instead of silently serving a shorter list."""
+    from flink_ms_spark.operators.similarity import ivfpq_query_topk
+    from flink_ms_spark.streaming.ann_ingest import StreamingAnnIngest
+
+    idx, vecs, cents, cb = ivfpq_members
+    rng = np.random.default_rng(317)
+    qv = rng.normal(size=8)
+    worker = StreamingAnnIngest(spark, idx)
+    worker.process_batch(_vec_df(spark, [900], [qv]), batch_id=0)
+    # simulate the crash window: code increment landed, member missing
+    shutil.rmtree(os.path.join(idx, "members_increments"))
+
+    q = _vec_df(spark, [-1], [qv])
+    with pytest.raises(Exception, match="out of sync"):
+        ivfpq_query_topk(spark, idx, q, k=1, n_probe=4, rerank=200).collect()
+
+
 def test_ingest_warns_on_unbounded_tail(spark, ivfpq, caplog):
     """Task-5 guard: past tail_warn_batches live batch partitions the
     worker says so loudly (one listing, no data read) naming the fold."""
