@@ -212,6 +212,10 @@ HEADLINE = [
     # round-13 second wave: the persisted IVF-PQ point lookup —
     # cell-pruned code partitions, per-query masked ADC kernel
     "ivfpq_lookup",
+    # round-14: the FAISS refine stage — ADC shortlist + exact re-rank
+    # from the probed cells' member partitions (prices the extra
+    # members join + exact kernel on top of ivfpq_lookup)
+    "ivfpq_rerank",
 ]
 
 # Iterative-graph tier: excluded from the headline mean (multi-round
