@@ -588,10 +588,19 @@ def cmd_build_ann_index(args: argparse.Namespace) -> None:
     build_path, generation = target, 0
     if existing:
         m = read_index_manifest(spark, target)
+        generation = m["generation"] + 1
+        build_path = target.rstrip("/") + ".rebuilding"
+        # marker BEFORE the census (the reindex gate's ordering): once
+        # it exists ingest refuses to COMMIT, so a batch racing this
+        # check stays uncommitted and replays — landed-after-census
+        # increments can no longer be silently discarded by the swap
+        fsutil.delete(spark, build_path)
+        fsutil.mkdirs(spark, build_path)
         stamped, legacy, _stale = live_increment_census(
             spark, target, m["kind"], m["generation"]
         )
         if stamped or legacy:
+            fsutil.delete(spark, build_path)  # unblock ingest
             raise SystemExit(
                 f"build-ann-index: {target} has "
                 f"{len(stamped) + len(legacy)} live streaming increment "
@@ -601,10 +610,6 @@ def cmd_build_ann_index(args: argparse.Namespace) -> None:
                 f"id — or reindex-ann --fold first to fold the tail into "
                 f"the base."
             )
-        generation = m["generation"] + 1
-        build_path = target.rstrip("/") + ".rebuilding"
-        fsutil.delete(spark, build_path)
-        fsutil.mkdirs(spark, build_path)
 
     try:
         if args.kind == "ivfpq":
@@ -915,6 +920,12 @@ def cmd_ann_query(args: argparse.Namespace) -> None:
         [(-1, vec)], f"{args.id_col} LONG, {args.vec_col} ARRAY<DOUBLE>"
     )
     kind = read_index_manifest(spark, args.index)["kind"]
+    if args.rerank is not None and kind != "ivfpq":
+        raise SystemExit(
+            f"ann-query: --rerank is the IVF-PQ refine stage; this index "
+            f"is kind '{kind}' whose serve is already exact over its "
+            f"candidates — refusing rather than silently ignoring the flag."
+        )
     if kind == "ivfpq":
         from flink_ms_spark.operators.similarity import ivfpq_query_topk
 

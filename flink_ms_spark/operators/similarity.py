@@ -2160,7 +2160,8 @@ def ivfpq_query_topk(
         "ivf_pq_topk (per-cell all-pairs report)",
     )
     if not q_rows:
-        return spark.createDataFrame([], "a LONG, b LONG, ad2 DOUBLE, rk INT")
+        col = "ad2" if rerank is None else "d2"
+        return spark.createDataFrame([], f"a LONG, b LONG, {col} DOUBLE, rk INT")
     q_ids, qm, _ = _query_matrices(q_rows, len(q_rows[0][1]))
     allowed = _probe_cells(qm, cents, n_probe)
     probed = [int(c) for c in np.flatnonzero(allowed.any(axis=0))]
@@ -2169,7 +2170,10 @@ def ivfpq_query_topk(
                              expected_generation=gen)
 
     bq = spark.sparkContext.broadcast((q_ids, qm, allowed, cb))
-    margin = 2 * k + 8
+    # the batch prune must keep at least the refine shortlist: with
+    # rerank > 2k+8 a margin-limited batch could evict a true ADC
+    # top-N candidate whose EXACT distance would have won
+    margin = max(2 * k + 8, rerank or 0)
     n_sub, _, sub = cb.shape
 
     adc_schema = T.StructType(
@@ -2433,6 +2437,11 @@ def fold_ann_increments(
 
     manifest = read_index_manifest(spark, path)
     kind, gen = manifest["kind"], manifest["generation"]
+    if kind == "ivf" and not has_ivf_members(spark, path):
+        # nothing to fold (no members → no increments) — decide BEFORE
+        # creating the intent marker, which would otherwise leak and
+        # block ingest until manually removed
+        return {"action": "no-members", "generation": gen}
     tmp = path.rstrip("/") + ".rebuilding"
     fsutil.delete(spark, tmp)  # stale debris from a prior crash
     fsutil.mkdirs(spark, tmp)
@@ -2449,8 +2458,6 @@ def fold_ann_increments(
                 fsutil.read_text(spark, stats_path),
             )
         if kind == "ivf":
-            if not has_ivf_members(spark, path):
-                return {"action": "no-members", "generation": gen}
             _copy("centroids")
             out_dir = fsutil.join(tmp, "members", f"gen={gen + 1}")
             load_ivf_members(

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import io
 
+import pytest
+
 from flink_ms_spark import cli
 
 
@@ -604,6 +606,17 @@ def test_cli_build_over_existing_index_swaps_at_next_generation(
     with pytest.raises(SystemExit, match="reindex-ann"):
         cli.main(build)
     assert read_index_manifest(spark, idx)["generation"] == 1
+    # the refusal cleaned up its intent marker (ingest unblocked)
+    assert not os.path.isdir(idx + ".rebuilding")
+
+    # --rerank on a non-ivfpq kind refuses instead of silently ignoring
+    pq_idx = str(tmp_path / "pq_idx")
+    cli.main(["build-ann-index", "--input", str(src), "--index", pq_idx,
+              "--subspaces", "4", "--codes", "8"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="refine stage"):
+        cli.main(["ann-query", "--index", pq_idx, "--vector=0,0,0,0,0,0,0,0",
+                  "--rerank", "10"])
 
 
 def test_cli_ann_status_counts_mixed_increment_layouts(spark, tmp_path, capsys):

@@ -378,6 +378,77 @@ def test_rerank_serves_streamed_vectors_and_requires_members(
         ivfpq_query_topk(spark, no_members_idx, q, k=3, rerank=10)
 
 
+def test_rerank_shortlist_survives_batch_prune_beyond_default_margin(
+    spark, tmp_path
+):
+    """Round-14 review regression: the kernel's per-batch prune must
+    keep at least ``rerank`` candidates, not the default 2k+8 margin.
+    Adversarial construction: 20 candidates in ONE cell where the
+    EXACT nearest neighbor has the WORST ADC distance (its actual
+    position sits near the query but encodes to a far PQ center), so
+    with k=1/rerank=20 the refine can only find it if the batch prune
+    kept all 20 — a 2k+8=10 prune silently serves the wrong neighbor."""
+    from flink_ms_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_query_topk,
+    )
+
+    # dim 2, 2 subspaces of 1 dim each; one coarse cell at the origin.
+    # subspace-0 centers: a fine grid so each candidate has a distinct
+    # ADC x-term; subspace-1 centers {0, 3}: y=1.6 encodes to 3 (far),
+    # y=0 to 0. Query y=1.4 → ADC y-term 1.96 for y-code 0, 2.56 for
+    # y-code 3, so id 19 is ADC-LAST; its exact y-term is 0.04 → best.
+    sub0 = [i * 0.001 for i in range(21)] + [99.0] * 11
+    sub1 = [0.0, 3.0] + [99.0] * 30
+    cb = np.array([[[c] for c in sub0], [[c] for c in sub1]])
+    cents = np.array([[0.0, 0.0]])
+    vecs = [[i * 0.001, 0.0] for i in range(19)] + [[0.019, 1.6]]
+    idx = str(tmp_path / "adv")
+    df = _vec_df(spark, range(20), vecs)
+    build_ivfpq_index(df, idx, centroids=cents, pq_codebooks=cb,
+                      persist_members=True)
+
+    q = _vec_df(spark, [-1], [[0.0, 1.4]])
+    # sanity: ADC-only serve ranks id 19 LAST (worst approximate dist)
+    adc = ivfpq_query_topk(spark, idx, q, k=20, n_probe=1).collect()
+    assert max(adc, key=lambda r: r.rk).b == 19
+    # refine with rerank=20 > 2k+8=10 must surface the exact winner
+    got = ivfpq_query_topk(spark, idx, q, k=1, n_probe=1, rerank=20).collect()
+    assert got[0].b == 19 and abs(got[0].d2 - round(0.019**2 + 0.2**2, 6)) < 1e-9
+
+
+def test_rerank_empty_query_frame_has_d2_schema(spark, ivfpq_members):
+    """Round-14 review regression: the empty-frame early return must
+    carry the rerank schema (d2), not the ADC one (ad2)."""
+    from flink_ms_spark.operators.similarity import ivfpq_query_topk
+
+    idx, *_ = ivfpq_members
+    out = ivfpq_query_topk(
+        spark, idx, _vec_df(spark, [], []).where(F.lit(False)),
+        k=3, rerank=10,
+    )
+    assert [f.name for f in out.schema.fields] == ["a", "b", "d2", "rk"]
+    assert out.count() == 0
+
+
+def test_fold_no_members_leaves_no_marker(spark, tmp_path):
+    """Round-14 review regression: fold on a members-less ivf index
+    reports no-members WITHOUT leaking the .rebuilding intent marker
+    (which would block every future ingest commit)."""
+    from flink_ms_spark.operators.similarity import (
+        build_ivf_index,
+        fold_ann_increments,
+    )
+
+    rng = np.random.default_rng(331)
+    idx = str(tmp_path / "ivf_plain")
+    build_ivf_index(_vec_df(spark, range(20), rng.normal(size=(20, 8))),
+                    idx, n_cells=2)
+    report = fold_ann_increments(spark, idx)
+    assert report["action"] == "no-members"
+    assert not os.path.isdir(idx + ".rebuilding")
+
+
 def test_rerank_raises_on_out_of_sync_member_view(spark, ivfpq_members):
     """A candidate id present in the code view but missing from the
     members view (codes/members increments out of sync) raises in the
@@ -471,7 +542,10 @@ def test_cli_ivfpq_build_query_status_reindex(spark, tmp_path, capsys):
     assert s["served_rows"] == "61"
 
     # the streamed vector serves through ann-query immediately
-    cli.main(["ann-query", "--index", idx, f"--vector={vec_arg}", "-k", "61"])
+    # (--n-probe 4 = all cells: whether a 2-cell probe covers id 900's
+    # home cell depends on the trained centroids, not the contract)
+    cli.main(["ann-query", "--index", idx, f"--vector={vec_arg}", "-k", "61",
+              "--n-probe", "4"])
     served_ids = {int(l.split("\t")[0]) for l in
                   capsys.readouterr().out.splitlines() if "\t" in l}
     assert 900 in served_ids
