@@ -284,8 +284,15 @@ def allpairs_jaccard(
     from pyspark.sql.window import Window
 
     # The shingle set feeds FOUR consumers (sizes, dfreq, prefix rows,
-    # and the verify stage's intersection join) — persist it so the
+    # and the verify stage's intersection join) — materialize it so the
     # corpus is exploded and deduped once, not once per consumer.
+    # EAGER localCheckpoint, not lazy persist: AQE submits the
+    # consumers' shuffle stages as concurrent futures, and a lazy
+    # persist lets every future race to compute the uncached subtree —
+    # the r14 profile showed the explode+distinct map stage running
+    # FOUR times (identical shuffle writes) under persist(); eager
+    # materialization ran the pass once and cut the query ~25% in an
+    # interleaved A/B at sf0.1.
     sh = (
         fan_out(docs)
         .select(
@@ -293,7 +300,7 @@ def allpairs_jaccard(
             F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     # per-doc size rides the SAME keyed window pass as the prefix rank

@@ -85,8 +85,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Input: distinct undirected edges (u, v) with u < v.
     Output: one row (n_edges, n_triangles).
+
+    Materialization is EAGER localCheckpoint, not lazy persist: AQE
+    runs downstream shuffle stages as concurrent futures, and a lazy
+    persist lets each future recompute the uncached subtree — the r14
+    profile showed the upstream co-occurrence self-join running TWICE
+    (two 64-task stages scanning the full fact table) under persist().
+    Eager checkpoint runs each edge-scale pass exactly once; the
+    blocks are GC-managed, so no unpersist bookkeeping is needed.
     """
-    edges = edges.persist()
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -105,11 +113,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     o = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     lists = (
         o.groupBy(F.col("src").alias("node"))
         .agg(F.sort_array(F.collect_list("dst")).alias("outs"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     j = o.join(
         lists.withColumnRenamed("node", "src").withColumnRenamed(
@@ -134,14 +142,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         ).alias("k")
     ).agg(F.sum("k").alias("n_triangles"))
     n_e = edges.agg(F.count("*").alias("n_edges"))
-    # materialize the 1-row summary, then release all caches — a
-    # resident engine answering many graph queries must not leak one
-    # orphaned cached edge set per call (localCheckpoint blocks are
-    # GC-managed, persist blocks are not)
+    # the 1-row summary pins the result; the upstream localCheckpoint
+    # blocks are GC-managed, so nothing leaks in a resident engine
     out = n_e.crossJoin(tri).localCheckpoint(eager=True)
-    lists.unpersist()
-    o.unpersist()
-    edges.unpersist()
     return out
 
 
@@ -162,7 +165,11 @@ def pagerank_iterative(
 
     Returns (node, pagerank) with pagerank rounded to 6 dp.
     """
-    edges = edges.persist()
+    # eager localCheckpoint (not lazy persist): the per-iteration joins
+    # reference the edge table once per round in ONE final plan, and
+    # AQE's concurrent stage futures would race to compute a lazily
+    # persisted edge subtree (see lpa_communities)
+    edges = edges.localCheckpoint(eager=True)
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
     rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
@@ -186,7 +193,6 @@ def pagerank_iterative(
         "node", F.round("pr", 6).cast("double").alias("pagerank")
     ).orderBy(F.col("pagerank").desc(), "node")
     out = out.localCheckpoint(eager=True)  # |nodes| rows
-    edges.unpersist()
     return out
 
 
@@ -237,17 +243,24 @@ def lpa_communities(
     adj = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    # Eager localCheckpoint everywhere a lazy persist used to sit: the
+    # per-round label joins put adj_lists into the final plan once per
+    # iteration (plus the init), and AQE materializes those stages as
+    # concurrent futures — under a lazy persist each future raced to
+    # recompute the uncached adjacency (r14 profile: the co-occurrence
+    # self-join ran twice per call). Eager blocks run each edge-scale
+    # pass exactly once and are GC-managed (no unpersist bookkeeping).
     if hub_segment_size is None:
         adj_lists = (
             adj.groupBy(F.col("u").alias("nbr_of"))
             .agg(F.collect_list("v").alias("nbrs"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
     else:
-        # persist the symmetric adjacency: the degree pass and the list
-        # build both consume it, and the upstream edge derivation (e.g.
-        # a co-occurrence self-join) must run exactly ONCE
-        adj = adj.persist()
+        # materialize the symmetric adjacency: the degree pass and the
+        # list build both consume it, and the upstream edge derivation
+        # (e.g. a co-occurrence self-join) must run exactly ONCE
+        adj = adj.localCheckpoint(eager=True)
         deg = adj.groupBy(F.col("u").alias("nbr_of")).agg(
             F.count("*").alias("deg")
         )
@@ -261,11 +274,11 @@ def lpa_communities(
             .groupBy("nbr_of", "seg")
             .agg(F.collect_list("v").alias("nbrs"))
             .drop("seg")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-    # init from the CACHED lists (distinct: the segmented layout can
-    # hold >1 row per hub node) — reading the cache is cheaper than
-    # re-deriving deg over the adjacency in the init lineage
+    # init from the materialized lists (distinct: the segmented layout
+    # can hold >1 row per hub node) — reading the blocks is cheaper
+    # than re-deriving deg over the adjacency in the init lineage
     labels = (
         adj_lists.select(F.col("nbr_of").alias("node"))
         .distinct()
@@ -287,7 +300,4 @@ def lpa_communities(
             ]).alias("community")
         )
     labels = labels.localCheckpoint(eager=True)  # |nodes| rows
-    adj_lists.unpersist()
-    if hub_segment_size is not None:
-        adj.unpersist()
     return labels

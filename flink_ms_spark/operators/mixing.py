@@ -83,10 +83,16 @@ def dsir_weights(
 
     # ONE shuffle reduces the token stream to ≤ n_buckets rows per doc;
     # everything downstream derives from this bounded table, which is
-    # persisted so its three consumers don't re-explode the corpus.
-    per_doc_bkt = tok.groupBy(id_col, source_col, "bkt").agg(
-        F.count("*").alias("n")
-    ).persist()
+    # materialized so its three consumers don't re-explode the corpus.
+    # EAGER localCheckpoint, not lazy persist: the consumers share one
+    # plan and AQE's concurrent stage futures race a lazy persist into
+    # recomputing the corpus explode per consumer (r14 profile; same
+    # fix as allpairs_jaccard).
+    per_doc_bkt = (
+        tok.groupBy(id_col, source_col, "bkt")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     raw = per_doc_bkt.groupBy("bkt").agg(F.sum("n").alias("n_raw"))
     tgt = (
         per_doc_bkt.where(F.col(source_col) == target_source)

@@ -216,12 +216,20 @@ def char_trigram_lm_score(
         ).alias("tri"),
     )
     # ONE corpus explode: reduce to per-(doc, trigram) counts first
-    # (bounded ≤ distinct-trigrams/doc rows) and persist — the model
-    # aggregate AND the scoring join both read this table instead of
-    # re-exploding the corpus. Per-trigram bits are integer-scaled
-    # (micro-bits) so the weighted per-doc sum is exact integer math —
-    # summation order cannot move the 6-dp output (the DSIR contract).
-    pdt = tris.groupBy("doc_id", "tri").agg(F.count("*").alias("n")).persist()
+    # (bounded ≤ distinct-trigrams/doc rows) and materialize — the
+    # model aggregate AND the scoring join both read this table instead
+    # of re-exploding the corpus. EAGER localCheckpoint, not lazy
+    # persist: both consumers sit in one plan and AQE's concurrent
+    # stage futures race a lazy persist into recomputing the corpus
+    # explode per consumer (r14 profile; same fix as allpairs_jaccard).
+    # Per-trigram bits are integer-scaled (micro-bits) so the weighted
+    # per-doc sum is exact integer math — summation order cannot move
+    # the 6-dp output (the DSIR contract).
+    pdt = (
+        tris.groupBy("doc_id", "tri")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     model = pdt.groupBy("tri").agg(F.sum("n").alias("c"))
     ctx = model.groupBy(F.substring("tri", 1, 2).alias("cx")).agg(
         F.sum("c").cast("double").alias("cc")

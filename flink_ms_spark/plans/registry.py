@@ -43,11 +43,24 @@ def resolve_oracles() -> dict[str, str]:
 def register_sql(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
     """Register a pure-SQL query: Spark runs ``spark_sql`` over the
     registered fixture views; DuckDB runs ``duck_sql`` (defaults to the
-    same text — most relational SQL is dialect-shared)."""
+    same text — most relational SQL is dialect-shared).
+
+    Only the fixture tables the SQL text actually references are
+    registered per call (word-boundary scan at registration time): a
+    ten-view registration per invocation was a measured driver-side
+    tax on every SQL query rep (r14 profile), and a false positive in
+    the scan merely registers one extra harmless view."""
+    import re
+
+    from flink_ms_spark.schemas import FIXTURE_TABLES
     from flink_ms_spark.sources.tables import register_views
 
+    referenced = tuple(
+        t for t in FIXTURE_TABLES if re.search(rf"\b{t}\b", spark_sql)
+    )
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, only=referenced)
         return spark.sql(spark_sql)
 
     fn.__name__ = f"q_{name}"

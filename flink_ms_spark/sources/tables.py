@@ -67,6 +67,35 @@ _CRITICAL_TYPES: dict[str, dict[str, tuple[str, ...]]] = {
 }
 
 
+# Schema catalog: `spark.read.parquet(path)` infers the schema EAGERLY
+# (a driver-side footer read per call, ~tens of ms). Every query
+# invocation re-loads its tables, and the SQL-registered queries load
+# all ten fixture views per call, so footer inference was a measured
+# driver-side tax on every benched rep (r14 profile: SQL queries spent
+# 0.3-1.4 s/call in registration while their executors sat idle). A
+# real engine serves schemas from a metastore; this cache is that
+# catalog, keyed on (absolute path, mtime_ns, size) so a regenerated
+# fixture invalidates itself. Only METADATA is cached — every query
+# still scans the parquet data on every run.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _schema_key(path: str) -> tuple[str, int, int] | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # let the reader raise its own error
+    if os.path.isdir(path):
+        # directory datasets: fold entry names/mtimes into the key so
+        # added/rewritten part-files invalidate
+        ent = sorted(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            for e in os.scandir(path)
+        )
+        return (os.path.abspath(path), hash(tuple(ent)), st.st_size)
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us its OWN SparkSession: all epoch math
     # (unix_micros, window(), datediff) assumes UTC, and the DuckDB
@@ -76,7 +105,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Fixture timestamps are TIMESTAMP(MICROS); no reader conf needed.
     # (A NANOS fixture would fail loudly at scan time — deliberately no
     # nanosAsLong fallback, which would silently hand queries a BIGINT.)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = _schema_key(path)
+    cached = _SCHEMA_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        # schema (and the critical-type check) already validated for
+        # this exact file state — skip the eager footer inference
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
     expected = _CRITICAL_TYPES.get(name)
     if expected:
         actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -96,6 +132,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     f"{'/'.join(allowed)} — regenerated testdata changed "
                     f"physical types; fix plans/ before trusting results"
                 )
+    if key is not None:
+        _SCHEMA_CACHE[key] = df.schema
     return df
 
 
@@ -103,7 +141,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in FIXTURE_TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql use."""
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register fixture tables as temp views for spark.sql use.
+
+    ``only`` restricts registration to the named tables — the SQL
+    registry passes each query's referenced tables so a 2-table query
+    does not pay ten view registrations per invocation (false
+    positives in the reference scan are harmless: an extra view is
+    just an extra catalog entry)."""
     for t in FIXTURE_TABLES:
+        if only is not None and t not in only:
+            continue
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
