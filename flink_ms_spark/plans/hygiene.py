@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from flink_ms_spark.operators.dedup import (
     MINHASH_P,
-    minhash_signatures,
     shingles,
 )
 from flink_ms_spark.operators.text import token_count
@@ -244,10 +243,14 @@ GROUP BY g.n_agree
 
 
 def _shingle_hash_sets(docs: DataFrame):
-    """(doc_id, x) exploded DISTINCT hashed-shingle rows plus the
-    in-row per-doc set sizes — x is the minhash pipeline's base hash
-    (md5 60-bit mod p), de-duplicated with array_distinct BEFORE the
-    explode so no corpus-wide shuffle is needed for distinctness."""
+    """(doc_id, x) exploded DISTINCT hashed-shingle rows, the in-row
+    per-doc set sizes, AND the pinned base-hash table itself — x is
+    the minhash pipeline's base hash (md5 60-bit mod p), de-duplicated
+    with array_distinct BEFORE the explode so no corpus-wide shuffle
+    is needed for distinctness. The base table is returned so callers
+    can derive the minhash signatures from the SAME materialized md5
+    pass (min over the distinct array equals min over the raw shingle
+    stream) instead of paying a second corpus-wide md5 scan."""
     xs = F.array_distinct(
         F.transform(
             shingles(F.col("text"), 3),
@@ -255,10 +258,10 @@ def _shingle_hash_sets(docs: DataFrame):
             % MINHASH_P,
         )
     )
-    # materialize ONCE (two consumers: the exploded set and the sizes)
-    # — the community_modularity localCheckpoint pattern; the pinned
-    # frame is doc-count rows (hash arrays packed per row), not
-    # exploded-shingle rows
+    # materialize ONCE (consumers: the exploded set, the sizes, and
+    # the signature derivation) — the community_modularity
+    # localCheckpoint pattern; the pinned frame is doc-count rows
+    # (hash arrays packed per row), not exploded-shingle rows
     base = (
         fan_out(docs)
         .select(F.col("doc_id"), xs.alias("_xs"))
@@ -266,7 +269,7 @@ def _shingle_hash_sets(docs: DataFrame):
     )
     sh = base.select("doc_id", F.explode("_xs").alias("x"))
     sizes = base.select("doc_id", F.size("_xs").alias("n"))
-    return sh, sizes
+    return sh, sizes, base
 
 
 @register("minhash_calibration", oracle=_MINHASH_CALIBRATION_ORACLE)
@@ -275,12 +278,30 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_agree of 4 hashes): pair count, mean/min/max exact Jaccard of
     the hashed shingle sets, and the estimator's mean absolute error."""
     docs = load_table(spark, sf_dir, "documents")
-    # the signature table is 4 rows/doc (model-scale) and feeds both
-    # sides of the banded join — without pinning, each side recomputes
-    # the full corpus-scan signature job (measured 2x wall at sf0.1)
-    sigs = minhash_signatures(docs, num_hashes=4, shingle_n=3).localCheckpoint(
-        eager=True
+    sh, sizes, base = _shingle_hash_sets(docs)
+    # The signatures are derived from the SAME pinned base-hash table
+    # the exact-Jaccard side reads (r14: the query used to run the
+    # corpus md5 pass twice — once in minhash_signatures, once in
+    # _shingle_hash_sets — two ~10 s stages at sf0.1 for identical
+    # md5(shingle) mod p values). min over the distinct array equals
+    # min over the raw shingle stream, so the signature contract is
+    # unchanged (same affine reseed as operators/dedup.py
+    # minhash_signatures, pinned by the driver oracle). The derivation
+    # is a cheap per-row array map over checkpointed blocks, so the
+    # two band-join sides re-deriving it beats a third checkpoint.
+    mins = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda h: F.array_min(
+            F.transform(
+                F.col("_xs"),
+                lambda x: ((F.lit(2) * h + 1) * x + h * F.lit(12_345) + 7)
+                % MINHASH_P,
+            )
+        ),
     )
+    sigs = base.select(
+        "doc_id", F.posexplode(mins).alias("pos", "minhash")
+    ).select("doc_id", (F.col("pos") + 1).cast("int").alias("h"), "minhash")
     sa = sigs.select(F.col("doc_id").alias("a"), "h", F.col("minhash").alias("mh"))
     sb = sigs.select(F.col("doc_id").alias("b"), "h", F.col("minhash").alias("mh"))
     # a band-join match AT h is precisely "hash h agrees", so the
@@ -296,7 +317,6 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     cand = ag.select("a", "b")
-    sh, sizes = _shingle_hash_sets(docs)
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
         .join(sh.select(F.col("doc_id").alias("b"), "x"), ["b", "x"])

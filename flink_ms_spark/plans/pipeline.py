@@ -746,13 +746,27 @@ def q_lev_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta"))
     db = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb"))
+    # Banded DP via the threshold form: a pair can only be kept when
+    # lev ≤ 0.4·mx ≤ ceil(0.4·mx), so computing with threshold
+    # ceil(0.4·mx) returns the EXACT distance for every kept pair and
+    # -1 (early exit, O(k·len) instead of O(len²)) only for pairs the
+    # rel_dist filter drops anyway — the `lev >= 0` guard below makes
+    # that explicit. Verified identical output vs the unbanded form
+    # against the DuckDB oracle; the verify stage was 41 s of CPU at
+    # sf0.1 (r14 profile), the single hottest scan in the bench.
     j = pairs.join(da, "a").join(db, "b").select(
         "a",
         "b",
-        F.levenshtein("_ta", "_tb").cast("long").alias("lev"),
+        F.expr(
+            "levenshtein(_ta, _tb, cast(ceil(greatest(length(_ta),"
+            " length(_tb)) * 0.4) as int))"
+        ).cast("long").alias("lev"),
         F.greatest(F.length("_ta"), F.length("_tb")).alias("mx"),
     )
-    return j.where(F.col("lev").cast("double") / F.col("mx") <= 0.4).select(
+    return j.where(
+        (F.col("lev") >= 0)
+        & (F.col("lev").cast("double") / F.col("mx") <= 0.4)
+    ).select(
         "a",
         "b",
         "lev",

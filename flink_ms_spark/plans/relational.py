@@ -81,24 +81,36 @@ register_sql(
 SELECT c_custkey, c_name,
   CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue,
   count(*) AS n_orders
-FROM customer JOIN orders ON c_custkey = o_custkey
+FROM orders JOIN customer ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """,
 )
 
-# Q5 flavor — 5-way join, revenue per region
+# Q5 flavor — 5-way join, revenue per region.
+#
+# JOIN ORDER RULE (r14, applied to every multi-join query here): the
+# FACT table (lineitem, else orders) is written FIRST. Catalyst keeps
+# the written left-deep order without CBO stats, so a dims-first text
+# put the fact table on the BUILD side of every broadcast join — the
+# r14 plan audit caught region_revenue building a 600k-row broadcast
+# hash relation of lineitem on the driver while streaming the 5-row
+# region table. Fact-first streams the big side and broadcasts the
+# dims (the scale-correct shape; at 100 TB the same order degrades to
+# sort-merge joins keyed on the fact's join key, never to a broadcast
+# of the fact). Inner joins commute, so results are unchanged (all
+# rewritten queries re-verified against their DuckDB oracles).
 register_sql(
     "region_revenue",
     f"""
 SELECT r_name,
   CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS revenue
-FROM region
-  JOIN nation ON n_regionkey = r_regionkey
-  JOIN customer ON c_nationkey = n_nationkey
-  JOIN orders ON o_custkey = c_custkey
-  JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
 )
@@ -330,9 +342,9 @@ register_sql(
     """
 SELECT c_custkey, o_orderkey,
   CAST(round(sum(l_quantity), 2) AS DOUBLE) AS total_qty
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 GROUP BY c_custkey, o_orderkey
 HAVING sum(l_quantity) > 250
 """,
@@ -484,8 +496,8 @@ FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
          l_extendedprice * (1 - l_discount) AS volume
-  FROM supplier
-  JOIN lineitem ON s_suppkey = l_suppkey
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -510,8 +522,8 @@ FROM (
   SELECT year(o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
          n1.n_name AS supp_nation
-  FROM part
-  JOIN lineitem ON p_partkey = l_partkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -586,9 +598,9 @@ register_sql(
     spark_sql=f"""
 SELECT l_orderkey, o_orderdate,
        CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP_NTZ '1998-06-01 00:00:00'
   AND l_shipdate > TIMESTAMP_NTZ '1998-06-01 00:00:00'
@@ -625,9 +637,9 @@ register_sql(
     spark_sql=f"""
 SELECT c_custkey, c_name, n_name,
        CAST(round(sum({_REV_BASIS}) / 10000.0, 2) AS DOUBLE) AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'
@@ -1036,9 +1048,9 @@ register_sql(
     spark_sql=f"""
 SELECT n_name,
        CAST(round(sum({_REV_BASIS}) / 10000.0, 6) AS DOUBLE) AS revenue
-FROM customer
-JOIN orders    ON c_custkey = o_custkey
-JOIN lineitem  ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON c_custkey = o_custkey
 JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation    ON s_nationkey = n_nationkey
 JOIN region    ON n_regionkey = r_regionkey
@@ -1336,7 +1348,7 @@ register_sql(
     f"""
 WITH s AS (SELECT c_mktsegment, c_custkey,
                   CAST(round(sum({money_cents('o_totalprice')}) / 100.0, 6) AS DOUBLE) AS spend
-           FROM customer JOIN orders ON o_custkey = c_custkey
+           FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment, c_custkey)
 SELECT c_mktsegment, c_custkey, spend,
        CAST(round(cume_dist() OVER
@@ -1534,8 +1546,8 @@ register_sql(
     "tpch_q21",
     spark_sql="""
 SELECT s_name, count(*) AS numwait
-FROM supplier
-JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
 JOIN orders ON o_orderkey = l1.l_orderkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE o_orderstatus = 'F'
