@@ -147,8 +147,12 @@ def cdc_chunk_spans(
 
     Returns (doc_id, source, chunk_idx, start, length, chunk_hash) —
     one row per chunk, boundaries per the module determinism contract.
-    Narrow map (mapInPandas): partitioning of the input is preserved,
-    nothing shuffles here; callers aggregate/join on ``chunk_hash``.
+    The rolling-hash scan is pure Python per document, so the input is
+    fanned out to cluster parallelism first (grow-only — a corpus-scale
+    input with many partitions is untouched; a small single-file scan
+    would otherwise put the whole chunker on ONE task, measured 1-task
+    stages at sf0.1). Beyond that it is a narrow map (mapInPandas);
+    callers aggregate/join on ``chunk_hash``.
     """
     if min_len < window:
         # below the window the rolling hash is still warming up
@@ -192,4 +196,6 @@ def cdc_chunk_spans(
                 ],
             )
 
-    return cols.mapInPandas(emit, CHUNK_SCHEMA)
+    from flink_ms_spark.partitioning import fan_out
+
+    return fan_out(cols).mapInPandas(emit, CHUNK_SCHEMA)

@@ -358,6 +358,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
+    tok_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, simhash STRING of 0/1 bits): per-token md5 hex digits →
     ±1 votes per bit position, bit set if the vote sum is positive.
@@ -377,9 +378,16 @@ def simhash(
         # silently emit a CONSTANT bit (empty string never odd) — a
         # corpus-wide collision in any band covering those positions
         raise ValueError(f"simhash bits must be 1..32, got {bits}")
-    tok = fan_out(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
-    ).withColumn("h", F.md5("t"))
+    # ``tok_hashes`` (id, h=md5(token) rows) lets a caller that already
+    # paid the corpus md5 pass (e.g. a minhash family sharing the same
+    # token stream) feed it here instead of hashing the corpus twice
+    tok = (
+        tok_hashes
+        if tok_hashes is not None
+        else fan_out(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+        .withColumn("h", F.md5("t"))
+    )
     ones = [
         F.sum(
             F.expr(
@@ -404,6 +412,7 @@ def simhash_neardup(
     max_hamming: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tok_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup via Hamming pigeonholing: split the ``bits``-bit
     signature into ``n_bands`` contiguous bands; any pair within
@@ -429,7 +438,9 @@ def simhash_neardup(
         # extra positions would be corpus-wide constants (see its guard)
         raise ValueError("simhash signatures support at most 32 bits")
     width = bits // n_bands
-    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits).withColumn(
+    sig = simhash(
+        df, text_col=text_col, id_col=id_col, bits=bits, tok_hashes=tok_hashes
+    ).withColumn(
         "_sl", F.conv("simhash", 2, 10).cast("long")
     )
     banded = sig.select(
@@ -486,7 +497,12 @@ def exact_substring_dedup(
     AQE skew handling applies, and template-grade grams belong in
     exact doc-level dedup first). Reassembly shuffles by doc only.
     """
-    toks = df.select(
+    # fan out first (grow-only): the span construction and both token
+    # explodes are heavy narrow maps, and a small single-file scan
+    # would otherwise run them on one task (r14 profile: a 1-task
+    # 0.8 s map stage feeding the gram shuffle); a corpus-scale input
+    # with many partitions is untouched
+    toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
     )
     spans = (

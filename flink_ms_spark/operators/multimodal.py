@@ -196,6 +196,7 @@ def extract_features(
     df: DataFrame,
     decoder: Callable[[bytes], list[float]] | None = None,
     batch_budget_rows: int = 256,
+    target: int | None = None,
 ) -> DataFrame:
     """Decode → feature-extract via mapInPandas.
 
@@ -229,7 +230,7 @@ def extract_features(
                     }
                 )
 
-    return fan_out(df).mapInPandas(run, schema=FEATURE_SCHEMA)
+    return fan_out(df, target).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -531,7 +532,10 @@ def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def synthesize_ppm_media(
-    docs: DataFrame, width: int = 8, height: int = 8
+    docs: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    target: int | None = None,
 ) -> DataFrame:
     """Deterministic REAL images: one P6 PPM per document whose pixel
     bytes are the doc-id's md5 stream (repeat-extended). Map-only
@@ -567,11 +571,14 @@ def synthesize_ppm_media(
             T.StructField("mime", T.StringType(), False),
         ]
     )
-    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
+    return fan_out(docs.select("doc_id"), target).mapInPandas(gen, schema=schema)
 
 
 def synthesize_png_media(
-    docs: DataFrame, width: int = 8, height: int = 8
+    docs: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    target: int | None = None,
 ) -> DataFrame:
     """Deterministic REAL PNG images: the SAME md5 pixel stream as
     :func:`synthesize_ppm_media`, encoded as 8-bit RGB PNG — so a
@@ -611,7 +618,7 @@ def synthesize_png_media(
             T.StructField("mime", T.StringType(), False),
         ]
     )
-    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
+    return fan_out(docs.select("doc_id"), target).mapInPandas(gen, schema=schema)
 
 
 def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:

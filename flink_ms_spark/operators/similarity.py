@@ -868,7 +868,16 @@ def pq_topk_codes(
             yield _prune_candidates(ids, c_ids, ad2, margin, "ad2",
                                     ascending=True)
 
-    enc = codes.withColumnRenamed(id_col, "_cid")
+    # Kernel parallelism floor: a rebalance-sized code table lands in
+    # few (possibly one) files at small scale, and a single Python
+    # task serializes the whole ADC scan (measured 1.5-1.9 s vs
+    # 0.75-0.9 s at 8-16 tasks at sf0.1). A quarter of the cluster
+    # parallelism amortizes the per-task Python runner round-trip
+    # (~20-30 ms each, measured) while still spreading the kernel; at
+    # corpus scale the file splits already exceed this floor and
+    # fan_out never shrinks, so this is a no-op there.
+    kernel_target = max(1, spark.sparkContext.defaultParallelism // 4)
+    enc = fan_out(codes.withColumnRenamed(id_col, "_cid"), kernel_target)
     cands = enc.mapInPandas(scan, schema=adc_schema).where(F.col("a") != F.col("b"))
     scored = cands.select("a", "b", F.round("ad2", 6).alias("ad2"))
     w = Window.partitionBy("a").orderBy(F.col("ad2").asc(), F.col("b").asc())
@@ -1008,7 +1017,15 @@ def build_pq_index(
     spark.createDataFrame(rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>").write.mode(
         "overwrite"
     ).parquet(f"{path}/codebooks")
-    pq_encode(df, cb, id_col=id_col, vec_col=vec_col).write.mode("overwrite").parquet(
+    # REBALANCE before the write (guide §6): the encode fan-out would
+    # otherwise land one tiny file per task (64 files for a 560 KB
+    # fixture code table — measured), and every serve scan then pays
+    # per-file open + one Python-runner task per file. AQE sizes the
+    # output by advisoryPartitionSizeInBytes, so a 100 TB code table
+    # still splits into ~128 MB files while a fixture lands one.
+    pq_encode(df, cb, id_col=id_col, vec_col=vec_col).hint(
+        "rebalance"
+    ).write.mode("overwrite").parquet(
         f"{path}/codes/gen={generation}"
     )
     _write_index_manifest(spark, path, "pq", generation)
@@ -1535,7 +1552,12 @@ def build_ivf_index(
     ).parquet(f"{path}/centroids")
     _write_index_manifest(spark, path, "ivf", generation)
     if persist_members:
-        assign_members(df, cents, id_col=id_col, vec_col=vec_col).write.mode(
+        # rebalance by cell (guide §6): one AQE-sized file per cell
+        # partition instead of one per (task × cell) — the fixture
+        # members lane measured 234 files for 2 MB without it
+        assign_members(df, cents, id_col=id_col, vec_col=vec_col).hint(
+            "rebalance", F.col("cell")
+        ).write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(f"{path}/members/gen={generation}")
     if record_stats:
@@ -2008,11 +2030,18 @@ def build_ivfpq_index(
     ivfpq_encode(
         fan_out(df.select(id_col, vec_col)), cents, cb,
         id_col=id_col, vec_col=vec_col,
-    ).write.mode("overwrite").partitionBy("cell").parquet(
+    ).hint("rebalance", F.col("cell")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(
         f"{path}/codes/gen={generation}"
     )
     if persist_members:
-        assign_members(df, cents, id_col=id_col, vec_col=vec_col).write.mode(
+        # rebalance by cell (guide §6): one AQE-sized file per cell
+        # partition instead of one per (task × cell) — the fixture
+        # members lane measured 234 files for 2 MB without it
+        assign_members(df, cents, id_col=id_col, vec_col=vec_col).hint(
+            "rebalance", F.col("cell")
+        ).write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(f"{path}/members/gen={generation}")
     if record_stats:
@@ -2463,21 +2492,27 @@ def fold_ann_increments(
             load_ivf_members(
                 spark, path, id_col=id_col, vec_col=vec_col,
                 expected_generation=gen,
-            ).write.partitionBy("cell").parquet(out_dir)
+            ).hint("rebalance", F.col("cell")).write.partitionBy(
+                "cell"
+            ).parquet(out_dir)
         elif kind == "ivfpq":
             _copy("centroids")
             _copy("codebooks")
             out_dir = fsutil.join(tmp, "codes", f"gen={gen + 1}")
             load_ivfpq_codes(
                 spark, path, id_col=id_col, expected_generation=gen,
-            ).write.partitionBy("cell").parquet(out_dir)
+            ).hint("rebalance", F.col("cell")).write.partitionBy(
+                "cell"
+            ).parquet(out_dir)
             if has_ivf_members(spark, path):
                 # the rerank lane's members table folds in lockstep so
                 # codes and exact vectors stay id-for-id in sync
                 load_ivf_members(
                     spark, path, id_col=id_col, vec_col=vec_col,
                     expected_generation=gen,
-                ).write.partitionBy("cell").parquet(
+                ).hint("rebalance", F.col("cell")).write.partitionBy(
+                    "cell"
+                ).parquet(
                     fsutil.join(tmp, "members", f"gen={gen + 1}")
                 )
         else:
@@ -2485,7 +2520,7 @@ def fold_ann_increments(
             out_dir = fsutil.join(tmp, "codes", f"gen={gen + 1}")
             load_codes(
                 spark, path, id_col=id_col, expected_generation=gen,
-            ).write.parquet(out_dir)
+            ).hint("rebalance").write.parquet(out_dir)
         # count the WRITTEN base (parquet footer metadata, no re-run of
         # the merged view's window)
         n = spark.read.parquet(out_dir).count()

@@ -798,7 +798,13 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source content-defined-chunk dedup report."""
     from flink_ms_spark.operators.chunking import cdc_chunk_spans
 
-    spans = cdc_chunk_spans(load_table(spark, sf_dir, "documents"))
+    # eager pin: spans feed TWO consumers (canon agg + the flag join),
+    # and AQE's concurrent stage futures would otherwise run the
+    # Python chunker once per consumer (r14 profile; same race as
+    # allpairs_jaccard)
+    spans = cdc_chunk_spans(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
     canon = spans.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("canon")
     )

@@ -386,7 +386,8 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_index_dir(sf_dir: str) -> str:
     """Cache location for the persisted IVF-PQ index, keyed on the
     fixture file's identity (same pattern as pipeline._pq_index_dir /
-    northstar._ivf_members_index_dir). v2: built with a members table
+    northstar._ivf_members_index_dir). v3: rebalance-sized files (v2:
+    # members table)
     (the rerank lane shares this index; the ADC path never reads it)."""
     import hashlib
     import tempfile
@@ -394,7 +395,7 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
     f = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(f)
     key = hashlib.md5(
-        f"v2:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v3:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"flink_ms_ivfpq_{key}")
 
@@ -791,9 +792,15 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # each format lane fans to HALF the cores so the union's Python
+    # decode stage is one 32-task wave, not 64 tasks (every Python
+    # task pays a measured ~10-30 ms runner round-trip; r14 profile)
+    half = max(1, spark.sparkContext.defaultParallelism // 2)
     media = synthesize_ppm_media(
-        docs.where(F.col("doc_id") % 2 == 0)
-    ).unionByName(synthesize_png_media(docs.where(F.col("doc_id") % 2 == 1)))
+        docs.where(F.col("doc_id") % 2 == 0), target=half
+    ).unionByName(
+        synthesize_png_media(docs.where(F.col("doc_id") % 2 == 1), target=half)
+    )
     return pixel_stats(media)
 
 
@@ -861,9 +868,14 @@ def q_media_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # half-parallel per format lane — one 32-task Python wave after the
+    # union instead of 64 tasks (see media_pixel_stats)
+    half = max(1, spark.sparkContext.defaultParallelism // 2)
     media = synthesize_ppm_media(
-        docs.where(F.col("doc_id") % 2 == 0)
-    ).unionByName(synthesize_png_media(docs.where(F.col("doc_id") % 2 == 1)))
+        docs.where(F.col("doc_id") % 2 == 0), target=half
+    ).unionByName(
+        synthesize_png_media(docs.where(F.col("doc_id") % 2 == 1), target=half)
+    )
     feats = extract_features(media, decoder=histogram_image_decoder)
     top = F.array_max("features")
     return feats.select(
@@ -1125,10 +1137,17 @@ def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # half-parallel per format lane — the two decode lanes together
+    # make one 32-task Python wave, not 64 tasks (see media_pixel_stats)
+    half = max(1, spark.sparkContext.defaultParallelism // 2)
     lanes = []
     for synth in (synthesize_ppm_media, synthesize_png_media):
         lanes.append(
-            extract_features(synth(docs), decoder=histogram_image_decoder)
+            extract_features(
+                synth(docs, target=half),
+                decoder=histogram_image_decoder,
+                target=half,
+            )
         )
     feats = lanes[0].unionByName(lanes[1])
     key = F.concat_ws(

@@ -477,21 +477,62 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket cap) and SimHash (32-bit, hamming ≤ 2), their intersection,
     and the pair-set Jaccard. One composed plan; each family's
     shuffles are its own documented set."""
-    from flink_ms_spark.operators.dedup import simhash_neardup
+    from flink_ms_spark.operators.dedup import MINHASH_P, simhash_neardup
+    from flink_ms_spark.operators.text import tokens
+    from flink_ms_spark.partitioning import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE shared md5 pass (r14): both families hash the SAME token
+    # stream — minhash's shingle_n=1 base hash is md5(token) mod p and
+    # simhash votes on md5(token) hex digits — so the corpus is
+    # tokenized and md5-hashed once into a pinned per-doc hex array,
+    # and each family derives its signatures from that table (the
+    # query used to run two ~5 s md5 scans at sf0.1 for identical
+    # digests). shingles(text, 1) equals the raw token array,
+    # including the empty-doc one-entry guard, so the minhash base
+    # values are bit-identical to minhash_signatures'.
+    base = (
+        fan_out(docs)
+        .select(
+            F.col("doc_id"),
+            F.transform(tokens(F.col("text")), F.md5).alias("_hs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda hh: F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: (
+                    (F.lit(2) * hh + 1)
+                    * (
+                        F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                        % MINHASH_P
+                    )
+                    + hh * F.lit(12_345)
+                    + 7
+                )
+                % MINHASH_P,
+            )
+        ),
+    )
+    sigs = base.select(
+        "doc_id", F.posexplode(mins).alias("pos", "minhash")
+    ).select("doc_id", (F.col("pos") + 1).cast("int").alias("h"), "minhash")
+    tokh = base.select("doc_id", F.explode("_hs").alias("h"))
     # capped buckets — the same curation-log form as dedup_report: a
     # hot boilerplate bucket is dropped, never pair-expanded, so the
     # audit itself cannot go quadratic at scale (uncapped, this query
     # measured 24 s at sf0.1; capped, sub-2 s)
     lsh = lsh_candidate_pairs(
-        minhash_signatures(docs, num_hashes=4, shingle_n=1),
+        sigs,
         band_size=1,
         max_bucket_size=64,
     )
-    simp = simhash_neardup(docs, bits=32, n_bands=4, max_hamming=2).select(
-        "a", "b"
-    )
+    simp = simhash_neardup(
+        docs, bits=32, n_bands=4, max_hamming=2, tok_hashes=tokh
+    ).select("a", "b")
     n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
     n_sim = simp.agg(F.count("*").cast("long").alias("n_simhash"))
     n_both = (
@@ -1003,9 +1044,9 @@ def _ivf_members_index_dir(sf_dir: str) -> str:
 
     f = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(f)
-    # v2: members stamped under gen=G (swap-coherence layout)
+    # v3: rebalance-sized files (v2: members stamped under gen=G)
     key = hashlib.md5(
-        f"v2:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v3:{f}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"flink_ms_ivfm_{key}")
 

@@ -864,9 +864,9 @@ def _pq_index_dir(sf_dir: str) -> str:
     fixture transparently triggers a rebuild."""
     f = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(f)
-    # v3: gen-stamped code layout (codes/gen=G, swap coherence); v2 was
+    # v4: rebalance-sized files; v3 was gen-stamped codes/gen=G; v2 was
     # shared-pyarrow-trainer codebooks. The tag busts stale layouts.
-    key = hashlib.md5(f"v3:{f}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"v4:{f}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"flink_ms_pq_{key}")
 
 
@@ -1612,8 +1612,14 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cardinality (bits scale linearly, ~10 bits/item for ~1% fp)
     import numpy as np
 
+    # repartition BEFORE the position hashing: AQE coalesces the tiny
+    # distinct-gram shuffle to one partition, which put the 5-hash
+    # position compute on a single task (r14 profile: a 0.97 s 1-task
+    # stage). The round-robin shuffle of the distinct grams is bytes-
+    # cheap and spreads the hashing across the cluster at any scale.
     positions = (
-        ev.select(F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos"))
+        ev.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos"))
         .distinct()
         .collect()
     )
