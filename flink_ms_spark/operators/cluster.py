@@ -110,7 +110,15 @@ def _union_find_components(rows: list[tuple], spark, schema) -> DataFrame:
                     ra, rb = rb, ra
                 parent[rb] = ra
     out = sorted((n, find(n)) for n in parent)
-    return spark.createDataFrame(out, schema)
+    # Arrow-path createDataFrame (pandas input): the plain list form
+    # parallelizes PICKLED rows and every downstream scan pays one
+    # Python-runner task per slice (r14 profile: a 32-task save stage
+    # at 7-12 s summed run / <70 ms CPU — pure worker round-trips).
+    # Arrow batches are read JVM-side, no Python workers at all.
+    import pandas as pd
+
+    pdf = pd.DataFrame(out, columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf, schema)
 
 
 def connected_components_bipartite(

@@ -23,8 +23,11 @@ shrinks the pre-agg shuffle rows from 32-char strings to BIGINTs.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from flink_ms_spark.operators.text import normalize_text, tokens
 from flink_ms_spark.partitioning import fan_out
@@ -80,31 +83,58 @@ def minhash_signatures(
     shingles of ``(a_i·x + b_i) mod p`` where ``x`` is a 60-bit integer
     from md5(shingle) — one digest per shingle regardless of k.
 
-    Shuffle-FREE: the shingle→hash→min pipeline is higher-order array
-    math evaluated per document row (one md5 per shingle, then k
-    affine-reseed traversals of the cached base-hash array), so the
-    signature job is map-only — at 100 TB it runs at scan speed with
-    zero exchange. The tiny k-row posexplode stays within the row."""
-    xs = F.transform(
-        shingles(F.col(text_col), shingle_n),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % MINHASH_P,
+    Shuffle-FREE: map-only over (id, text) — at 100 TB it runs at scan
+    speed with zero exchange. The kernel is a mapInPandas batch loop
+    over C-implemented ``hashlib.md5`` (guide §4.2: per-element
+    interpreted JVM HOF lambdas measured 20-40 µs/shingle at sf0.1 —
+    ~14 s CPU per consuming query; hashlib + native int math is ~1.5
+    µs/shingle, and the r14 A/B holds the output bit-identical on every
+    SF). Tokenization mirrors the JVM expressions EXACTLY: Spark
+    ``trim`` strips 0x20 only; Java ``\\s`` is the ASCII class
+    ``[ \\t\\n\\x0B\\f\\r]``; ``split`` keeps edge empties; shingles
+    past the token end truncate (``concat_ws`` NULL-skip); a NULL text
+    yields zero rows (posexplode-of-NULL semantics)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("minhash", T.LongType(), False),
+        ]
     )
-    mins = F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda h: F.array_min(
-            F.transform(
-                F.col("_xs"),
-                lambda x: ((F.lit(2) * h + 1) * x + h * F.lit(12_345) + 7)
-                % MINHASH_P,
-            )
-        ),
-    )
-    return (
-        fan_out(df)
-        .select(F.col(id_col), xs.alias("_xs"))
-        .select(id_col, F.posexplode(mins).alias("pos", "minhash"))
-        .select(id_col, (F.col("pos") + 1).cast("int").alias("h"), "minhash")
+    coeffs = [(2 * h + 1, h * 12_345 + 7) for h in range(1, num_hashes + 1)]
+    p = MINHASH_P
+
+    def sigs(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids_out, h_out, m_out = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                t = ws.split(text.strip(" "))
+                n_pos = max(len(t) - (shingle_n - 1), 1)
+                xs = [
+                    int(
+                        md5(" ".join(t[i : i + shingle_n]).encode("utf-8"))
+                        .hexdigest()[:15],
+                        16,
+                    )
+                    % p
+                    for i in range(n_pos)
+                ]
+                for h, (a, b) in enumerate(coeffs, start=1):
+                    m = min((a * x + b) % p for x in xs)
+                    ids_out.append(doc_id)
+                    h_out.append(h)
+                    m_out.append(m)
+            yield pd.DataFrame({id_col: ids_out, "h": h_out, "minhash": m_out})
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        sigs, schema=out_schema
     )
 
 
@@ -212,6 +242,54 @@ def lsh_candidate_pairs(
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    shingle_n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc DISTINCT word-``shingle_n``-gram rows (id, s) as a
+    map-only mapInPandas kernel — the Python-native form of
+    ``explode(shingles(...)).distinct()`` for consumers that key on the
+    (id, shingle) SET. Two measured wins over the JVM form (r14): the
+    interpreted per-position ``concat_ws`` lambdas cost ~60 µs/shingle
+    (17.8 s CPU at sf0.1 in allpairs_jaccard) vs ~1 µs for C
+    ``str.join``; and per-doc set-dedup inside the kernel replaces the
+    corpus-wide ``distinct()`` exchange outright (distinctness is
+    per-doc by construction — the id is part of the key). Shingle
+    strings are byte-identical (same trim/split/truncation contract as
+    ``minhash_signatures``); a NULL text yields zero rows (explode-of-
+    NULL semantics)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("_d", df.schema[id_col].dataType, False),
+            T.StructField("s", T.StringType(), False),
+        ]
+    )
+
+    def rows(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        for pdf in batches:
+            ids_out, s_out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                t = ws.split(text.strip(" "))
+                n_pos = max(len(t) - (shingle_n - 1), 1)
+                for s in dict.fromkeys(
+                    " ".join(t[i : i + shingle_n]) for i in range(n_pos)
+                ):
+                    ids_out.append(doc_id)
+                    s_out.append(s)
+            yield pd.DataFrame({"_d": ids_out, "s": s_out})
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        rows, schema=out_schema
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,
@@ -293,15 +371,14 @@ def allpairs_jaccard(
     # FOUR times (identical shuffle writes) under persist(); eager
     # materialization ran the pass once and cut the query ~25% in an
     # interleaved A/B at sf0.1.
-    sh = (
-        fan_out(docs)
-        .select(
-            F.col(id_col).alias("_d"),
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # shingle_rows: hashlib-era Python kernel — per-doc distinct
+    # shingles built with C str.join, and the per-doc set dedup makes
+    # the corpus-wide distinct() exchange unnecessary (r14: this one
+    # stage was 27.8 s summed run / 17.8 s CPU at sf0.1 as interpreted
+    # JVM HOF + distinct; the kernel is map-only).
+    sh = shingle_rows(
+        docs, shingle_n, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     # per-doc size rides the SAME keyed window pass as the prefix rank
     # (no separate sizes aggregate + join), and candidate rows carry
@@ -381,13 +458,54 @@ def simhash(
     # ``tok_hashes`` (id, h=md5(token) rows) lets a caller that already
     # paid the corpus md5 pass (e.g. a minhash family sharing the same
     # token stream) feed it here instead of hashing the corpus twice
-    tok = (
-        tok_hashes
-        if tok_hashes is not None
-        else fan_out(df)
-        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-        .withColumn("h", F.md5("t"))
-    )
+    if tok_hashes is None:
+        # hashlib + numpy mapInPandas kernel (the r14
+        # minhash_signatures pattern): md5 per token in C and the
+        # per-bit parity votes vectorized per doc, emitting the final
+        # signature string directly — the JVM form exploded the corpus
+        # and ran ``bits`` interpreted CASE/instr evals per token row
+        # (8.3M evals ≈ 1.5-4 s CPU at sf0.1 for 32 bits). Digit
+        # parity == (strpos('0123..f', d) - 1) % 2 == the nibble's low
+        # bit; a bit is '1' iff ones strictly beat half the token count
+        # (ties → '0'); NULL text yields no row (explode semantics).
+        sig_schema = T.StructType(
+            [
+                T.StructField(id_col, df.schema[id_col].dataType, False),
+                T.StructField("simhash", T.StringType(), False),
+            ]
+        )
+
+        def sig_kernel(batches):
+            import hashlib
+            import re
+
+            import numpy as np
+
+            ws = re.compile(r"[ \t\n\x0B\f\r]+")
+            md5 = hashlib.md5
+            for pdf in batches:
+                ids_out, sig_out = [], []
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    if text is None:
+                        continue
+                    hexes = [
+                        md5(t.encode("utf-8")).hexdigest()[:bits]
+                        for t in ws.split(text.strip(" "))
+                    ]
+                    arr = np.frombuffer("".join(hexes).encode(), dtype=np.uint8)
+                    vals = arr - 48 - (arr >= 97) * 39
+                    ones = (vals & 1).reshape(len(hexes), bits).sum(axis=0)
+                    n = len(hexes)
+                    ids_out.append(doc_id)
+                    sig_out.append(
+                        "".join("1" if 2 * o > n else "0" for o in ones)
+                    )
+                yield pd.DataFrame({id_col: ids_out, "simhash": sig_out})
+
+        return fan_out(df.select(id_col, text_col)).mapInPandas(
+            sig_kernel, schema=sig_schema
+        )
+    tok = tok_hashes
     ones = [
         F.sum(
             F.expr(
@@ -413,6 +531,7 @@ def simhash_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     tok_hashes: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup via Hamming pigeonholing: split the ``bits``-bit
     signature into ``n_bands`` contiguous bands; any pair within
@@ -438,11 +557,18 @@ def simhash_neardup(
         # extra positions would be corpus-wide constants (see its guard)
         raise ValueError("simhash signatures support at most 32 bits")
     width = bits // n_bands
-    sig = simhash(
-        df, text_col=text_col, id_col=id_col, bits=bits, tok_hashes=tok_hashes
-    ).withColumn(
-        "_sl", F.conv("simhash", 2, 10).cast("long")
-    )
+    # ``signatures`` (id, simhash 0/1-string) lets a caller that
+    # already built the per-doc signatures (e.g. the
+    # dedup_method_agreement base kernel, which derives them from the
+    # same md5 pass the minhash side reads) skip the explode +
+    # bits-column vote aggregation entirely.
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash(
+            df, text_col=text_col, id_col=id_col, bits=bits, tok_hashes=tok_hashes
+        )
+    ).withColumn("_sl", F.conv("simhash", 2, 10).cast("long"))
     banded = sig.select(
         F.col(id_col),
         F.col("_sl"),

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_ms_spark.partitioning import fan_out
+
 # Small fixed stopword set used by quality scoring and the marker-based
 # language heuristic. Deliberately tiny + deterministic.
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -205,7 +207,11 @@ def char_trigram_lm_score(
     no corpus-scale shuffle beyond the per-doc score agg.
     """
     norm = normalize_text(F.col(text_col))
-    docs = df.select(F.col(id_col).alias("doc_id"), norm.alias("s"))
+    # fan_out BEFORE the explode: a single-file scan arrives as ONE
+    # partition, and the eager localCheckpoint below would otherwise
+    # serialize the whole corpus explode + partial agg behind one task
+    # (r14 profile: 3.1 s single-task stage vs ~0.1 s fanned out)
+    docs = fan_out(df.select(F.col(id_col).alias("doc_id"), norm.alias("s")))
     tris = docs.select(
         "doc_id",
         F.explode(

@@ -251,20 +251,61 @@ def _shingle_hash_sets(docs: DataFrame):
     can derive the minhash signatures from the SAME materialized md5
     pass (min over the distinct array equals min over the raw shingle
     stream) instead of paying a second corpus-wide md5 scan."""
-    xs = F.array_distinct(
-        F.transform(
-            shingles(F.col("text"), 3),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-            % MINHASH_P,
-        )
+    # The shingle→md5→60-bit pipeline runs in a mapInPandas hashlib
+    # kernel (same kernel contract as operators/dedup.minhash_signatures,
+    # r14: the interpreted JVM HOF lambdas cost ~10 s CPU at sf0.1 for
+    # this one materialization; hashlib is ~40× cheaper per shingle and
+    # the output is bit-identical — dict.fromkeys reproduces
+    # array_distinct's first-occurrence order, NULL text keeps its
+    # NULL-array row).
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    xs_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema["doc_id"].dataType, False),
+            T.StructField("_xs", T.ArrayType(T.LongType()), True),
+        ]
     )
+
+    def hash_sets(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        md5 = hashlib.md5
+        p = MINHASH_P
+        for pdf in batches:
+            ids_out, xs_out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids_out.append(doc_id)
+                if text is None:
+                    xs_out.append(None)
+                    continue
+                t = ws.split(text.strip(" "))
+                n_pos = max(len(t) - 2, 1)
+                xs_out.append(
+                    list(
+                        dict.fromkeys(
+                            int(
+                                md5(" ".join(t[i : i + 3]).encode("utf-8"))
+                                .hexdigest()[:15],
+                                16,
+                            )
+                            % p
+                            for i in range(n_pos)
+                        )
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids_out, "_xs": xs_out})
+
     # materialize ONCE (consumers: the exploded set, the sizes, and
     # the signature derivation) — the community_modularity
     # localCheckpoint pattern; the pinned frame is doc-count rows
     # (hash arrays packed per row), not exploded-shingle rows
     base = (
-        fan_out(docs)
-        .select(F.col("doc_id"), xs.alias("_xs"))
+        fan_out(docs.select("doc_id", "text"))
+        .mapInPandas(hash_sets, schema=xs_schema)
         .localCheckpoint(eager=True)
     )
     sh = base.select("doc_id", F.explode("_xs").alias("x"))

@@ -478,7 +478,6 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pair-set Jaccard. One composed plan; each family's
     shuffles are its own documented set."""
     from flink_ms_spark.operators.dedup import MINHASH_P, simhash_neardup
-    from flink_ms_spark.operators.text import tokens
     from flink_ms_spark.partitioning import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
@@ -491,28 +490,71 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digests). shingles(text, 1) equals the raw token array,
     # including the empty-doc one-entry guard, so the minhash base
     # values are bit-identical to minhash_signatures'.
+    # hashlib mapInPandas kernel (the r14 minhash_signatures pattern):
+    # one pass emits BOTH the hex array (_hs, simhash votes) and the
+    # 60-bit base hashes (_xs, minhash side) — the interpreted JVM HOF
+    # form cost ~3 s CPU for the md5 pass plus 4 conv-per-element
+    # traversals for the signature derivation at sf0.1. NULL text keeps
+    # its NULL-array row (transform-of-NULL semantics).
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema["doc_id"].dataType, False),
+            T.StructField("_xs", T.ArrayType(T.LongType()), True),
+            T.StructField("_ssig", T.StringType(), True),
+        ]
+    )
+
+    def tok_hashes_kernel(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        md5 = hashlib.md5
+        p = MINHASH_P
+        for pdf in batches:
+            ids_out, xs_out, sig_out = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids_out.append(doc_id)
+                if text is None:
+                    xs_out.append(None)
+                    sig_out.append(None)
+                    continue
+                hexes = [
+                    md5(t.encode("utf-8")).hexdigest()
+                    for t in ws.split(text.strip(" "))
+                ]
+                xs_out.append([int(h[:15], 16) % p for h in hexes])
+                # 32-bit simhash: hex-digit parity votes, vectorized —
+                # digit value's low bit == (strpos('0123..f', d)-1) % 2,
+                # the oracle's formula; bit set iff ones strictly beat
+                # half the token count (ties → '0', simhash() contract)
+                arr = np.frombuffer("".join(hexes).encode(), dtype=np.uint8)
+                vals = arr - 48 - (arr >= 97) * 39
+                ones = (vals & 1).reshape(len(hexes), 32).sum(axis=0)
+                n = len(hexes)
+                sig_out.append(
+                    "".join("1" if 2 * o > n else "0" for o in ones)
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids_out, "_xs": xs_out, "_ssig": sig_out}
+            )
+
     base = (
-        fan_out(docs)
-        .select(
-            F.col("doc_id"),
-            F.transform(tokens(F.col("text")), F.md5).alias("_hs"),
-        )
+        fan_out(docs.select("doc_id", "text"))
+        .mapInPandas(tok_hashes_kernel, schema=base_schema)
         .localCheckpoint(eager=True)
     )
     mins = F.transform(
         F.sequence(F.lit(1), F.lit(4)),
         lambda hh: F.array_min(
             F.transform(
-                F.col("_hs"),
-                lambda h: (
-                    (F.lit(2) * hh + 1)
-                    * (
-                        F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-                        % MINHASH_P
-                    )
-                    + hh * F.lit(12_345)
-                    + 7
-                )
+                F.col("_xs"),
+                lambda x: ((F.lit(2) * hh + 1) * x + hh * F.lit(12_345) + 7)
                 % MINHASH_P,
             )
         ),
@@ -520,19 +562,33 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = base.select(
         "doc_id", F.posexplode(mins).alias("pos", "minhash")
     ).select("doc_id", (F.col("pos") + 1).cast("int").alias("h"), "minhash")
-    tokh = base.select("doc_id", F.explode("_hs").alias("h"))
     # capped buckets — the same curation-log form as dedup_report: a
     # hot boilerplate bucket is dropped, never pair-expanded, so the
     # audit itself cannot go quadratic at scale (uncapped, this query
-    # measured 24 s at sf0.1; capped, sub-2 s)
+    # measured 24 s at sf0.1; capped, sub-2 s). Each family's pair set
+    # is EAGERLY checkpointed: the three count branches consume lsh and
+    # simp twice each, and AQE's concurrent stage futures re-ran both
+    # subtrees per consumer (r14 profile: the simhash side alone was
+    # ~1.6 s and executed twice); the pinned pair sets are
+    # candidate-bounded rows, so the checkpoint is cheap at any scale.
     lsh = lsh_candidate_pairs(
         sigs,
         band_size=1,
         max_bucket_size=64,
+    ).localCheckpoint(eager=True)
+    simp = (
+        simhash_neardup(
+            docs,
+            bits=32,
+            n_bands=4,
+            max_hamming=2,
+            signatures=base.where(F.col("_ssig").isNotNull()).select(
+                "doc_id", F.col("_ssig").alias("simhash")
+            ),
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=True)
     )
-    simp = simhash_neardup(
-        docs, bits=32, n_bands=4, max_hamming=2, tok_hashes=tokh
-    ).select("a", "b")
     n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
     n_sim = simp.agg(F.count("*").cast("long").alias("n_simhash"))
     n_both = (

@@ -1605,21 +1605,23 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    ev = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
+    # the eval-gram set is consumed TWICE (bloom-bitmap build AND the
+    # exact-confirm semi join) — pin it eagerly so the eval-side scan +
+    # explode runs once; it stays tiny by construction (the eval slice)
+    ev = (
+        grams.filter(F.col("doc_id") % 100 == 0)
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # build: distinct set-bit positions of the eval grams (bounded by
     # the bitmap size), packed into a broadcast numpy bitmap — at
     # corpus scale the caller sizes _BLOOM_BITS to the REAL eval
     # cardinality (bits scale linearly, ~10 bits/item for ~1% fp)
     import numpy as np
 
-    # repartition BEFORE the position hashing: AQE coalesces the tiny
-    # distinct-gram shuffle to one partition, which put the 5-hash
-    # position compute on a single task (r14 profile: a 0.97 s 1-task
-    # stage). The round-robin shuffle of the distinct grams is bytes-
-    # cheap and spreads the hashing across the cluster at any scale.
     positions = (
-        ev.repartition(spark.sparkContext.defaultParallelism)
-        .select(F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos"))
+        ev.select(F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos"))
         .distinct()
         .collect()
     )
@@ -1639,11 +1641,50 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit &= bm[h.to_numpy()]
         return pd.Series(hit)
 
-    probes = _bloom_positions(F.col("gram"))
-    prefiltered = (
-        grams.filter(F.col("doc_id") % 100 != 0)
-        .where(_might_contain(*probes))
+    # corpus-side grams via a mapInPandas str.join kernel (the r14
+    # shingle_rows pattern — the interpreted per-position concat_ws
+    # HOF cost ~3.8 s CPU at sf0.1 for this one pass); the doc_id
+    # slice filter runs BEFORE the kernel so it still pushes to the
+    # scan (an opaque kernel would swallow it). The eval side keeps
+    # the JVM form: its %100 filter prunes the scan to the eval slice,
+    # which an opaque kernel input would forfeit.
+    from pyspark.sql import types as T
+
+    gram_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema["doc_id"].dataType, False),
+            T.StructField("gram", T.StringType(), False),
+        ]
     )
+
+    def gram_kernel(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        for pdf in batches:
+            ids_out, g_out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                t = ws.split(text.strip(" "))
+                if len(t) < 4:
+                    continue
+                for g in dict.fromkeys(
+                    " ".join(t[i : i + 4]) for i in range(len(t) - 3)
+                ):
+                    ids_out.append(doc_id)
+                    g_out.append(g)
+            yield pd.DataFrame({"doc_id": ids_out, "gram": g_out})
+
+    from flink_ms_spark.partitioning import fan_out
+
+    train_grams = fan_out(
+        docs.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text")
+    ).mapInPandas(gram_kernel, schema=gram_schema)
+    probes = _bloom_positions(F.col("gram"))
+    prefiltered = train_grams.where(_might_contain(*probes))
     confirmed = prefiltered.join(F.broadcast(ev), "gram", "left_semi")
     hit_docs = confirmed.select("doc_id").distinct().withColumn(
         "_hit", F.lit(1)
