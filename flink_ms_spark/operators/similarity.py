@@ -241,7 +241,17 @@ def ivf_topk(
         np.fill_diagonal(sims, -np.inf)  # exclude self-pairs
         return _prune_candidates(ids, ids, sims, margin, "sim")
 
-    cands = with_cell.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
+    # pin the cell shuffle at the key cardinality: the per-cell kernel
+    # is Python compute, and AQE coalesces the tiny fixture-scale
+    # shuffle to ONE partition, serializing every cell on one worker
+    # (r14 profile). repartition-by-key with an explicit count is not
+    # AQE-coalescible and adds no second exchange (the groupBy reuses
+    # the clustering); 2^cell_dims IS this stage's max parallelism.
+    cands = (
+        with_cell.repartition(2 ** cell_dims, "cell")
+        .groupBy("cell")
+        .applyInPandas(per_cell, schema=CAND_SCHEMA)
+    )
     return _rank_topk(cands, k)
 
 
@@ -431,7 +441,14 @@ def ivf_kmeans_topk(
         sims[same] = -np.inf
         return _prune_candidates(ids, mem_ids, sims, margin, "sim")
 
-    cands = assigned.groupBy("cell").applyInPandas(per_cell, schema=CAND_SCHEMA)
+    # pinned cell-count shuffle: see ivf_topk — AQE would coalesce the
+    # fixture-scale exchange to one task and serialize the per-cell
+    # numpy kernels; len(centers) is the stage's parallelism bound
+    cands = (
+        assigned.repartition(len(centers), "cell")
+        .groupBy("cell")
+        .applyInPandas(per_cell, schema=CAND_SCHEMA)
+    )
     # a vector probing multiple cells can see the same neighbor twice
     cands = cands.groupBy("a", "b").agg(F.max("sim").alias("sim"))
     return _rank_topk(cands, k)
@@ -571,7 +588,8 @@ def embedding_neardup(
         F.col(id_col), F.col(vec_col), ivf_cell(vec_col, cell_dims).alias("cell")
     )
     return pairwise_cos_within(
-        with_cell, "cell", threshold, id_col=id_col, vec_col=vec_col
+        with_cell, "cell", threshold, id_col=id_col, vec_col=vec_col,
+        n_buckets=2 ** cell_dims,
     )
 
 
@@ -658,6 +676,7 @@ def pairwise_cos_within(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """(a, b, cos_sim) pairs with a < b and rounded cosine ≥ threshold,
     candidates restricted to rows sharing ``bucket_col``. Per-bucket
@@ -678,7 +697,13 @@ def pairwise_cos_within(
         hi = np.maximum(ids[iu[keep]], ids[ju[keep]])
         return pd.DataFrame({"a": lo, "b": hi, "sim": sims[iu[keep], ju[keep]]})
 
-    cands = df.groupBy(bucket_col).applyInPandas(per_bucket, schema=CAND_SCHEMA)
+    # with a known bucket cardinality, pin the shuffle at it (see
+    # ivf_topk): the per-bucket matmul is Python compute and AQE
+    # coalesces the tiny exchange onto one task otherwise
+    grouped = df.repartition(n_buckets, bucket_col) if n_buckets else df
+    cands = grouped.groupBy(bucket_col).applyInPandas(
+        per_bucket, schema=CAND_SCHEMA
+    )
     return cands.select("a", "b", F.round("sim", 6).alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
     )
@@ -704,7 +729,8 @@ def hyperplane_neardup(
         F.col(id_col), F.col(vec_col), hyperplane_code(vec_col, planes).alias("_code")
     )
     return pairwise_cos_within(
-        coded, "_code", threshold, id_col=id_col, vec_col=vec_col
+        coded, "_code", threshold, id_col=id_col, vec_col=vec_col,
+        n_buckets=2 ** n_planes,
     )
 
 
@@ -2805,7 +2831,14 @@ def ivf_pq_topk(
         return _prune_candidates(ids, mem_ids, ad2, margin, "ad2",
                                  ascending=True)
 
-    cands = assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
+    # pinned cell-count shuffle (see ivf_topk): keeps the per-cell
+    # encode+ADC kernels parallel across cells instead of AQE-coalesced
+    # onto one Python task
+    cands = (
+        assigned.repartition(len(centers), "cell")
+        .groupBy("cell")
+        .applyInPandas(per_cell, schema=out_schema)
+    )
     cands = cands.groupBy("a", "b").agg(F.min("ad2").alias("ad2"))
     w = Window.partitionBy("a").orderBy(F.col("ad2").asc(), F.col("b").asc())
     return cands.withColumn("rk", F.row_number().over(w).cast("int")).where(
