@@ -623,26 +623,53 @@ def exact_substring_dedup(
     AQE skew handling applies, and template-grade grams belong in
     exact doc-level dedup first). Reassembly shuffles by doc only.
     """
-    # fan out first (grow-only): the span construction and both token
-    # explodes are heavy narrow maps, and a small single-file scan
-    # would otherwise run them on one task (r14 profile: a 1-task
-    # 0.8 s map stage feeding the gram shuffle); a corpus-scale input
-    # with many partitions is untouched
+    # Span construction and reassembly are Python kernels (the r14
+    # shingle_rows pattern): the interpreted transform/slice/concat_ws
+    # HOF cost ~7 s CPU at sf0.1 for the span pass alone, and the
+    # original JVM reassembly paid THREE corpus-token-scale exchanges
+    # (covered-positions distinct, tokpos anti-join, collect_list
+    # regroup). The kernel form keeps exactly ONE token-scale shuffle
+    # — row_number over gram groups, the semantics — plus two doc-
+    # scale joins; cut positions ride a per-doc set and the cleaned
+    # text is rebuilt in one map over (text, cut-list). Tokenization
+    # mirrors the JVM contract (see minhash_signatures): strip 0x20,
+    # ASCII \s class, edge empties kept, NULL text yields no span/
+    # cleaned rows (explode-of-NULL semantics; the base aggregate
+    # keeps its JVM form so NULL/size semantics are untouched).
     toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
     )
-    spans = (
-        toks.where(F.size("t") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {n - 1}),"
-                    f" i -> struct(i AS idx, concat_ws(' ', slice(t, i, {n})) AS gram))"
-                )
-            ).alias("sp"),
-        )
-        .select("doc_id", F.col("sp.idx").alias("idx"), F.col("sp.gram").alias("gram"))
+    span_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType, False),
+            T.StructField("idx", T.IntegerType(), False),
+            T.StructField("gram", T.StringType(), False),
+        ]
+    )
+
+    def span_kernel(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        for pdf in batches:
+            ids_out, idx_out, g_out = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                t = ws.split(text.strip(" "))
+                if len(t) < n:
+                    continue
+                join = " ".join
+                for i in range(len(t) - n + 1):
+                    ids_out.append(doc_id)
+                    idx_out.append(i + 1)
+                    g_out.append(join(t[i : i + n]))
+            yield pd.DataFrame(
+                {"doc_id": ids_out, "idx": idx_out, "gram": g_out}
+            )
+
+    spans = fan_out(df.select(id_col, text_col)).mapInPandas(
+        span_kernel, schema=span_schema
     )
     w = Window.partitionBy("gram").orderBy("doc_id", "idx")
     dups = (
@@ -650,23 +677,50 @@ def exact_substring_dedup(
         .where(F.col("rn") > 1)
         .select("doc_id", "idx")
     )
-    covered = dups.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("idx"), F.col("idx") + F.lit(n - 1))).alias("pos"),
-    ).distinct()
-    tokpos = toks.select(
-        "doc_id", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-            " ",
-        ).alias("clean_text"),
+    # per-doc cut-start list: doc-scale rows, bounded by dup spans
+    rem = dups.groupBy("doc_id").agg(F.collect_set("idx").alias("_cut"))
+    clean_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType, False),
+            T.StructField("n_kept", T.LongType(), False),
+            T.StructField("clean_text", T.StringType(), False),
+        ]
+    )
+
+    def clean_kernel(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        for pdf in batches:
+            ids_out, k_out, c_out = [], [], []
+            for doc_id, text, cut in zip(
+                pdf["doc_id"], pdf[text_col], pdf["_cut"]
+            ):
+                if text is None:
+                    continue
+                t = ws.split(text.strip(" "))
+                if cut is None or len(cut) == 0:
+                    kept_toks = t
+                else:
+                    covered = set()
+                    for idx in cut:
+                        covered.update(range(int(idx), int(idx) + n))
+                    kept_toks = [
+                        tok
+                        for pos, tok in enumerate(t, start=1)
+                        if pos not in covered
+                    ]
+                ids_out.append(doc_id)
+                k_out.append(len(kept_toks))
+                c_out.append(" ".join(kept_toks))
+            yield pd.DataFrame(
+                {"doc_id": ids_out, "n_kept": k_out, "clean_text": c_out}
+            )
+
+    cleaned = (
+        fan_out(df.select(F.col(id_col).alias("doc_id"), text_col))
+        .join(rem, "doc_id", "left")
+        .mapInPandas(clean_kernel, schema=clean_schema)
     )
     base = toks.select("doc_id", F.size("t").alias("n_tokens"))
     return base.join(cleaned, "doc_id", "left").select(
