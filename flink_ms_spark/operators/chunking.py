@@ -196,6 +196,8 @@ def cdc_chunk_spans(
                 ],
             )
 
-    from flink_ms_spark.partitioning import fan_out
+    from flink_ms_spark.partitioning import FANOUT_KB_PER_TASK, fan_out
 
-    return fan_out(cols).mapInPandas(emit, CHUNK_SCHEMA)
+    return fan_out(cols, kb_per_task=FANOUT_KB_PER_TASK).mapInPandas(
+        emit, CHUNK_SCHEMA
+    )

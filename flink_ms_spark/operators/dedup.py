@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_ms_spark.operators.text import normalize_text, tokens
-from flink_ms_spark.partitioning import fan_out
+from flink_ms_spark.partitioning import FANOUT_KB_PER_TASK, fan_out
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -38,7 +38,8 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     size and the keeper (min id) — the survivor-selection form that
     scales (never collects texts)."""
     return (
-        fan_out(df).select(F.col(id_col), F.md5(normalize_text(text_col)).alias("text_hash"))
+        fan_out(df.select(id_col, text_col), kb_per_task=FANOUT_KB_PER_TASK)
+        .select(F.col(id_col), F.md5(normalize_text(text_col)).alias("text_hash"))
         .groupBy("text_hash")
         .agg(
             F.count("*").alias("n_dups"),
@@ -133,7 +134,9 @@ def minhash_signatures(
                     m_out.append(m)
             yield pd.DataFrame({id_col: ids_out, "h": h_out, "minhash": m_out})
 
-    return fan_out(df.select(id_col, text_col)).mapInPandas(
+    return fan_out(
+        df.select(id_col, text_col), kb_per_task=FANOUT_KB_PER_TASK
+    ).mapInPandas(
         sigs, schema=out_schema
     )
 
@@ -285,7 +288,9 @@ def shingle_rows(
                     s_out.append(s)
             yield pd.DataFrame({"_d": ids_out, "s": s_out})
 
-    return fan_out(df.select(id_col, text_col)).mapInPandas(
+    return fan_out(
+        df.select(id_col, text_col), kb_per_task=FANOUT_KB_PER_TASK
+    ).mapInPandas(
         rows, schema=out_schema
     )
 
@@ -502,7 +507,9 @@ def simhash(
                     )
                 yield pd.DataFrame({id_col: ids_out, "simhash": sig_out})
 
-        return fan_out(df.select(id_col, text_col)).mapInPandas(
+        return fan_out(
+            df.select(id_col, text_col), kb_per_task=FANOUT_KB_PER_TASK
+        ).mapInPandas(
             sig_kernel, schema=sig_schema
         )
     tok = tok_hashes
@@ -636,7 +643,9 @@ def exact_substring_dedup(
     # ASCII \s class, edge empties kept, NULL text yields no span/
     # cleaned rows (explode-of-NULL semantics; the base aggregate
     # keeps its JVM form so NULL/size semantics are untouched).
-    toks = fan_out(df).select(
+    toks = fan_out(
+        df.select(id_col, text_col), kb_per_task=FANOUT_KB_PER_TASK
+    ).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
     )
     span_schema = T.StructType(
@@ -668,7 +677,9 @@ def exact_substring_dedup(
                 {"doc_id": ids_out, "idx": idx_out, "gram": g_out}
             )
 
-    spans = fan_out(df.select(id_col, text_col)).mapInPandas(
+    spans = fan_out(
+        df.select(id_col, text_col), kb_per_task=FANOUT_KB_PER_TASK
+    ).mapInPandas(
         span_kernel, schema=span_schema
     )
     w = Window.partitionBy("gram").orderBy("doc_id", "idx")
@@ -718,7 +729,10 @@ def exact_substring_dedup(
             )
 
     cleaned = (
-        fan_out(df.select(F.col(id_col).alias("doc_id"), text_col))
+        fan_out(
+            df.select(F.col(id_col).alias("doc_id"), text_col),
+            kb_per_task=FANOUT_KB_PER_TASK,
+        )
         .join(rem, "doc_id", "left")
         .mapInPandas(clean_kernel, schema=clean_schema)
     )

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_ms_spark.operators.text import token_count, tokens
-from flink_ms_spark.partitioning import fan_out
+from flink_ms_spark.partitioning import FANOUT_KB_PER_TASK, fan_out
 
 
 def md5_bucket(col: Column | str, n_buckets: int) -> Column:
@@ -74,7 +74,10 @@ def dsir_weights(
     quadratic and no vocabulary-sized state exists — the model IS the
     n_buckets-row table (the entire point of hashed DSIR features).
     """
-    tok = fan_out(docs).select(
+    tok = fan_out(
+        docs.select(id_col, source_col, text_col),
+        kb_per_task=FANOUT_KB_PER_TASK,
+    ).select(
         F.col(id_col),
         F.col(source_col),
         F.explode(tokens(F.col(text_col))).alias("t"),

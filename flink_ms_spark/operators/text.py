@@ -210,7 +210,11 @@ def char_trigram_lm_score(
     # fan_out BEFORE the explode: a single-file scan arrives as ONE
     # partition, and the eager localCheckpoint below would otherwise
     # serialize the whole corpus explode + partial agg behind one task
-    # (r14 profile: 3.1 s single-task stage vs ~0.1 s fanned out)
+    # (r14 profile: 3.1 s single-task stage vs ~0.1 s fanned out).
+    # Deliberately NOT size-capped (no kb_per_task): the char-trigram
+    # explode amplifies ~3x per input byte and its per-task cost is
+    # downstream of the repartition — the r14 cap A/B measured 1.25 s
+    # uncapped vs 1.66 s at 4 tasks and 3.51 s at 1.
     docs = fan_out(df.select(F.col(id_col).alias("doc_id"), norm.alias("s")))
     tris = docs.select(
         "doc_id",

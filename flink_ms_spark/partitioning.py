@@ -19,16 +19,63 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Per-task input capacity for the size-derived fan-out cap (below).
+# 32 KB of (compressed-estimate) input per task keeps each kernel task
+# at ~0.1-0.3 s of real work for the hash/text kernel family measured
+# in r14 (64 KB/task over-serialized the md5+normalize tier: 1.27-1.29x
+# on the multi-pass dedup queries; 32 KB cleared every >10% regression
+# while keeping the wins). Inputs beyond ~1 MB reach full cluster
+# parallelism, so the cap only ever acts on tiny inputs. Env-tunable
+# for other hardware.
+FANOUT_KB_PER_TASK = float(os.environ.get("SPARK_GRAFT_FANOUT_KB_PER_TASK", "32"))
 
-def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate for a dataframe — file-status bytes
+    (scaled by column pruning) for a parquet scan projection,
+    propagated estimates otherwise. Driver-side only, runs no job.
+    Returns None when no estimate is available."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def fan_out(
+    df: DataFrame,
+    target: int | None = None,
+    kb_per_task: float | None = None,
+) -> DataFrame:
     """Round-robin repartition up to ``target`` (default: cluster
     parallelism) — only when the input has fewer partitions; never
-    shrinks, never shuffles an already-parallel input."""
+    shrinks, never shuffles an already-parallel input.
+
+    ``kb_per_task`` opts a call site into a size-derived CAP on the
+    default target: target = clamp(est_bytes / kb_per_task, 2,
+    defaultParallelism). At corpus scale the estimate is huge and the
+    cap is a no-op (and a real cluster scan already arrives with
+    thousands of splits, making fan_out itself a no-op); on a tiny
+    input it stops a 32-task wave — ~10 ms/task serial dispatch plus
+    a Python-worker round-trip per task — from dwarfing sub-second
+    kernels (r14 A/B at sf0.1: 25-58% off eight kernel queries).
+    ONLY byte-proportional kernels may opt in: sites whose per-row
+    cost is decoupled from input bytes (media synthesis from id-only
+    rows, the char-trigram corpus explode) must keep full parallelism
+    — capping the trigram explode to one task measured 3.5 s vs
+    1.25 s uncapped. Unknown estimates keep full parallelism."""
     sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
+    if target is None:
+        target = sc.defaultParallelism
+        if kb_per_task:
+            est = plan_size_bytes(df)
+            if est is not None:
+                bpt = max(1, int(kb_per_task * 1024))
+                target = max(2, min(target, -(-est // bpt)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -1678,10 +1678,11 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     g_out.append(g)
             yield pd.DataFrame({"doc_id": ids_out, "gram": g_out})
 
-    from flink_ms_spark.partitioning import fan_out
+    from flink_ms_spark.partitioning import FANOUT_KB_PER_TASK, fan_out
 
     train_grams = fan_out(
-        docs.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text"),
+        kb_per_task=FANOUT_KB_PER_TASK,
     ).mapInPandas(gram_kernel, schema=gram_schema)
     probes = _bloom_positions(F.col("gram"))
     prefiltered = train_grams.where(_might_contain(*probes))

@@ -23,6 +23,33 @@ def test_fan_out_default_target_is_cluster_parallelism(spark):
     assert fan_out(df).rdd.getNumPartitions() == expect
 
 
+def test_fan_out_size_cap_bounds_tiny_inputs(spark):
+    # a multi-KB in-memory relation with a huge kb_per_task collapses
+    # to the floor of 2 tasks instead of a full cluster-width wave
+    df = spark.range(1000).coalesce(1)
+    out = fan_out(df, kb_per_task=1 << 20)
+    assert out.rdd.getNumPartitions() == 2
+
+
+def test_fan_out_size_cap_keeps_full_parallelism_when_big(spark):
+    # tiny kb_per_task: the estimate exceeds kb_per_task * parallelism,
+    # so the cap is a no-op and the default target applies unchanged
+    df = spark.range(100_000).coalesce(1)
+    expect = spark.sparkContext.defaultParallelism
+    assert fan_out(df, kb_per_task=0.001).rdd.getNumPartitions() == expect
+
+
+def test_fan_out_explicit_target_ignores_cap(spark):
+    # a caller-pinned target (batch-5 per-cell pinning) is never capped
+    df = spark.range(100).coalesce(1)
+    assert fan_out(df, target=8, kb_per_task=1 << 20).rdd.getNumPartitions() == 8
+
+
+def test_fan_out_size_cap_never_grows_parallel_input(spark):
+    df = spark.range(100).repartition(16)
+    assert fan_out(df, kb_per_task=1 << 20) is df
+
+
 def test_bucketed_join_has_no_exchange(spark):
     # managed tables land in the session's default warehouse dir
     # (spark.sql.warehouse.dir is static); dropped in finally
