@@ -49,6 +49,13 @@ def cooccurrence_edges(
     bounded by the group size squared, so cap pathological groups
     upstream (a 10k-item group is a 50M-pair bomb; fixture orders are
     single-digit baskets)."""
+    # NOTE (r15, measured and rejected): eagerly checkpointing the
+    # distinct membership here to stop the self-join sides recomputing
+    # the scan+distinct made BOTH consumers slower (lpa 6.4→9.2 s,
+    # triangle 3.3→4.2 s min-of-3 at sf0.1) — the duplicated subtree
+    # runs OVERLAPPED under AQE's concurrent stage futures, while the
+    # checkpoint inserts a serial barrier in front of the join. The
+    # recompute wastes cluster CPU but not wall; leave it.
     m = df.select(group_col, node_col).distinct()
     a, b = m.alias("a"), m.alias("b")
     return (

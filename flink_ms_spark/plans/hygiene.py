@@ -24,7 +24,7 @@ from flink_ms_spark.operators.dedup import (
     shingles,
 )
 from flink_ms_spark.operators.text import token_count
-from flink_ms_spark.partitioning import fan_out
+from flink_ms_spark.partitioning import FANOUT_KB_PER_TASK, fan_out
 from flink_ms_spark.plans.northstar import _DUCK_TOKS, _MINHASH_ORACLE
 from flink_ms_spark.plans.pipeline import _CC_CORE, _lsh_components
 from flink_ms_spark.plans.registry import register
@@ -302,9 +302,14 @@ def _shingle_hash_sets(docs: DataFrame):
     # materialize ONCE (consumers: the exploded set, the sizes, and
     # the signature derivation) — the community_modularity
     # localCheckpoint pattern; the pinned frame is doc-count rows
-    # (hash arrays packed per row), not exploded-shingle rows
+    # (hash arrays packed per row), not exploded-shingle rows.
+    # kb_per_task: this is a byte-proportional md5 kernel — the same
+    # family as minhash_signatures — and it was the one hot kernel
+    # site left out of the r14 size-derived cap (r15: the uncapped
+    # 32-task checkpoint wave measured 8.2 s summed runtime for 0.25 s
+    # of CPU at sf0.1; the cap is a no-op at corpus scale).
     base = (
-        fan_out(docs.select("doc_id", "text"))
+        fan_out(docs.select("doc_id", "text"), kb_per_task=FANOUT_KB_PER_TASK)
         .mapInPandas(hash_sets, schema=xs_schema)
         .localCheckpoint(eager=True)
     )

@@ -478,7 +478,7 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pair-set Jaccard. One composed plan; each family's
     shuffles are its own documented set."""
     from flink_ms_spark.operators.dedup import MINHASH_P, simhash_neardup
-    from flink_ms_spark.partitioning import fan_out
+    from flink_ms_spark.partitioning import FANOUT_KB_PER_TASK, fan_out
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE shared md5 pass (r14): both families hash the SAME token
@@ -544,8 +544,13 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids_out, "_xs": xs_out, "_ssig": sig_out}
             )
 
+    # kb_per_task: byte-proportional md5 kernel (the minhash_signatures
+    # family) — r15 closed the one remaining uncapped site class: the
+    # uncapped 32-task checkpoint wave here measured 8.0 s summed
+    # runtime for 0.18 s of CPU at sf0.1 (pure Python-worker wave
+    # overhead), and downstream consumers inherit the width.
     base = (
-        fan_out(docs.select("doc_id", "text"))
+        fan_out(docs.select("doc_id", "text"), kb_per_task=FANOUT_KB_PER_TASK)
         .mapInPandas(tok_hashes_kernel, schema=base_schema)
         .localCheckpoint(eager=True)
     )

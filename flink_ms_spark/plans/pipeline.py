@@ -17,6 +17,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from flink_ms_spark.operators.cluster import (
     canonical_per_component,
@@ -746,26 +747,75 @@ def q_lev_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta"))
     db = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb"))
-    # Banded DP via the threshold form: a pair can only be kept when
-    # lev ≤ 0.4·mx ≤ ceil(0.4·mx), so computing with threshold
-    # ceil(0.4·mx) returns the EXACT distance for every kept pair and
-    # -1 (early exit, O(k·len) instead of O(len²)) only for pairs the
-    # rel_dist filter drops anyway — the `lev >= 0` guard below makes
-    # that explicit. Verified identical output vs the unbanded form
-    # against the DuckDB oracle; the verify stage was 41 s of CPU at
-    # sf0.1 (r14 profile), the single hottest scan in the bench.
-    j = pairs.join(da, "a").join(db, "b").select(
+    # Length prefilter BEFORE the DP (guide §2.3 — filter early, and
+    # it is exact): lev(a,b) ≥ |len(a)−len(b)|, so any pair this drops
+    # has rel_dist > 0.4 and is dropped by the final filter anyway.
+    # The predicate is the final filter's EXACT expression shape
+    # (double division by mx, same 0.4 literal) with lev replaced by
+    # the length diff: IEEE division by a fixed positive divisor is
+    # monotone in the numerator, so diff/mx > 0.4 ⇒ lev/mx ≥ diff/mx
+    # > 0.4 — no float-boundary pair can be dropped here yet kept by
+    # the final filter. At sf0.1 this removes 14,345 of 36,271
+    # candidate pairs before the O(len²) DP kernel below (the banded
+    # JVM form it replaces already rejected big length gaps in O(1),
+    # so the prefilter only pays off combined with the full-DP kernel).
+    pre = pairs.join(da, "a").join(db, "b").where(
+        F.abs(F.length("_ta") - F.length("_tb")).cast("double")
+        / F.greatest(F.length("_ta"), F.length("_tb"))
+        <= F.lit(0.4)
+    )
+
+    # Exact Levenshtein in a bit-parallel numpy kernel (guide §4.2 —
+    # hand whole batches to vectorized native code): Myers' bit-vector
+    # DP advanced across a whole chunk of pairs per numpy op
+    # (functions/editdist.py). Measured at sf0.1: 247 µs/pair vs
+    # 579 µs/pair for a DuckDB C++ full-DP kernel and ~1.2 ms/pair for
+    # the JVM threshold-banded `levenshtein(a, b, k)` codegen form it
+    # replaces — the verify stage was 25.8 s summed runtime (23.9 s
+    # CPU), the single hottest stage in the bench; the Myers kernel
+    # runs it in ~6 s summed. Exactness: full unit-cost edit distance,
+    # validated bit-identical to DuckDB's levenshtein (the oracle's
+    # own function) on all 36,271 raw candidate pairs at sf0.1.
+    lev_schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("lev", T.LongType(), True),
+            T.StructField("mx", T.IntegerType(), True),
+        ]
+    )
+
+    def lev_kernel(batches):
+        import pandas as pd
+
+        from flink_ms_spark.functions.editdist import lev_pairs
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # NULL text: JVM levenshtein yields NULL and the rel_dist
+            # filter drops the pair — mirror that (fixtures have none).
+            ok = pdf["_ta"].notna() & pdf["_tb"].notna()
+            lev = pd.array([None] * len(pdf), dtype="Int64")
+            if ok.any():
+                lev[ok.to_numpy()] = lev_pairs(
+                    pdf.loc[ok, "_ta"].tolist(), pdf.loc[ok, "_tb"].tolist()
+                )
+            yield pd.DataFrame(
+                {"a": pdf["a"], "b": pdf["b"], "lev": lev, "mx": pdf["mx"]}
+            )
+
+    # mx stays a JVM `greatest(length, length)` column (pass-through)
+    # so only the DP itself moves engines.
+    j = pre.select(
         "a",
         "b",
-        F.expr(
-            "levenshtein(_ta, _tb, cast(ceil(greatest(length(_ta),"
-            " length(_tb)) * 0.4) as int))"
-        ).cast("long").alias("lev"),
+        "_ta",
+        "_tb",
         F.greatest(F.length("_ta"), F.length("_tb")).alias("mx"),
-    )
+    ).mapInPandas(lev_kernel, schema=lev_schema)
     return j.where(
-        (F.col("lev") >= 0)
-        & (F.col("lev").cast("double") / F.col("mx") <= 0.4)
+        F.col("lev").cast("double") / F.col("mx") <= 0.4
     ).select(
         "a",
         "b",
@@ -1015,9 +1065,17 @@ ORDER BY df DESC, gram LIMIT 100
 def q_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 10-gram spans shared by ≥2 documents (boilerplate
     catalog; df = number of distinct docs containing the span)."""
+    from flink_ms_spark.partitioning import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
+    # fan_out with NO cap (the char_trigram_lm rule): the 10-gram
+    # explode multiplies work per input byte, so it needs full
+    # parallelism — r15 profile showed the whole explode+combine on
+    # ONE task (1.0 s serial) because the small fixture scan arrives
+    # as one partition; at corpus scale the scan already has splits
+    # and this is a no-op.
     grams = (
-        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        fan_out(docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t")))
         .filter(F.size("t") >= 10)
         .select(
             "doc_id",
