@@ -295,6 +295,58 @@ def shingle_rows(
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    shingle_n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc DISTINCT word-``shingle_n``-gram SETS (id, _xs ARRAY) —
+    the packed form of :func:`shingle_rows` (identical shingle strings
+    and per-doc dedup, one row per doc instead of one per shingle).
+    Callers that need exploded rows select ``explode(_xs)``; callers
+    that need whole sets (the allpairs verify stage's intersection
+    counts) read the array without a regroup. Insertion order is the
+    first-occurrence order of :func:`shingle_rows`; set semantics make
+    the order irrelevant to consumers."""
+    out_schema = T.StructType(
+        [
+            T.StructField("_d", df.schema[id_col].dataType, False),
+            T.StructField(
+                "_xs", T.ArrayType(T.StringType(), False), False
+            ),
+        ]
+    )
+
+    def rows(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        for pdf in batches:
+            ids_out, xs_out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                t = ws.split(text.strip(" "))
+                n_pos = max(len(t) - (shingle_n - 1), 1)
+                ids_out.append(doc_id)
+                xs_out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(t[i : i + shingle_n])
+                            for i in range(n_pos)
+                        )
+                    )
+                )
+            yield pd.DataFrame({"_d": ids_out, "_xs": xs_out})
+
+    return fan_out(
+        df.select(id_col, text_col), kb_per_task=FANOUT_KB_PER_TASK
+    ).mapInPandas(
+        rows, schema=out_schema
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,
@@ -376,14 +428,19 @@ def allpairs_jaccard(
     # FOUR times (identical shuffle writes) under persist(); eager
     # materialization ran the pass once and cut the query ~25% in an
     # interleaved A/B at sf0.1.
-    # shingle_rows: hashlib-era Python kernel — per-doc distinct
+    # shingle_sets: hashlib-era Python kernel — per-doc distinct
     # shingles built with C str.join, and the per-doc set dedup makes
     # the corpus-wide distinct() exchange unnecessary (r14: this one
     # stage was 27.8 s summed run / 17.8 s CPU at sf0.1 as interpreted
-    # JVM HOF + distinct; the kernel is map-only).
-    sh = shingle_rows(
+    # JVM HOF + distinct; the kernel is map-only). r15: the pinned
+    # frame is the PACKED per-doc array (5 k rows at sf0.1, not 250 k
+    # exploded rows) so the verify stage below can read whole sets
+    # without the regroup; the prefix tier explodes it per consumer
+    # (a map-side explode over checkpointed blocks).
+    sets = shingle_sets(
         docs, shingle_n, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
+    sh = sets.select("_d", F.explode("_xs").alias("s"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     # per-doc size rides the SAME keyed window pass as the prefix rank
     # (no separate sizes aggregate + join), and candidate rows carry
@@ -410,19 +467,37 @@ def allpairs_jaccard(
         .select("a", "b", "n_a", "n_b")
         .distinct()
     )
-    sh_a = sh.select(F.col("_d").alias("a"), "s")
-    sh_b = sh.select(F.col("_d").alias("b"), "s")
+    # Verify tier (r15): candidate count is near-dup-scale (256 at
+    # sf0.1 vs 250 k shingle rows), so join the candidates against the
+    # pinned per-doc sets and take |A∩B| as `size(array_intersect(..))`
+    # over the two per-doc DISTINCT arrays — exactly the old
+    # intersection join-count, with the verify tier's two exploded-
+    # shingle shuffles and its pair×shingle HashAggregate gone from the
+    # plan. Join strategy is left to AQE (no broadcast hint): locally
+    # it converts to broadcast-hash at runtime once it sees the real
+    # candidate size; at corpus scale a huge near-dup candidate list
+    # falls back to a keyed shuffle join instead of an OOMing forced
+    # broadcast. A candidate pair always shares a prefix shingle, so
+    # n_inter ≥ 1 and the old left-join + fill(0) is equivalently this
+    # inner path (and a zero-overlap pair would fail the ≥ threshold
+    # filter in both shapes anyway).
     inter = (
-        cands.select("a", "b")
-        .join(sh_a, "a")
-        .join(sh_b, ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
+        sets.select(F.col("_d").alias("a"), F.col("_xs").alias("_xa"))
+        .join(cands, "a")
+        .join(
+            sets.select(F.col("_d").alias("b"), F.col("_xs").alias("_xb")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_xa", "_xb")).alias("n_inter"),
+        )
     )
     return (
-        cands.join(inter, ["a", "b"], "left")
-        .na.fill({"n_inter": 0})
-        .select(
+        inter.select(
             "a",
             "b",
             F.round(
