@@ -345,7 +345,17 @@ class StreamingChunkDedup:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Returns the batch's admitted docs; registers their chunks.
         Idempotent per batch_id."""
-        spans = cdc_chunk_spans(batch_df, **self.chunk_params).persist()
+        # EAGER localCheckpoint, not lazy persist (r15): spans feeds
+        # four consumers in one composed action (canon, the intra join,
+        # the registry probe, the chunkless anti-join), and AQE's
+        # concurrent stage futures race a lazy persist into recomputing
+        # the uncached chunker subtree per consumer — the same
+        # pathology r14 profiled (4x) and fixed in the batch dedup
+        # paths. A/B on 2500-doc micro-batches (4 reps): batch walls
+        # [5.8, 2.8, 3.0, 1.8] -> [4.7, 2.1, 1.9, 1.9] s.
+        spans = cdc_chunk_spans(batch_df, **self.chunk_params).localCheckpoint(
+            eager=True
+        )
 
         # within-batch canonical owner per chunk hash (admission-blind
         # and therefore replay-stable — see module docstring)
@@ -402,7 +412,8 @@ class StreamingChunkDedup:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.registry_dir)
         )
-        spans.unpersist()
+        # (checkpoint blocks are freed when the RDD is GC'd; there is
+        # no unpersist() equivalent for localCheckpoint)
         return survivors
 
     def compact(self, spark: SparkSession, buckets: int = 8) -> dict:

@@ -194,12 +194,20 @@ class StreamingNearDup:
         """Returns the batch's surviving (non-near-dup) docs and
         registers their signatures. Idempotent per batch_id."""
         spark = batch_df.sparkSession
+        # EAGER localCheckpoint, not lazy persist (r15): bands feeds
+        # the CC membership, the distinct-keeper set, the registry
+        # probe and the registry write inside one composed action —
+        # AQE's concurrent stage futures race a lazy persist into
+        # recomputing the signature kernel per consumer (the r14
+        # pathology, fixed in the batch dedup paths). A/B on 2500-doc
+        # micro-batches (4 reps): batch walls [3.5, 4.1, 3.5, 4.7] ->
+        # [2.1, 1.8, 1.6, 1.6] s (~2.3x).
         bands = band_signatures(
             batch_df,
             num_hashes=self.num_hashes,
             band_size=self.band_size,
             shingle_n=self.shingle_n,
-        ).persist()
+        ).localCheckpoint(eager=True)
 
         # within-batch: connected-component min-id — the SAME semantics
         # as batch dup_canonical (operators/cluster.py), so collision
@@ -261,7 +269,8 @@ class StreamingNearDup:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.registry_dir)
         )
-        bands.unpersist()
+        # (checkpoint blocks are freed when the RDD is GC'd; there is
+        # no unpersist() equivalent for localCheckpoint)
         return survivors
 
     def compact(self, spark: SparkSession) -> dict:
