@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_ms_spark.partitioning import materialize
+
 
 def connected_components(
     pairs: DataFrame,
@@ -38,7 +40,7 @@ def connected_components(
         .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(materialize)
     labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
     for _ in range(max_iter):
         neighbor_min = (
@@ -56,7 +58,7 @@ def connected_components(
             ),
             F.col("comp").alias("old"),
         )
-        proposed = proposed.localCheckpoint(eager=True)
+        proposed = proposed.transform(materialize)
         changed = proposed.filter(F.col("comp") < F.col("old")).count()
         labels = proposed.select("u", "comp")
         if changed == 0:
@@ -168,7 +170,7 @@ def connected_components_bipartite(
         return _union_find_components(rows, membership.sparkSession, out_schema)
     m = (
         grouped.select(group_col, F.explode("_nodes").alias(node_col))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = m.select(node_col).distinct().withColumn("comp", F.col(node_col))
     for _ in range(max_iter):
@@ -187,7 +189,7 @@ def connected_components_bipartite(
             F.least(F.col("comp"), F.col("ncomp")).alias("comp"),
             F.col("comp").alias("old"),
         )
-        proposed = proposed.localCheckpoint(eager=True)
+        proposed = proposed.transform(materialize)
         changed = proposed.filter(F.col("comp") < F.col("old")).count()
         labels = proposed.select(node_col, "comp")
         if changed == 0:

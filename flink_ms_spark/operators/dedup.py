@@ -93,8 +93,12 @@ def minhash_signatures(
     SF). Tokenization mirrors the JVM expressions EXACTLY: Spark
     ``trim`` strips 0x20 only; Java ``\\s`` is the ASCII class
     ``[ \\t\\n\\x0B\\f\\r]``; ``split`` keeps edge empties; shingles
-    past the token end truncate (``concat_ws`` NULL-skip); a NULL text
-    yields zero rows (posexplode-of-NULL semantics)."""
+    past the token end truncate (``concat_ws`` NULL-skip). A NULL text
+    yields ZERO rows — this matches the DuckDB oracle
+    (``generate_series(1, len(NULL))`` is empty) and is an intentional
+    divergence from the pre-r14 JVM form, whose shingles() guard made
+    shingles(NULL) = [''] and emitted an empty-shingle signature row
+    (ADVICE r14; pinned by test_null_text_docs_emit_no_rows)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType, False),
@@ -338,6 +342,10 @@ def shingle_sets(
                         )
                     )
                 )
+            if not ids_out:
+                # an empty object column arrives as float64 and
+                # Arrow cannot cast that to list<...> — skip
+                continue
             yield pd.DataFrame({"_d": ids_out, "_xs": xs_out})
 
     return fan_out(

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flink_ms_spark.partitioning import materialize
+
 
 def transition_edges(
     events: DataFrame,
@@ -101,7 +103,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Eager checkpoint runs each edge-scale pass exactly once; the
     blocks are GC-managed, so no unpersist bookkeeping is needed.
     """
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -120,11 +122,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     o = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     lists = (
         o.groupBy(F.col("src").alias("node"))
         .agg(F.sort_array(F.collect_list("dst")).alias("outs"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     j = o.join(
         lists.withColumnRenamed("node", "src").withColumnRenamed(
@@ -151,7 +153,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     n_e = edges.agg(F.count("*").alias("n_edges"))
     # the 1-row summary pins the result; the upstream localCheckpoint
     # blocks are GC-managed, so nothing leaks in a resident engine
-    out = n_e.crossJoin(tri).localCheckpoint(eager=True)
+    out = n_e.crossJoin(tri).transform(materialize)
     return out
 
 
@@ -176,7 +178,7 @@ def pagerank_iterative(
     # reference the edge table once per round in ONE final plan, and
     # AQE's concurrent stage futures would race to compute a lazily
     # persisted edge subtree (see lpa_communities)
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
     rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
@@ -199,7 +201,7 @@ def pagerank_iterative(
     out = rank.select(
         "node", F.round("pr", 6).cast("double").alias("pagerank")
     ).orderBy(F.col("pagerank").desc(), "node")
-    out = out.localCheckpoint(eager=True)  # |nodes| rows
+    out = out.transform(materialize)  # |nodes| rows
     return out
 
 
@@ -261,13 +263,13 @@ def lpa_communities(
         adj_lists = (
             adj.groupBy(F.col("u").alias("nbr_of"))
             .agg(F.collect_list("v").alias("nbrs"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     else:
         # materialize the symmetric adjacency: the degree pass and the
         # list build both consume it, and the upstream edge derivation
         # (e.g. a co-occurrence self-join) must run exactly ONCE
-        adj = adj.localCheckpoint(eager=True)
+        adj = adj.transform(materialize)
         deg = adj.groupBy(F.col("u").alias("nbr_of")).agg(
             F.count("*").alias("deg")
         )
@@ -281,7 +283,7 @@ def lpa_communities(
             .groupBy("nbr_of", "seg")
             .agg(F.collect_list("v").alias("nbrs"))
             .drop("seg")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     # init from the materialized lists (distinct: the segmented layout
     # can hold >1 row per hub node) — reading the blocks is cheaper
@@ -306,5 +308,5 @@ def lpa_communities(
                 "negc"
             ]).alias("community")
         )
-    labels = labels.localCheckpoint(eager=True)  # |nodes| rows
+    labels = labels.transform(materialize)  # |nodes| rows
     return labels

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from flink_ms_spark.partitioning import fan_out
+from flink_ms_spark.partitioning import fan_out, keyed_kernel_width
 
 CAND_SCHEMA = T.StructType(
     [
@@ -248,7 +248,9 @@ def ivf_topk(
     # AQE-coalescible and adds no second exchange (the groupBy reuses
     # the clustering); 2^cell_dims IS this stage's max parallelism.
     cands = (
-        with_cell.repartition(2 ** cell_dims, "cell")
+        with_cell.repartition(
+            keyed_kernel_width(with_cell, 2 ** cell_dims), "cell"
+        )
         .groupBy("cell")
         .applyInPandas(per_cell, schema=CAND_SCHEMA)
     )
@@ -445,7 +447,9 @@ def ivf_kmeans_topk(
     # fixture-scale exchange to one task and serialize the per-cell
     # numpy kernels; len(centers) is the stage's parallelism bound
     cands = (
-        assigned.repartition(len(centers), "cell")
+        assigned.repartition(
+            keyed_kernel_width(assigned, len(centers)), "cell"
+        )
         .groupBy("cell")
         .applyInPandas(per_cell, schema=CAND_SCHEMA)
     )
@@ -700,7 +704,11 @@ def pairwise_cos_within(
     # with a known bucket cardinality, pin the shuffle at it (see
     # ivf_topk): the per-bucket matmul is Python compute and AQE
     # coalesces the tiny exchange onto one task otherwise
-    grouped = df.repartition(n_buckets, bucket_col) if n_buckets else df
+    grouped = (
+        df.repartition(keyed_kernel_width(df, n_buckets), bucket_col)
+        if n_buckets
+        else df
+    )
     cands = grouped.groupBy(bucket_col).applyInPandas(
         per_bucket, schema=CAND_SCHEMA
     )
@@ -2835,7 +2843,9 @@ def ivf_pq_topk(
     # encode+ADC kernels parallel across cells instead of AQE-coalesced
     # onto one Python task
     cands = (
-        assigned.repartition(len(centers), "cell")
+        assigned.repartition(
+            keyed_kernel_width(assigned, len(centers)), "cell"
+        )
         .groupBy("cell")
         .applyInPandas(per_cell, schema=out_schema)
     )

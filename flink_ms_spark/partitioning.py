@@ -81,6 +81,43 @@ def fan_out(
     return df
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly pin a multi-consumer / per-iteration intermediate.
+
+    Default: ``localCheckpoint(eager=True)`` — the fastest way to cut
+    lineage and stop AQE's concurrent stage futures recomputing an
+    uncached subtree, but its blocks live on executors and are NOT
+    recomputable: on a real cluster a lost executor fails the whole
+    query. Set ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` for the
+    fault-tolerant mode — reliable ``checkpoint(eager=True)`` to the
+    session's checkpoint directory (HDFS/object store on a cluster),
+    which truncates lineage the same way AND survives executor loss —
+    the right call for the long iterative tier (lpa/pagerank/triangle)
+    on preemptible executors; see SCALING.md. If no checkpoint dir is
+    configured, a local temp dir is set (local-mode convenience; a
+    cluster deployment should point it at reliable storage)."""
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "") in ("1", "true"):
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-graft-ckpt-"))
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def keyed_kernel_width(df: DataFrame, n_keys: int, factor: int = 4) -> int:
+    """Partition count for a pinned keyed-kernel shuffle (the
+    `repartition(n, key)` that stops AQE coalescing a Python kernel to
+    one task): the key cardinality when small — each key CAN get its
+    own task — clamped to ``factor × defaultParallelism`` so a
+    high-cardinality key (16+ hyperplanes ⇒ 65k+ cells) doesn't create
+    tens of thousands of shuffle partitions (ADVICE r14). Above the
+    clamp, hash collisions co-locate several keys per task, which is
+    exactly the load-balancing one wants once keys outnumber cores."""
+    return max(1, min(n_keys, factor * df.sparkSession.sparkContext.defaultParallelism))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

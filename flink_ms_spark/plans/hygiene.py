@@ -297,6 +297,10 @@ def _shingle_hash_sets(docs: DataFrame):
                         )
                     )
                 )
+            if not ids_out:
+                # an empty object column arrives as float64 and
+                # Arrow cannot cast that to list<...> — skip
+                continue
             yield pd.DataFrame({"doc_id": ids_out, "_xs": xs_out})
 
     # materialize ONCE (consumers: the exploded set, the sizes, and

@@ -540,6 +540,10 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sig_out.append(
                     "".join("1" if 2 * o > n else "0" for o in ones)
                 )
+            if not ids_out:
+                # an empty object column arrives as float64 and
+                # Arrow cannot cast that to list<...> — skip
+                continue
             yield pd.DataFrame(
                 {"doc_id": ids_out, "_xs": xs_out, "_ssig": sig_out}
             )

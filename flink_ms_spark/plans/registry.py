@@ -46,18 +46,23 @@ def register_sql(name: str, spark_sql: str, duck_sql: str | None = None) -> None
     same text — most relational SQL is dialect-shared).
 
     Only the fixture tables the SQL text actually references are
-    registered per call (word-boundary scan at registration time): a
-    ten-view registration per invocation was a measured driver-side
-    tax on every SQL query rep (r14 profile), and a false positive in
-    the scan merely registers one extra harmless view."""
+    registered per call (case-insensitive word-boundary scan at
+    registration time): a ten-view registration per invocation was a
+    measured driver-side tax on every SQL query rep (r14 profile), and
+    a false positive in the scan merely registers one extra harmless
+    view. If the scan matches NOTHING (e.g. quoted or dynamically
+    assembled identifiers), fall back to registering every fixture
+    view rather than failing at analysis time (ADVICE r14)."""
     import re
 
     from flink_ms_spark.schemas import FIXTURE_TABLES
     from flink_ms_spark.sources.tables import register_views
 
     referenced = tuple(
-        t for t in FIXTURE_TABLES if re.search(rf"\b{t}\b", spark_sql)
-    )
+        t
+        for t in FIXTURE_TABLES
+        if re.search(rf"\b{t}\b", spark_sql, re.IGNORECASE)
+    ) or None
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, only=referenced)

@@ -80,7 +80,13 @@ _CRITICAL_TYPES: dict[str, dict[str, tuple[str, ...]]] = {
 _SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
 
 
-def _schema_key(path: str) -> tuple[str, int, int] | None:
+def _schema_key(path: str) -> tuple | None:
+    # NOTE: the directory branch uses the process-salted builtin
+    # hash() — fine for this in-process cache, NOT stable across runs;
+    # never persist these keys. st_ino is part of the key so a file
+    # COPIED over the fixture with preserved timestamps (same mtime_ns
+    # and size) still invalidates — the one hole ADVICE r14 flagged in
+    # the mtime/size key.
     try:
         st = os.stat(path)
     except OSError:
@@ -89,11 +95,11 @@ def _schema_key(path: str) -> tuple[str, int, int] | None:
         # directory datasets: fold entry names/mtimes into the key so
         # added/rewritten part-files invalidate
         ent = sorted(
-            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size, e.inode())
             for e in os.scandir(path)
         )
         return (os.path.abspath(path), hash(tuple(ent)), st.st_size)
-    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size, st.st_ino)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -109,32 +115,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = _schema_key(path)
     cached = _SCHEMA_CACHE.get(key) if key is not None else None
     if cached is not None:
-        # schema (and the critical-type check) already validated for
-        # this exact file state — skip the eager footer inference
+        # validated at insert for this exact file state (path, mtime,
+        # size, inode) — re-run the critical-type guard anyway (dict
+        # comparison, ADVICE r14) so the forced schema can never
+        # silently serve a table the CURRENT catalog assumptions
+        # reject, then skip the eager footer inference
+        _check_critical_types(name, cached)
         return spark.read.schema(cached).parquet(path)
     df = spark.read.parquet(path)
-    expected = _CRITICAL_TYPES.get(name)
-    if expected:
-        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        for col, allowed in expected.items():
-            got = actual.get(col)
-            if got is None:
-                # the WORST drift — a load-bearing column renamed or
-                # dropped — must fail here, not as a deep-plan
-                # AnalysisException three operators later
-                raise TypeError(
-                    f"fixture drift: {name}.{col} is MISSING from the "
-                    f"regenerated fixture (have: {sorted(actual)})"
-                )
-            if got not in allowed:
-                raise TypeError(
-                    f"fixture drift: {name}.{col} is {got}, catalog assumes "
-                    f"{'/'.join(allowed)} — regenerated testdata changed "
-                    f"physical types; fix plans/ before trusting results"
-                )
+    _check_critical_types(name, df.schema)
     if key is not None:
         _SCHEMA_CACHE[key] = df.schema
     return df
+
+
+def _check_critical_types(name: str, schema) -> None:
+    expected = _CRITICAL_TYPES.get(name)
+    if not expected:
+        return
+    actual = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for col, allowed in expected.items():
+        got = actual.get(col)
+        if got is None:
+            # the WORST drift — a load-bearing column renamed or
+            # dropped — must fail here, not as a deep-plan
+            # AnalysisException three operators later
+            raise TypeError(
+                f"fixture drift: {name}.{col} is MISSING from the "
+                f"regenerated fixture (have: {sorted(actual)})"
+            )
+        if got not in allowed:
+            raise TypeError(
+                f"fixture drift: {name}.{col} is {got}, catalog assumes "
+                f"{'/'.join(allowed)} — regenerated testdata changed "
+                f"physical types; fix plans/ before trusting results"
+            )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
