@@ -48,6 +48,29 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Python worker daemon wrapper (flink_ms_spark/pydaemon.py):
+        # skips the unconditional per-task importlib.invalidate_caches()
+        # in worker_util.setup_spark_files when no new py-files were
+        # shipped — the purge forces ~16 zip-central-directory re-reads
+        # per task (pyspark.zip, py4j, the spark-core jar), measured as
+        # a 120-230 ms floor on EVERY Python task at any input size.
+        # Scale-relevant on any cluster (the purge runs per task per
+        # worker everywhere); falls back to stock behavior if pyspark
+        # internals drift (see pydaemon docstring).
+        .config("spark.python.daemon.module", "flink_ms_spark.pydaemon")
+        # the daemon subprocess needs the package importable: propagate
+        # this package's parent dir into the workers' PYTHONPATH
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
